@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() action) after a warmup
+of the session; time measured per query, wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openweathermapapi_etl_spark.plans import QUERIES  # noqa: E402
+from openweathermapapi_etl_spark.session import get_session  # noqa: E402
+
+#: Headline set: the flagship + one representative per operator family.
+BENCH_QUERIES = [
+    "flagship_q3",
+    "b06_select_expr",
+    "b07_filter_predicates",
+    "b10_inner_join",
+    "b11_left_join",
+    "b14_range_join",
+    "b15_asof_join",
+    "b16_groupby_agg",
+    "b17_count_distinct",
+    "b20_rollup",
+    "b23_ranking_windows",
+    "b25_window_frames",
+    "b27_top_k",
+    "b28_topk_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    # Warmup: JIT + codegen + file listing, not measured.
+    QUERIES["b01_parquet_scan"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

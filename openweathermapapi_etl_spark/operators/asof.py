@@ -1,0 +1,72 @@
+"""B15 — as-of join: for each left row, the latest right row with
+``right_ts <= left_ts`` within the same key group.
+
+Spark has no native ASOF JOIN (DuckDB does — it serves as the oracle).
+Implementation is the *union + ordered window* plan rather than a
+range-join + post-filter or a per-group ``pd.merge_asof``:
+
+1. tag left and right rows, union them on a common shape;
+2. one shuffle, hash-partitioned by key, sorted by (ts, side) within
+   partitions — right rows sort before left at equal ts so '<=' holds;
+3. carry the last-seen right payload forward with
+   ``last(..., ignorenulls=True)`` over an unbounded-preceding frame;
+4. keep left rows and unpack the payload.
+
+Scale notes: cost is one shuffle+sort of |L|+|R| — no quadratic range
+expansion, no Python. Equivalent to the "union + fill-forward" pattern
+used in large-scale point-in-time joins. Skewed keys split via AQE.
+
+Determinism: callers must make right rows unique per (key, ts) —
+otherwise *any* engine's as-of result is ambiguous at tied timestamps
+(dedup with max/last-write-wins first; see plans/relational.py b15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join; matched right values appear as ``__asof_<col>``
+    (NULL when no right row precedes the left row)."""
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__payload")
+
+    right_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+    )
+    left_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(right_tagged.schema["__payload"].dataType)
+        .alias("__payload"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = left_tagged.unionByName(right_tagged).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        on,
+        *[c for c in left.columns if c != on],
+        *[F.col(f"__match.{c}").alias(f"__asof_{c}") for c in value_cols],
+    )
+    return out

@@ -1,0 +1,180 @@
+"""M1 — keyed upsert (MERGE) and an atomic versioned parquet table.
+
+Reference semantics (/root/reference/dags/weather-etl.py:152-163):
+
+.. code-block:: sql
+
+    INSERT INTO weather SELECT * FROM (SELECT DISTINCT * FROM weather_temp) t
+    ON CONFLICT ("Time","City_Name") DO UPDATE
+      SET "Weather_Description" = excluded."Weather_Description",
+          "Temperature"        = excluded."Temperature";
+
+i.e. insert new keys, overwrite non-key columns for existing keys.
+OSS Spark core has no MERGE on plain tables, so this is the engine's
+flagship custom operator, built from relational primitives so Catalyst
+still plans it (SURVEY.md §2.1 A11, §4.3):
+
+    deduped = last-write-wins dedup of updates by key
+    result  = deduped  UNION ALL  (old  LEFT ANTI JOIN  deduped ON key)
+
+Fine points preserved (SURVEY.md §2.1):
+
+- Same-key conflicts *within one batch* (which make Postgres
+  ON CONFLICT fail with "cannot affect row a second time") are resolved
+  deterministically: last-write-wins by an explicit ``order_col``, or —
+  when no arrival order exists — by the largest tuple of non-key
+  columns (deterministic on any input, same result as the reference on
+  reference-shaped input where each key appears once per batch).
+- Idempotent: merging the same batch twice equals merging it once.
+- Key uniqueness holds by construction (B22 asserts it).
+
+Scale notes
+-----------
+Exactly one shuffle of each side, hash-partitioned on the key — the
+anti join and the window dedup reuse the same partitioning. When the
+update batch is small relative to the table (the reference's regime:
+12 rows/batch), the anti join broadcasts the *deduped updates* side,
+so the big ``old`` table is never shuffled at all. AQE picks this
+automatically under the broadcast threshold; ``broadcast_updates=True``
+forces it. Rewrites are full-table at this layer; at 100 TB the table
+is date-partitioned (``partition_by``) and only affected partitions
+are rewritten (partition-pruned dynamic overwrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_write_wins(
+    updates: DataFrame, keys: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Collapse an update batch to one row per key.
+
+    With ``order_col``: keep the row with the greatest value (arrival
+    order / event time) — ties broken by non-key columns descending so
+    the result is always deterministic. Without: keep the greatest
+    tuple of non-key columns (arbitrary but deterministic).
+    """
+    non_keys = [c for c in updates.columns if c not in keys]
+    order = [F.col(c).desc_nulls_last() for c in non_keys]
+    if order_col:
+        order = [F.col(order_col).desc_nulls_last()] + [
+            F.col(c).desc_nulls_last() for c in non_keys if c != order_col
+        ]
+    if not order:  # key-only relation: any row of the key group works
+        return updates.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keyed_upsert(
+    old: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """MERGE: rows from ``updates`` win on key collision (A11).
+
+    ``old`` must already be key-unique (guaranteed when it was produced
+    by this function); ``updates`` may contain intra-batch duplicates.
+    """
+    deduped = dedup_last_write_wins(updates, keys, order_col)
+    deduped = deduped.select(*old.columns)  # align column order
+    anti_right = F.broadcast(deduped) if broadcast_updates else deduped
+    survivors = old.join(anti_right, on=keys, how="left_anti")
+    return deduped.unionByName(survivors)
+
+
+class VersionedParquetTable:
+    """Atomic multi-version parquet table: write-new-dir-then-swap.
+
+    Emulates the reference's staging-then-atomic-merge discipline
+    (/root/reference/dags/weather-etl.py:85-93,152-174: staging table +
+    one transactional commit) without a lakehouse dependency:
+
+    - data lives in ``<root>/v=<n>/`` directories;
+    - ``<root>/_VERSION`` names the current one; readers resolve it at
+      read time; the pointer is replaced with ``os.replace`` (atomic on
+      POSIX), so a reader sees either the old or the new version, never
+      a partial write — crash mid-write leaves the pointer untouched;
+    - single-writer discipline, same as the reference (one DAG).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_VERSION")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return spark.read.parquet(self._version_dir(version))
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Write a new version and atomically repoint ``_VERSION``."""
+        new_version = (self.current_version() or 0) + 1
+        target = self._version_dir(new_version)
+        df.write.mode("overwrite").parquet(target)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": new_version, "committed_at": time.time()}, fh)
+        os.replace(tmp, self._pointer)  # the atomic commit point
+        self._vacuum(keep=new_version)
+        return new_version
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> int:
+        """M1 end-to-end: merge ``updates`` into the current version and
+        commit the result as a new version (idempotent — A11 fine point).
+        """
+        if self.exists():
+            merged = keyed_upsert(self.read(spark), updates, keys, order_col)
+        else:
+            merged = dedup_last_write_wins(updates, keys, order_col)
+        return self.overwrite(merged)
+
+    def _vacuum(self, keep: int, retain: int = 2) -> None:
+        """Drop version dirs older than ``keep - retain`` (readers of the
+        immediately previous version may still be in flight)."""
+        for entry in os.listdir(self.root):
+            if entry.startswith("v="):
+                try:
+                    v = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v <= keep - retain:
+                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)

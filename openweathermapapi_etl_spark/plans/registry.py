@@ -1,0 +1,33 @@
+"""Query registry: name → Spark callable, name → DuckDB oracle SQL.
+
+Contract (driver, ``/root/repo/__spark_entry__.py`` docstring): each
+callable takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle
+SQL runs in DuckDB against pre-registered views of the same parquet
+tables. Column names must match exactly (the driver sorts columns by
+name before hashing). Queries without an oracle get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,970 @@
+"""Tier B relational operators (SURVEY.md §2.2, B1-B31) + the flagship.
+
+Every query here is declarative DataFrame/SQL — Catalyst plans scans
+with pushdown/pruning, chooses broadcast vs sort-merge joins (AQE
+re-plans at runtime), and pairs partial/final aggregates automatically.
+Scale annotations sit on the queries where strategy matters.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_parquet, write_parquet
+from .registry import register
+from .util import DEC, davg, dsum, o_davg, o_dsum, t
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): TPC-H-Q3-shaped join + agg + sort + limit
+# covers B6 B7 B10 B16 B26 B27 in one query (SURVEY.md §7 M1 milestone).
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = f"""
+SELECT o.o_orderkey,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d')                AS orderdate,
+       o.o_orderpriority                                  AS priority
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1996-06-30'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@register("flagship_q3", oracle=FLAGSHIP_ORACLE)
+def flagship_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of BUILDING-segment orders still shipping after mid-96.
+
+    Scale shape: ``customer`` (small dim) broadcasts into ``orders``;
+    the orders→lineitem join shuffles both sides hash-partitioned on
+    orderkey; the groupBy reuses that partitioning (no extra shuffle);
+    ORDER BY+LIMIT plans as TakeOrderedAndProject (no global sort).
+    """
+    customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1-B4 — scans & sinks
+# ---------------------------------------------------------------------------
+
+
+@register("b01_parquet_scan", oracle="SELECT r_regionkey, r_name FROM region")
+def b01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: bare columnar scan (pushdown/pruning verified in tests)."""
+    return read_parquet(spark, os.path.join(sf_dir, "region.parquet")).select(
+        "r_regionkey", "r_name"
+    )
+
+
+@register(
+    "b04_parquet_sink_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def b04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: overwrite-mode parquet sink, then read the files back.
+
+    The write is the operator under test; reading it back makes the
+    sink hash-checkable against the source table.
+    """
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_b04")
+    df = t(spark, sf_dir, "nation")
+    write_parquet(df, out, mode="overwrite")
+    return read_parquet(spark, out)
+
+
+# B2 (JSON scan) and B3 (CSV scan) live in weather_q.py / scalar_funcs.py
+# where fixture files are defined.
+
+# ---------------------------------------------------------------------------
+# B6-B9 — projection / filter / conditional / cast
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b06_select_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount)           AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 2.5                             AS qty_scaled
+    FROM lineitem
+    WHERE l_linenumber <= 3
+    """,
+)
+def b06_select_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: projection with computed/aliased columns (row-level IEEE
+    arithmetic — bit-identical across engines, no decimal needed)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 3)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_quantity") * 2.5).alias("qty_scaled"),
+    )
+
+
+@register(
+    "b07_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_orderstatus IN ('O', 'F')
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_totalprice > 1000.0
+      AND o_custkey IS NOT NULL
+    """,
+)
+def b07_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: comparison + BETWEEN + IN + LIKE + IS NULL + boolean combos.
+
+    All predicates are Catalyst-pushable into the parquet scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & (F.col("o_totalprice") > 1000.0)
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "b08_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END            AS bucket,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_name,
+           COUNT(*)                         AS n,
+           {dsum}                           AS total
+    FROM orders
+    GROUP BY 1, 2
+    """.format(dsum=o_dsum("o_totalprice")),
+)
+def b08_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: searched CASE + simple CASE feeding an aggregation."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+    )
+    return (
+        o.select(bucket.alias("bucket"), status.alias("status_name"), "o_totalprice")
+        .groupBy("bucket", "status_name")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "b09_cast_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           CAST(FLOOR(c_acctbal) AS BIGINT)              AS bal_floor,
+           CAST(c_nationkey AS VARCHAR)                  AS nation_str,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS segment_or_na,
+           CAST(NULLIF(c_nationkey, 0) AS DOUBLE)        AS nation_nn
+    FROM customer
+    """,
+)
+def b09_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: cast / coalesce / nullif.
+
+    Note: double→int CAST truncates in Spark but rounds in DuckDB, so
+    portable code floors explicitly before casting (documented parity
+    trap, SURVEY.md §7).
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.col("c_nationkey").cast("string").alias("nation_str"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias(
+            "segment_or_na"
+        ),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).cast("double").alias("nation_nn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10-B15 — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b10_inner_join",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*)                 AS n_customers,
+           {o_dsum('c.c_acctbal')}  AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def b10_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: inner equi-join through a dimension chain.
+
+    Scale shape: nation and region are tiny dims → both broadcast; the
+    fact side (customer) never shuffles for the join, only for the
+    final groupBy.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+@register(
+    "b11_left_join",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey)        AS n_orders,
+           {o_dsum('o.o_totalprice')} AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def b11_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11a: left outer join — customers keep a row even with no orders
+    (COUNT of the null-extended column is 0, SUM is NULL)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+@register(
+    "b11_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def b11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11b: full outer join with genuine null extension on both sides
+    (supplier covers far fewer nations than customer)."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, cn.k == sn.k, "full").select(
+        F.coalesce(cn.k, sn.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "b11_right_join",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def b11_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11c: right outer join — every nation survives, suppliers null-extend."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "b12_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def b12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12a: left semi join = EXISTS (no column duplication, early out)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "b12_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def b12_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12b: left anti join = NOT EXISTS (also the core of M1's merge)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "b13_cross_join",
+    oracle="""
+    SELECT r.r_name, f.l_returnflag
+    FROM region r CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    """,
+)
+def b13_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: cartesian product of two tiny relations (broadcast NLJ)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    flags = t(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    return r.crossJoin(F.broadcast(flags))
+
+
+@register(
+    "b14_range_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type FROM events)
+    SELECT e1.event_id, e1.event_type, COUNT(e2.event_id) AS n_following
+    FROM ev e1
+    JOIN ev e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+    GROUP BY e1.event_id, e1.event_type
+    """,
+)
+def b14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: non-equi (range) join — events followed within 30 minutes by
+    the same user.
+
+    Scale shape: the equi-part (``user_id``) hash-partitions both
+    sides, so the range predicate only evaluates within a key group —
+    never a full cartesian. For keys with huge histories, bucketize
+    ``ts`` to days and add the bucket to the join key.
+    """
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.event_id").alias("event_id"), F.col("e1.event_type").alias("event_type"))
+        .agg(F.count(F.col("e2.event_id")).alias("n_following"))
+    )
+
+
+# B15 (as-of join) lives with its operator in merge_q.py/asof — see
+# operators/asof.py; registered in relational to keep join family together.
+
+
+@register(
+    "b15_asof_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type, value FROM events),
+         purchases AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts, MAX(value) AS value
+                       FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S')           AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S')           AS last_click_ts,
+           c.value                                        AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def b15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: as-of join — for each purchase, the latest click at-or-before
+    it per user. Implemented with the engine's union+window operator
+    (one shuffle on (user_id), no per-row Python); DuckDB's native
+    ASOF JOIN is the oracle.
+    """
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # Dedup right side per (key, ts): an as-of result is only
+    # well-defined when the tied greatest timestamp is unique (see
+    # operators/asof.py determinism note).
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("__asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        F.col("__asof_value").alias("last_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16-B22 — aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')}                                   AS sum_qty,
+           {o_dsum('l_extendedprice')}                              AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_davg('l_quantity')}                                   AS avg_qty,
+           {o_davg('l_extendedprice')}                              AS avg_price,
+           {o_davg('l_discount')}                                   AS avg_disc,
+           MIN(l_quantity)                                          AS min_qty,
+           MAX(l_extendedprice)                                     AS max_price,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b16_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: TPC-H-Q1-shaped hash aggregate (partial+final automatic;
+    min/max/count are exact, double sums via decimal — see util)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "b17_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)                         AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE))         AS n_days,
+           COUNT(*)                                          AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def b17_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: multi-column COUNT(DISTINCT) (Spark expands to two-phase
+    aggregate; exact, engine-order-free)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "b18_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd, TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b18_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: HyperLogLog++ approximate distinct.
+
+    Engines' sketches differ, so the raw estimate can't hash-match;
+    instead the query *asserts* the estimate lands within the
+    configured relative error (5σ of rsd=0.02) and outputs the
+    boolean — hash-checkable, and a genuinely failing check if the
+    sketch breaks.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_nd"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_nd"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_nd",
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                <= F.greatest(F.col("exact_nd") * 0.1, F.lit(5.0))
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
+    "b19_filtered_agg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')      AS n_urgent,
+           {o_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")}
+                                                                     AS urgent_total,
+           COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01') AS n_recent,
+           COUNT(*)                                                  AS n_all
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def b19_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: FILTER (WHERE ...) spelled as sum/count over CASE — one pass,
+    no extra scan per condition."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    recent = F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.sum(F.when(urgent, F.col("o_totalprice")).cast(DEC))
+        .cast("double")
+        .alias("urgent_total"),
+        F.count(F.when(recent, 1)).alias("n_recent"),
+        F.count("*").alias("n_all"),
+    )
+
+
+@register(
+    "b20_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name)      AS g_region,
+           GROUPING(n.n_name)      AS g_nation,
+           COUNT(*)                AS n_cust,
+           {o_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def b20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: ROLLUP with GROUPING markers (distinguishes subtotal NULLs
+    from data NULLs). CUBE / GROUPING SETS share the same Expand-based
+    physical plan."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
+@register(
+    "b20_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)   AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*)                  AS n,
+           {o_dsum('o_totalprice')}  AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def b20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20b: CUBE — all 2^k grouping combinations in one pass."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "b21_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust, {o_davg('c_acctbal')} AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 5 AND {o_davg('c_acctbal')} > 0
+    """,
+)
+def b21_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: HAVING = post-aggregation filter."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), davg("c_acctbal", "avg_bal"))
+        .filter((F.col("n_cust") >= 5) & (F.col("avg_bal") > 0))
+    )
+
+
+@register(
+    "b22_pk_uniqueness",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_dup
+    FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def b22_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: PK-uniqueness assertion (the reference's composite PK,
+    /root/reference/dags/weather-etl.py:76, generalized): duplicate keys
+    surface as rows; an empty result is the passing state. M1 guarantees
+    this by construction for tables it maintains."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23-B25 — window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b23_ranking_windows",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w_det AS rn,
+           RANK()       OVER w_bal AS rnk,
+           DENSE_RANK() OVER w_bal AS drnk,
+           NTILE(4)     OVER w_det AS quartile
+    FROM customer
+    WINDOW w_det AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           w_bal AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def b23_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: row_number / rank / dense_rank / ntile. row_number and ntile
+    use a total order (custkey tiebreak) for determinism; rank/dense_rank
+    deliberately keep ties."""
+    c = t(spark, sf_dir, "customer")
+    w_det = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_bal = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_det).alias("rn"),
+        F.rank().over(w_bal).alias("rnk"),
+        F.dense_rank().over(w_bal).alias("drnk"),
+        F.ntile(4).over(w_det).alias("quartile"),
+    )
+
+
+@register(
+    "b24_analytic_windows",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER w                                    AS prev_value,
+           LEAD(value) OVER w                                    AS next_value,
+           FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS first_event,
+           LAST_VALUE(event_id)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_event
+    FROM (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, value
+          FROM events) ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b24_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: lag / lead / first / last over a deterministic per-user order."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w_full).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+    )
+
+
+@register(
+    "b25_window_frames",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)                                        AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                                                                  AS moving_avg3,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                                                                  AS n_in_id_range
+    FROM (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, value
+          FROM events) ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b25_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: ROWS frames (running sum, moving avg) + a RANGE frame.
+    Frame sums run through decimal so incremental vs segment-tree
+    evaluation order can't change the result."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    rng = W.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
+    dec_val = F.col("value").cast(DEC)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(dec_val).over(run).cast("double").alias("running_sum"),
+        (F.sum(dec_val).over(mov).cast("double") / F.count("value").over(mov)).alias(
+            "moving_avg3"
+        ),
+        F.count("*").over(rng).alias("n_in_id_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B26-B28 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b26_order_by",
+    oracle=f"""
+    WITH agg AS (
+      SELECT n_name,
+             NULLIF(COUNT(c_custkey), 0) AS n_cust,
+             {o_dsum('c_acctbal')}       AS total_bal
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, n_cust, total_bal,
+           ROW_NUMBER() OVER (ORDER BY n_cust DESC NULLS LAST, total_bal ASC NULLS FIRST,
+                              n_name) AS sort_pos
+    FROM agg
+    """,
+)
+def b26_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: multi-key ORDER BY with explicit NULLS FIRST/LAST.
+
+    The hash compare is order-insensitive, so the sort position is
+    materialized as a column — wrong ordering becomes wrong values.
+    (Global window over an already-aggregated 25-row relation; fine.)
+    """
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    agg = (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.nullif(F.count("c_custkey"), F.lit(0)).alias("n_cust"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+    order = [
+        F.col("n_cust").desc_nulls_last(),
+        F.col("total_bal").asc_nulls_first(),
+        F.col("n_name"),
+    ]
+    w = W.orderBy(*order)
+    return agg.select(
+        "n_name", "n_cust", "total_bal", F.row_number().over(w).alias("sort_pos")
+    ).orderBy(*order)
+
+
+@register(
+    "b27_top_k",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def b27_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: global top-k — plans as TakeOrderedAndProject (per-partition
+    heap + driver merge, no global sort shuffle). Unique-key tiebreak
+    makes the cut deterministic."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "b28_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) ranked
+    WHERE rn <= 3
+    """,
+)
+def b28_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: per-group top-k via ranking window + filter (single shuffle
+    on the group key; AQE handles skewed groups)."""
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B29-B31 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b29_union",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT c_nationkey AS k, 'c' AS src FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k, 's' AS src FROM supplier) u
+    """,
+)
+def b29_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29a: UNION ALL (bag semantics, no shuffle)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"), F.lit("c").alias("src")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"), F.lit("s").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "b29_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def b29_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29b: UNION (set semantics = union-all + distinct shuffle)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "b30_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def b30_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: INTERSECT (distinct) — nations having both customers and
+    suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@register(
+    "b31_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def b31_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: EXCEPT (distinct) — nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)

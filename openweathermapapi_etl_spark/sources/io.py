@@ -1,0 +1,74 @@
+"""Readers/writers: B1 parquet scan, B2 schema'd JSON scan, B3 CSV scan,
+B4 parquet sink (append/overwrite), B5 JDBC (optional).
+
+Scale notes
+-----------
+- Parquet reads honor ``spark.sql.files.maxPartitionBytes`` for split
+  sizing; filters/projections push into the scan (verify via
+  ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+- Writes support ``partition_by`` so big fact tables lay out as
+  hive-partitioned directories → partition pruning on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """B1 — columnar scan with pushdown/pruning (Catalyst-native)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """B2 — JSONL scan with an explicit schema.
+
+    Mirrors the reference's ``response.json()`` decode
+    (/root/reference/dags/weather-etl.py:122) but schema-first: fields
+    missing from a document surface as NULL instead of KeyError.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """B3 — CSV scan, explicit schema (inference is banned in prod paths)."""
+    return spark.read.schema(schema).csv(path, header=header, sep=sep)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """B4 — parquet sink, append or overwrite, optionally hive-partitioned."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options: str
+) -> None:
+    """B5 — JDBC sink (the reference's literal Postgres sink,
+    /root/reference/dags/weather-etl.py:112-114,134-140 — but batched
+    and parallel instead of row-at-a-time INSERTs).
+
+    Off the correctness path: raises a clear error when no JDBC driver
+    jar is on the classpath (none ships in this image).
+    """
+    try:
+        df.write.mode(mode).options(**options).jdbc(url=url, table=table)
+    except Exception as exc:  # pragma: no cover - no driver in image
+        raise RuntimeError(
+            "JDBC sink unavailable (no driver jar on classpath); "
+            "provide spark.jars with a JDBC driver to enable B5"
+        ) from exc
