@@ -1,0 +1,191 @@
+"""C1/C2 — deduplication family for training-data pipelines:
+
+- exact dedup (content-hash groupBy)
+- MinHash signatures + LSH banding (near-dup candidates)
+- SimHash (bit-majority fingerprint)
+- n-gram Jaccard verification (blocked pairwise)
+
+Scale design
+------------
+Exact dedup is one hash-partitioned groupBy on the content hash —
+the canonical 100 TB dedup shape (shuffle keyed on a 128-bit hash is
+skew-free by construction). MinHash/LSH replaces the quadratic
+all-pairs problem with: per-doc signature (one scan, no shuffle) →
+explode to (band, banded-signature) keys → groupBy band bucket →
+pairs only within buckets. SimHash is a single groupBy over exploded
+tokens. Jaccard verification only ever runs on candidate pairs, never
+the cross product.
+
+All checked variants use the portable :func:`~.text.char_fold_hash`
+so DuckDB oracles reproduce them bit-for-bit; pass ``portable=False``
+for the xxhash64 production flavor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_P, char_fold_hash, fast_hash, tokens, word_shingles
+
+# Affine universal-hash family for MinHash: h_j(x) = (A_j * x + B_j) mod P.
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    return [(2 * j + 3, 97 * j + 13) for j in range(k)]
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """C1: group by content hash; keep the smallest id as canonical.
+
+    Returns (content_hash, keep_id, n_copies). Downstream keeps rows
+    whose id is in keep_id (a broadcast or semi join at scale).
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_hashes(text_col: Column, n: int = 3, portable: bool = True) -> Column:
+    """Array of hashed word n-gram shingles for one document."""
+    sh = word_shingles(tokens(text_col), n)
+    hash_fn = char_fold_hash if portable else fast_hash
+    return F.transform(sh, hash_fn)
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """C2a: k-wide MinHash signature per document.
+
+    One projection per row — no shuffle, no Python. Documents with
+    fewer than ``n`` tokens get NULL signature components.
+    """
+    hs = shingle_hashes(F.col(text_col), n, portable)
+
+    def affine_min(a: int, b: int):
+        # Closure factory — F.transform requires a 1-/2-arg lambda, so
+        # the constants can't ride along as default args.
+        return F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P))
+        )
+
+    cols = [F.col(id_col)]
+    for j, (a, b) in enumerate(_affine_params(k)):
+        cols.append(affine_min(a, b).alias(f"m{j}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 8, band_size: int = 2
+) -> DataFrame:
+    """C2b: LSH banding — docs sharing any band of their signature
+    become a candidate pair (id_a < id_b).
+
+    Plan shape: explode each doc into k/band_size (band_no, band_key)
+    rows → self-equi-join on the band key → distinct pairs. The join
+    is an equi-join on a hash key: shuffle-partitioned, never a cross
+    product. Hot buckets (boilerplate docs) are the skew risk at
+    100 TB → AQE skew-join or a bucket-size cap upstream.
+    """
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{b * band_size + i}") for i in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(
+            F.col(id_col),
+            F.col("band.band_no").alias("band_no"),
+            F.col("band.band_key").alias("band_key"),
+        )
+        # A NULL component means "too short to shingle" — not joinable.
+        .filter(~F.col("band_key").contains("null"))
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str, portable: bool = True) -> DataFrame:
+    """C2c: 16-bit SimHash — per-bit majority vote over token hashes.
+
+    Plan: explode tokens → hash → one groupBy(id) with 16 conditional
+    sums → recombine bits. A single shuffle keyed on the doc id.
+    (Production flavor: 64 bits over xxhash64, same plan.)
+    """
+    hash_fn = char_fold_hash if portable else fast_hash
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk"))
+        .filter(F.col("tk") != "")
+        .select(F.col(id_col), hash_fn(F.col("tk")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+) -> DataFrame:
+    """C2d: exact n-gram Jaccard within blocking groups (id_a < id_b).
+
+    Blocking bounds the pair count; at scale the block is the LSH
+    bucket from :func:`lsh_candidate_pairs` rather than metadata.
+    Set semantics: shingle arrays are deduplicated before intersecting.
+    """
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+    docs = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

@@ -1,0 +1,121 @@
+"""C4 — text analysis for training-data pipelines: tokenization, token
+stats, language-ID heuristic, quality scoring, fingerprinting.
+
+Everything is built-in column expressions (JVM, codegen) — no Python
+in the row path, so these run at full scan speed over 100 TB of text.
+
+Two hash families:
+
+- :func:`char_fold_hash` — portable polynomial hash (31-base fold mod
+  1e9+7) that DuckDB can reproduce exactly → used by every
+  oracle-checked query (dedup/minhash/simhash twins).
+- ``xxhash64`` — Spark's built-in 64-bit hash; the production default
+  (one JVM intrinsic per value vs a per-char fold). Engine APIs take
+  a ``portable`` flag to choose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus of the portable polynomial hash (fits products in int64:
+#: 31 * (P-1) + 127 < 2^35).
+HASH_P = 1_000_000_007
+
+#: Tiny per-language stopword lists for the language-ID heuristic.
+#: Deliberately small and static so the oracle can inline them.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization. The oracle twin is string_split, so the
+    checked queries use a literal separator; regex splitting
+    (``F.split(col, r"\\s+")``) is the production spelling."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def char_fold_hash(col: Column) -> Column:
+    """Portable polynomial string hash: fold ``acc*31 + ascii(ch) mod P``
+    over characters. DuckDB twin:
+    ``list_reduce(list_transform(string_split(s,''), c->ascii(c)),
+    (a,b)->(a*31+b)%P)`` (verified bit-equal)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(HASH_P),
+    )
+
+
+def fast_hash(col: Column) -> Column:
+    """Production 64-bit hash (JVM intrinsic, not oracle-reproducible)."""
+    return F.xxhash64(col)
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-grams as ' '-joined strings (empty array when < n tokens).
+
+    Guarded: ``F.sequence(1, 0)`` would generate a *descending* [1, 0]
+    (then an out-of-range element_at), so short docs short-circuit to
+    an empty array — matching DuckDB's empty generate_series.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(tok: Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda x: F.array_contains(arr, x)))
+
+
+def lang_id(tok: Column) -> Column:
+    """Heuristic language-ID: most stopword hits wins; ties resolve in
+    fixed language order (en, de, fr, es, zh); zero hits → 'und'."""
+    hits = {lang: stopword_hits(tok, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the CASE chain in reverse so earlier languages win ties.
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(
+            (hits[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column, tok: Column) -> Column:
+    """[0,1] quality heuristic: length band + mean token length band +
+    stopword presence. Pure integer/boolean arithmetic → exact parity."""
+    n_tok = F.size(tok)
+    mean_len = (F.length(text) - (n_tok - 1)) / n_tok  # chars per token
+    has_stop = stopword_hits(tok, STOPWORDS["en"]) > 0
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(0.4)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(has_stop, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of lowercased, space-normalized text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Numeric fingerprint: portable rolling hash of the normalized text
+    (cheap 60-bit-ish identity for bucketing/sampling)."""
+    return char_fold_hash(F.lower(F.trim(text)))

@@ -1,1 +1,419 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier C — LLM-training-data-pipeline operators (SURVEY.md §2.3),
+each hash-checked against a DuckDB oracle wherever the algorithm is
+SQL-expressible (the portable char-fold hash makes MinHash/SimHash
+fully reproducible in SQL — see operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _affine_params,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash16,
+)
+from ..operators.multimodal import fake_decode_metadata, to_binary_payload
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    fingerprint_rolling,
+    lang_id,
+    quality_score,
+    stopword_hits,
+    tokens,
+)
+from .registry import register
+from .util import t
+
+# DuckDB spellings of the shared primitives -------------------------------
+
+_O_HASH = (
+    "list_reduce(list_transform(string_split({s}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+_O_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN "
+    "list_transform(generate_series(1, len(tk) - 2), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) "
+    "ELSE [] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: content-hash dedup — one skew-free shuffle keyed on md5."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C2 — MinHash signatures, LSH candidates, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle(k: int = 8) -> str:
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 1000000007)) AS m{j}"
+        for j, (a, b) in enumerate(_affine_params(k))
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, {_O_SHINGLES} AS shingles FROM toks),
+    hashed AS (SELECT doc_id,
+                      list_transform(shingles, s -> {_O_HASH.format(s='s')}) AS hs
+               FROM sh)
+    SELECT doc_id,
+           {mins}
+    FROM hashed
+    """
+
+
+@register("c02_minhash_signatures", oracle=_minhash_oracle())
+def c02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2a: 8-wide MinHash signature per document — projection-only
+    (no shuffle), portable hash family so the SQL oracle is bit-exact."""
+    return minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+
+
+def _lsh_oracle(k: int = 8, band_size: int = 2) -> str:
+    params = _affine_params(k)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 1000000007)) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    n_bands = k // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_no, "
+        "CAST(m{i0} AS VARCHAR) || '_' || CAST(m{i1} AS VARCHAR) AS band_key "
+        "FROM sigs WHERE m{i0} IS NOT NULL AND m{i1} IS NOT NULL".format(
+            b=b, i0=b * band_size, i1=b * band_size + 1
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, {_O_SHINGLES} AS shingles FROM toks),
+    hashed AS (SELECT doc_id,
+                      list_transform(shingles, s -> {_O_HASH.format(s='s')}) AS hs
+               FROM sh),
+    sigs AS (SELECT doc_id, {mins} FROM hashed),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register("c02_lsh_candidates", oracle=_lsh_oracle())
+def c02_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2b: LSH banding (4 bands x 2 rows) → near-dup candidate pairs.
+    Explode-to-bands + equi-join on band key: bounded by bucket sizes,
+    never a cross product."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    hashed AS (
+      SELECT doc_id, {_O_HASH.format(s='tk')} AS h FROM tok WHERE tk <> ''),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("c02_simhash", oracle=_simhash_oracle())
+def c02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2c: 16-bit SimHash — explode tokens, one groupBy(doc) with 16
+    conditional sums (single shuffle on doc_id)."""
+    return simhash16(t(spark, sf_dir, "documents"), "text", "doc_id", portable=True)
+
+
+@register(
+    "c02_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source, tk FROM
+        (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+         FROM documents WHERE doc_id % 3 = 0)),
+    sh AS (SELECT doc_id, lang, source,
+                  list_distinct({_O_SHINGLES}) AS s
+           FROM docs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS INTEGER)
+             AS n_common,
+           CAST(len(a.s) + len(b.s)
+                - len(list_filter(a.s, x -> list_contains(b.s, x))) AS INTEGER)
+             AS n_union,
+           CASE WHEN len(a.s) + len(b.s)
+                     - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+                THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                     / (len(a.s) + len(b.s)
+                        - len(list_filter(a.s, x -> list_contains(b.s, x))))
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def c02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2d: exact 3-gram Jaccard within (lang, source) blocks on a 1/3
+    sample — the verification stage that LSH candidates feed at scale."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return jaccard_pairs(d, "text", "doc_id", block_cols=["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_cosine_topk",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(
+               list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+               / (nq.nrm * nc.nrm) AS cos_sim
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) r
+    WHERE rank <= 5
+    """,
+)
+def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: exact cosine top-5 neighbors for every 50th vector.
+    Broadcast queries x corpus scan; the sequential double fold makes
+    cos_sim bit-identical to the oracle's list_reduce formulation."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(q, e, k=5)
+
+
+@register("c03_cosine_topk_lsh")
+def c03_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b (scale path, rows-only): hyperplane-LSH-bucketed ANN —
+    same output shape as c03_cosine_topk with recall < 1; deterministic
+    given the fixed seed, but the seeded projections are not
+    SQL-expressible, so the driver records the rows-only check."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_lsh(q, e, k=5, dim=64, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# C4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_token_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, n_chars, text,
+                         string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(tk) AS INTEGER)                       AS n_tokens,
+           CAST(length(text) AS INTEGER)                  AS n_chars_text,
+           CAST(len(list_distinct(tk)) AS INTEGER)        AS n_unique,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+           CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) AS mean_tok_len
+    FROM toks
+    """,
+)
+def c04_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4a: token counting + type-token ratio + mean token length —
+    pure expressions at scan speed."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.size(F.array_distinct(tk)).alias("n_unique"),
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias("ttr"),
+        ((F.length("text") - (F.size(tk) - 1)).cast("double") / F.size(tk)).alias(
+            "mean_tok_len"
+        ),
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n           ".join(
+        "len(list_filter(tk, x -> x IN ({words}))) AS hits_{lang}".format(
+            lang=lang, words=", ".join(f"'{w}'" for w in ws)
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN hits_{la} = {best} AND {best} > 0 THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    hits AS (SELECT doc_id, lang,
+           {hit_cols}
+    FROM toks)
+    SELECT doc_id, lang AS lang_meta, {case} AS lang_pred,
+           CAST(hits_en AS INTEGER) AS hits_en
+    FROM hits
+    """
+
+
+@register("c04_langid", oracle=_langid_oracle())
+def c04_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4b: stopword-vote language ID (ties resolve in fixed language
+    order). Note the corpus text is synthetic English-ish word soup, so
+    the prediction mostly disagrees with the metadata lang — the check
+    is heuristic reproducibility, not accuracy."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        lang_id(tk).alias("lang_pred"),
+        stopword_hits(tk, STOPWORDS["en"]).alias("hits_en"),
+    )
+
+
+@register(
+    "c04_quality_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                        BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN len(list_filter(tk, x -> x IN ('the','and','of','to','a'))) > 0
+                   THEN 0.2 ELSE 0.0 END) AS quality
+    FROM toks
+    """,
+)
+def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4c: quality scoring — length band + token-length band +
+    stopword presence (the filter stage of a data pipeline)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text"), tokens("text")).alias("quality")
+    )
+
+
+@register(
+    "c04_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           {_O_HASH.format(s='lower(trim(text))')} AS fp_roll
+    FROM documents
+    """,
+)
+def c04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4d: document fingerprinting — md5 content id + portable rolling
+    hash (numeric id for bucketing/sampling)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_rolling(F.col("text")).alias("fp_roll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c05_binary_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text))                        AS payload_b64,
+           CAST(octet_length(encode(text)) AS BIGINT)  AS n_bytes,
+           'text/plain'                                AS mime
+    FROM documents
+    """,
+)
+def c05_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a: opaque binary payload + typed metadata struct carried
+    through a transform — the parquet BinaryType plumbing."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id")
+    return wrapped.select(
+        "doc_id",
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip to
+        # the canonical unchunked form DuckDB produces.
+        F.regexp_replace(F.base64("payload"), r"[\r\n]", "").alias("payload_b64"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@register(
+    "c05_decode_mapinpandas",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT)          AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER)   AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def c05_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5b: the decode stage via mapInPandas (Arrow batch iterator) —
+    real codec stubbed (none in this container; see
+    operators/multimodal.py), deterministic stand-in proves the batch
+    shape, schema, and round-trip byte counts."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    return fake_decode_metadata(wrapped, "id")
