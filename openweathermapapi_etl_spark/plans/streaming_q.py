@@ -1,1 +1,271 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming operators (SURVEY.md §2.2 B38-B44), driven to completion
+inside each callable (availableNow trigger + memory sink) so the
+driver's batch-style compare still applies. Where the semantics are
+batch-expressible, the DuckDB oracle hash-checks the result; the
+watermark late-drop test is inherently arrival-order-dependent →
+rows-only.
+
+All event-time oracles start from the µs-truncated events CTE
+(see catalog.load_table on nanosecond parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.merge import VersionedParquetTable
+from ..schemas import EVENTS
+from ..session import prep
+from ..streaming.jobs import replay_files_stream, run_to_memory, split_events_files
+from .registry import register
+from .util import DEC, dsum, o_dsum
+
+_EV = """(SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                user_id, event_type, value, props FROM events)"""
+
+_FMT_S = "%Y-%m-%d %H:%M:%S"
+_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+_SPARK_FMT_S = "yyyy-MM-dd HH:mm:ss"
+_SPARK_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, tag: str, **kw) -> str:
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    split_events_files(spark, sf_dir, out, **kw)
+    return out
+
+
+@register(
+    "b38_stream_microbatch_count",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS total
+    FROM {_EV} ev GROUP BY event_type
+    """,
+)
+def b38_stream_microbatch_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: micro-batch trigger — events replayed as 2 file-batches
+    (the reference's cron cadence, test-mode availableNow trigger),
+    complete-mode aggregation across batches."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b38")
+    stream = replay_files_stream(spark, d, EVENTS)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum("value", "total")
+    )
+    return run_to_memory(agg, "b38_out", "complete")
+
+
+@register("b39_watermark_late_drop")
+def b39_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 (rows-only — arrival-order semantics have no batch oracle):
+    newer half of events arrives first, advancing the 10-minute
+    watermark; the older half arrives late and the 5-minute windows it
+    falls into are already finalized → dropped. Output = finalized
+    windows from on-time data only."""
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    d = _replay_dir(
+        spark,
+        sf_dir,
+        "b39",
+        predicates=[F.col("ts") >= F.lit(mid_ts), F.col("ts") < F.lit(mid_ts)],
+    )
+    stream = replay_files_stream(spark, d, EVENTS)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", _SPARK_FMT_S).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(agg, "b39_out", "append")
+
+
+@register(
+    "b40_tumbling_window",
+    oracle=f"""
+    SELECT strftime(make_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 * 1000000),
+                    '{_FMT_S}') AS window_start,
+           event_type, COUNT(*) AS n, {o_dsum('value')} AS total
+    FROM {_EV} ev GROUP BY 1, 2
+    """,
+)
+def b40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40: 5-minute tumbling event-time windows over the replayed
+    stream (epoch-aligned starts — the oracle floors epoch seconds)."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b40")
+    stream = replay_files_stream(spark, d, EVENTS)
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select(
+            F.date_format("window.start", _SPARK_FMT_S).alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory(agg, "b40_out", "complete")
+
+
+@register(
+    "b41_sliding_window",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV} e),
+    assigned AS (
+      SELECT (floor(epoch(ts))::BIGINT // 300) * 300       AS s, event_type, value FROM ev
+      UNION ALL
+      SELECT (floor(epoch(ts))::BIGINT // 300) * 300 - 300 AS s, event_type, value FROM ev)
+    SELECT strftime(make_timestamp(s * 1000000), '{_FMT_S}') AS window_start,
+           event_type, COUNT(*) AS n, {o_dsum('value')} AS total
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def b41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: 10-minute windows sliding every 5 — each event lands in two
+    windows (the oracle materializes both assignments explicitly)."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b41")
+    stream = replay_files_stream(spark, d, EVENTS)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select(
+            F.date_format("window.start", _SPARK_FMT_S).alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory(agg, "b41_out", "complete")
+
+
+@register(
+    "b42_session_window",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, ts FROM {_EV} e),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '{_FMT_US}')                       AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_FMT_US}')  AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def b42_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: session windows (30-minute gap) per user — Spark's
+    SessionWindow node; the oracle is the classic gaps-and-islands
+    formulation. A session closes when the next event is >= gap away
+    (window end = last event + gap, exclusive). Batch-mode here; the
+    streaming flavor adds withWatermark + append mode on the same
+    operator (exercised in tests/test_streaming.py)."""
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _SPARK_FMT_US).alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", _SPARK_FMT_US).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "b43_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def b43_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: streaming dropDuplicates on keys across micro-batches (the
+    A10/A11 dedup generalized: state store carries seen keys between
+    batches)."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b43")
+    stream = replay_files_stream(spark, d, EVENTS)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(deduped, "b43_out", "append")
+
+
+@register(
+    "b44_foreachbatch_upsert",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV} e),
+    tagged AS (
+      SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 1) // 2 FROM ev)
+                     THEN 0 ELSE 1 END AS batch
+      FROM ev),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY batch DESC, ts DESC NULLS LAST,
+                        event_id DESC NULLS LAST, value DESC NULLS LAST,
+                        props DESC NULLS LAST) AS rn
+      FROM tagged)
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{_FMT_US}') AS ts_s, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def b44_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: stateful upsert sink — foreachBatch calls M1 per micro-batch
+    (the reference's staging→merge per cron run, B44/SURVEY §3.1).
+    Keyed on (user_id, event_type), last write wins: later batch beats
+    earlier batch (arrival order), event time desc within a batch. The
+    oracle replays the same precedence as one window."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b44")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_b44_table")
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(
+            spark,
+            batch_df,
+            keys=["user_id", "event_type"],
+            order_col="ts",
+        )
+
+    stream = replay_files_stream(spark, d, EVENTS)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", _SPARK_FMT_US).alias("ts_s"),
+        "value",
+    )

@@ -1,0 +1,89 @@
+"""Streaming job helpers: deterministic file-replay of the events table
+as a stream (B38-B44 test substrate).
+
+``split_events_files`` writes the events table as N parquet files with
+strictly increasing mtimes; ``replay_files_stream`` reads them back
+with ``maxFilesPerTrigger=1`` so each file is one micro-batch in a
+deterministic order — the batch-replay equivalent of the reference's
+sequential cron runs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def split_events_files(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 2,
+    predicates: list | None = None,
+) -> DataFrame:
+    """Write events as ``n_files`` parquet files with increasing mtimes.
+
+    Default split: contiguous ``event_id`` ranges. Pass ``predicates``
+    (one boolean Column per file) for custom arrival orders — e.g. the
+    watermark test ships *newer* events first so the second batch is
+    late. Returns the batch DataFrame."""
+    events = load_table(spark, sf_dir, "events")
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    step = (max_id + 1 + n_files - 1) // n_files
+    if predicates is not None:
+        n_files = len(predicates)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_files):
+        if predicates is not None:
+            part = events.filter(predicates[i])
+        else:
+            part = events.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{i:04d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # Strictly increasing mtimes → deterministic file→batch order.
+        ts = time.time() - 1000 + i
+        os.utime(dst, (ts, ts))
+    return events
+
+
+def replay_files_stream(
+    spark: SparkSession, dir_path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over the split files, one file per micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the result table (availableNow → processes all input then
+    stops — the test-mode trigger for the reference's cron cadence)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,119 @@
+"""A1 — the HTTP micro-batch source, Spark-first.
+
+Spark has no built-in HTTP DataSource; at the reference's scale
+(12 requests / 5 min, /root/reference/dags/weather-etl.py:101-119) a
+custom DataSourceV2 is over-engineering. Instead: a ``rate`` stream is
+the clock, and each tick's ``foreachBatch`` callback fetches the city
+list driver-side, parallelizes the *processing* of responses as a
+DataFrame, and merges via M1 — preserving the reference's semantics:
+
+- batch atomicity: any failed fetch aborts the whole batch before the
+  merge, nothing is written (ref :119 raises → :143 commit never runs);
+- missing API key is a hard failure at start (A14, ref :106-108);
+- idempotent merge per batch (A11).
+
+The fetcher is injectable (tests use canned JSON documents; production
+uses ``requests`` if present). Scale note: if the city list were huge,
+the fetch itself would move executor-side via ``mapInPandas`` over a
+cities DataFrame — the downstream plan is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.merge import VersionedParquetTable
+from ..pipeline.weather import transform_raw
+from ..schemas import WEATHER_KEYS, WEATHER_RAW
+
+Fetcher = Callable[[str], dict]
+
+#: The reference's city list (/root/reference/dags/weather-etl.py:101-103).
+DEFAULT_CITIES = [
+    "Papendrecht", "Dordrecht", "Sliedrecht", "Alblasserdam", "Zwijndrecht",
+    "Hendrik-Ido-Ambacht", "Ridderkerk", "Rotterdam", "Barendrecht",
+    "Amsterdam", "Breda,nl", "Tilburg",
+]
+
+
+def make_requests_fetcher(api_key: str | None = None) -> Fetcher:
+    """Production fetcher: GET /data/2.5/weather?q={city}&units=metric.
+
+    Hard failure on a missing key, like the reference (A14, :106-108).
+    """
+    key = api_key or os.getenv("OPENWEATHERMAP_API_KEY")
+    if not key:
+        raise RuntimeError("Missing OPENWEATHERMAP_API_KEY environment variable")
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("requests not installed; inject a fetcher") from exc
+
+    def fetch(city: str) -> dict:
+        resp = requests.get(
+            "https://api.openweathermap.org/data/2.5/weather",
+            params={"q": city, "appid": key, "units": "metric"},
+            timeout=30,
+        )
+        resp.raise_for_status()  # failed city aborts the batch (A7)
+        return resp.json()
+
+    return fetch
+
+
+def make_canned_fetcher(docs_by_city: dict[str, list[dict]]) -> Fetcher:
+    """Test fetcher: pops pre-recorded documents per city query."""
+
+    def fetch(city: str) -> dict:
+        queue = docs_by_city.get(city)
+        if not queue:
+            raise RuntimeError(f"no canned response left for {city!r}")
+        return queue.pop(0)
+
+    return fetch
+
+
+def http_microbatch_query(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    table_root: str,
+    cities: list[str] | None = None,
+    interval: str = "5 minutes",
+    raw_log_root: str | None = None,
+) -> StreamingQuery:
+    """Start the streaming ETL: rate-clock → fetch → transform → M1.
+
+    ``raw_log_root``: optional bronze zone — append the raw documents
+    as JSON per batch (A16, more useful than the reference's log lines).
+    """
+    city_list = cities or DEFAULT_CITIES
+    table = VersionedParquetTable(table_root)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # One fetch per city, driver-side; any failure aborts the batch
+        # before anything is written (all-or-nothing, A7).
+        docs = [fetcher(city) for city in city_list]
+        raw = spark.createDataFrame(
+            spark.sparkContext.parallelize([json.dumps(d) for d in docs]),
+            schema="string",
+        )
+        raw_parsed = spark.read.schema(WEATHER_RAW).json(raw.rdd.map(lambda r: r[0]))
+        if raw_log_root:
+            raw.write.mode("append").text(
+                os.path.join(raw_log_root, f"batch={batch_id}")
+            )
+        staged = transform_raw(raw_parsed).distinct()  # A10
+        table.upsert(spark, staged, keys=WEATHER_KEYS)  # A11/M1
+
+    clock = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    return (
+        clock.writeStream.trigger(processingTime=interval)
+        .outputMode("append")
+        .foreachBatch(process_batch)
+        .start()
+    )
