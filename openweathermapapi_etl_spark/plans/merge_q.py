@@ -117,7 +117,7 @@ def m1_versioned_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFram
     hash match *proves* idempotence (A11 fine point) plus atomic
     version-swap reads."""
     base, updates = _base_and_updates(spark, sf_dir)
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_m1_table")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_m1_table_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     table = VersionedParquetTable(root)
     table.upsert(spark, base, keys=["o_orderkey"])

@@ -95,7 +95,7 @@ def b04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The write is the operator under test; reading it back makes the
     sink hash-checkable against the source table.
     """
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_b04")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b04_{os.getpid()}")
     df = t(spark, sf_dir, "nation")
     write_parquet(df, out, mode="overwrite")
     return read_parquet(spark, out)

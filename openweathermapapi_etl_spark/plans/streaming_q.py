@@ -36,7 +36,7 @@ _SPARK_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, tag: str, **kw) -> str:
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}_{os.getpid()}")
     split_events_files(spark, sf_dir, out, **kw)
     return out
 
@@ -243,7 +243,7 @@ def b44_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same precedence as one window."""
     prep(spark)
     d = _replay_dir(spark, sf_dir, "b44")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_b44_table")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_b44_table_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     table = VersionedParquetTable(root)
 

@@ -89,7 +89,11 @@ def a10_weather_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the within-batch conflict pairs in the fixture are the real test.
     """
     prep_only(spark)
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_weather_table")
+    # Per-process path: concurrent harnesses (pytest + parity checker)
+    # must not share one upsert target.
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_weather_table_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     table = run_batch_pipeline(spark, WEATHER_JSONL, root)
     return table.read(spark).select(

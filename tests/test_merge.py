@@ -1,0 +1,86 @@
+"""M1 unit tests (SURVEY.md §5.2 item 3): new-key insert, existing-key
+update, same-key-conflict last-write-wins, idempotent re-run, atomic
+version swap."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from openweathermapapi_etl_spark.operators.merge import (
+    VersionedParquetTable,
+    dedup_last_write_wins,
+    keyed_upsert,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, ord=o, val=v) for k, o, v in rows],
+        schema="k string, ord int, val string",
+    )
+
+
+def test_insert_and_update(spark):
+    old = make_df(spark, [("a", 1, "old_a"), ("b", 1, "old_b")])
+    upd = make_df(spark, [("b", 2, "new_b"), ("c", 1, "new_c")])
+    out = keyed_upsert(old, upd, keys=["k"])
+    assert _rows(out) == {("a", 1, "old_a"), ("b", 2, "new_b"), ("c", 1, "new_c")}
+
+
+def test_conflict_last_write_wins_by_order_col(spark):
+    upd = make_df(spark, [("x", 1, "first"), ("x", 3, "last"), ("x", 2, "mid")])
+    out = dedup_last_write_wins(upd, keys=["k"], order_col="ord")
+    assert _rows(out) == {("x", 3, "last")}
+
+
+def test_conflict_deterministic_without_order_col(spark):
+    # No order col: greatest non-key tuple wins (ord column first).
+    upd = make_df(spark, [("x", 1, "zz"), ("x", 2, "aa")])
+    out = dedup_last_write_wins(upd, keys=["k"])
+    assert _rows(out) == {("x", 2, "aa")}
+
+
+def test_upsert_is_idempotent(spark):
+    old = make_df(spark, [("a", 1, "v1")])
+    upd = make_df(spark, [("a", 2, "v2"), ("b", 1, "v1")])
+    once = keyed_upsert(old, upd, keys=["k"])
+    twice = keyed_upsert(once, upd, keys=["k"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_versioned_table_atomic_swap(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    table = VersionedParquetTable(root)
+    assert not table.exists()
+
+    v1 = table.upsert(spark, make_df(spark, [("a", 1, "x")]), keys=["k"])
+    assert v1 == 1 and table.exists()
+    v2 = table.upsert(spark, make_df(spark, [("a", 2, "y"), ("b", 1, "z")]), keys=["k"])
+    assert v2 == 2
+    assert _rows(table.read(spark)) == {("a", 2, "y"), ("b", 1, "z")}
+    # Pointer file is the single commit point.
+    assert os.path.exists(os.path.join(root, "_VERSION"))
+
+
+def test_versioned_table_vacuum(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    table = VersionedParquetTable(root)
+    for i in range(4):
+        table.upsert(spark, make_df(spark, [("a", i, f"v{i}")]), keys=["k"])
+    dirs = [d for d in os.listdir(root) if d.startswith("v=")]
+    assert sorted(dirs) == ["v=3", "v=4"]  # retain current + previous
+    assert _rows(table.read(spark)) == {("a", 3, "v3")}
+
+
+def test_pk_uniqueness_by_construction(spark):
+    old = make_df(spark, [("a", 1, "x"), ("b", 1, "y")])
+    upd = make_df(spark, [("a", 2, "x2"), ("a", 3, "x3"), ("c", 1, "z")])
+    out = keyed_upsert(old, upd, keys=["k"])
+    counts = out.groupBy("k").count().filter("count > 1").collect()
+    assert counts == []

@@ -1,0 +1,107 @@
+"""Unit tests for the custom operators: as-of join edges, dedup family
+internals, similarity sanity, text heuristics, multimodal stub."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openweathermapapi_etl_spark.operators.asof import asof_join
+from openweathermapapi_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    simhash16,
+)
+from openweathermapapi_etl_spark.operators.multimodal import (
+    decode_image_real,
+    fake_decode_metadata,
+    to_binary_payload,
+)
+from openweathermapapi_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from openweathermapapi_etl_spark.operators.text import word_shingles
+
+
+def ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=ts(10)), Row(k=1, t=ts(30)), Row(k=2, t=ts(5))],
+        "k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, t=ts(10), v=1.0), Row(k=1, t=ts(20), v=2.0), Row(k=2, t=ts(9), v=9.0)],
+        "k int, t timestamp, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"])
+    got = {(r.k, r.t.minute, r["__asof_v"]) for r in out.collect()}
+    # equal ts matches (<=); no preceding right row → NULL
+    assert got == {(1, 10, 1.0), (1, 30, 2.0), (2, 5, None)}
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([Row(s="one two"), Row(s="a b c d")])
+    out = df.select(word_shingles(F.split("s", " "), 3).alias("sh")).collect()
+    assert out[0].sh == []
+    assert out[1].sh == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="same"), Row(id=2, t="same"), Row(id=3, t="other")]
+    )
+    out = {(r.keep_id, r.n_copies) for r in exact_dedup(df, "t", "id").collect()}
+    assert out == {(1, 2), (3, 1)}
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="the quick brown fox jumps"), Row(id=2, t="the quick brown fox jumps"),
+         Row(id=3, t="a completely different sentence here")]
+    )
+    sig = minhash_signature(df, "t", "id", k=8).collect()
+    by_id = {r.id: tuple(r)[1:] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="spark query engine for big data processing at scale"),
+         Row(id=2, t="spark query engine for big data processing at speed"),
+         Row(id=3, t="entirely unrelated words about cooking pasta dishes")]
+    )
+    sim = {r.id: r.simhash for r in simhash16(df, "t", "id").collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(sim[1], sim[2]) < hamming(sim[1], sim[3])
+
+
+def test_cosine_self_neighbor_rank1(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),  # duplicate of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df.filter("vec_id = 0"), df, k=2).collect()
+    first = [r for r in out if r.rank == 1][0]
+    assert first.neighbor_id == 1 and first.cos_sim == pytest.approx(1.0)
+
+
+def test_multimodal_stub_and_fake_decode(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"bytes")
+    df = spark.createDataFrame([Row(id=1, s="hello world")])
+    wrapped = to_binary_payload(df, "s", "id").select(F.col("id"), "payload")
+    out = fake_decode_metadata(wrapped, "id").collect()[0]
+    assert out.n_bytes == 11
+    assert out.width == 11 % 640 and out.height == (11 * 7) % 480

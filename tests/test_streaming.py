@@ -1,0 +1,68 @@
+"""Streaming-specific behaviors not covered by the oracle-checked
+queries: cross-batch dedup state, session windows with watermark in
+streaming mode, replay determinism."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from openweathermapapi_etl_spark.schemas import EVENTS
+from openweathermapapi_etl_spark.streaming.jobs import (
+    replay_files_stream,
+    run_to_memory,
+    split_events_files,
+)
+
+
+def test_replay_is_two_deterministic_batches(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "replay")
+    events = split_events_files(spark, sf_dir, out)
+    n_total = events.count()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files == ["0000.parquet", "0001.parquet"]
+
+    stream = replay_files_stream(spark, out, EVENTS)
+    got = run_to_memory(
+        stream.groupBy().agg(F.count("*").alias("n")), "t_replay", "complete"
+    ).collect()
+    assert got[0].n == n_total
+
+
+def test_streaming_dedup_state_spans_batches(spark, sf_dir, tmp_path):
+    """A key seen in batch 1 must be suppressed in batch 2 (state store
+    carries across micro-batches) — replay the SAME rows twice."""
+    out = str(tmp_path / "dup_replay")
+    events = split_events_files(
+        spark, sf_dir, out, predicates=[F.lit(True), F.lit(True)]
+    )
+    stream = replay_files_stream(spark, out, EVENTS)
+    deduped = run_to_memory(
+        stream.select("event_id").dropDuplicates(["event_id"]),
+        "t_dedup2",
+        "append",
+    )
+    assert deduped.count() == events.count()  # not 2x
+
+
+def test_session_window_streaming_append(spark, sf_dir, tmp_path):
+    """session_window + watermark in true streaming append mode runs and
+    emits only finalized sessions (a subset of the batch sessions)."""
+    out = str(tmp_path / "sess_replay")
+    split_events_files(spark, sf_dir, out)
+    stream = replay_files_stream(spark, out, EVENTS)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    streamed = run_to_memory(agg, "t_sess", "append")
+    from openweathermapapi_etl_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert 0 < streamed.count() <= batch.count()

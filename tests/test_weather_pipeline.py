@@ -1,0 +1,119 @@
+"""Weather-domain tests (SURVEY.md §5.2 items 3-4): gold-input →
+gold-output for the A3-A6 transform fine points, end-to-end pipeline
+idempotence, and the canned-fetcher streaming source."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+from openweathermapapi_etl_spark.pipeline.weather import (
+    run_batch_pipeline,
+    transform_raw,
+)
+from openweathermapapi_etl_spark.schemas import WEATHER_RAW
+from openweathermapapi_etl_spark.streaming.source import (
+    http_microbatch_query,
+    make_canned_fetcher,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "weather_raw.jsonl")
+
+
+def make_raw(spark, docs):
+    return spark.read.schema(WEATHER_RAW).json(
+        spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+    )
+
+
+DOC = {
+    "dt": 1_690_000_000,  # 2023-07-22T04:26:40Z
+    "timezone": 3600,
+    "name": "Rotterdam",
+    "weather": [
+        {"id": 500, "main": "Rain", "description": "light rain", "icon": "10d"},
+        {"id": 701, "main": "Mist", "description": "mist", "icon": "50d"},
+    ],
+    "main": {"temp": 18.5, "feels_like": 18.0, "humidity": 70},
+}
+
+
+def test_transform_naive_local_time(spark):
+    """A5+A6: stored Time is naive local wall-clock = UTC + offset
+    (ref weather-etl.py:126-128), not a zone conversion."""
+    row = transform_raw(make_raw(spark, [DOC])).collect()[0]
+    assert row.Time == datetime.datetime(2023, 7, 22, 5, 26, 40)  # UTC+1h
+    assert row.City_Name == "Rotterdam"
+    assert row.Temperature == 18.5
+
+
+def test_transform_negative_offset(spark):
+    doc = dict(DOC, timezone=-18000)
+    row = transform_raw(make_raw(spark, [doc])).collect()[0]
+    assert row.Time == datetime.datetime(2023, 7, 21, 23, 26, 40)  # UTC-5h
+
+
+def test_transform_multi_element_array_join_order(spark):
+    """A4: ', '-join in array order (ref weather-etl.py:130)."""
+    row = transform_raw(make_raw(spark, [DOC])).collect()[0]
+    assert row.Weather_Description == "light rain, mist"
+
+
+def test_transform_empty_array(spark):
+    doc = dict(DOC, weather=[])
+    row = transform_raw(make_raw(spark, [doc])).collect()[0]
+    assert row.Weather_Description == ""
+
+
+def test_transform_missing_field_is_null_not_crash(spark):
+    """Schema-first decode: a missing field is NULL (the reference's
+    dict access would KeyError — SURVEY.md §1.3)."""
+    doc = {k: v for k, v in DOC.items() if k != "main"}
+    row = transform_raw(make_raw(spark, [doc])).collect()[0]
+    assert row.Temperature is None
+
+
+def test_pipeline_e2e_idempotent_rerun(spark, tmp_path):
+    """§5.2 item 4: run the full pipeline twice → identical final table
+    (A11 idempotence)."""
+    t1 = run_batch_pipeline(spark, FIXTURE, str(tmp_path / "w1"))
+    first = {tuple(r) for r in t1.read(spark).collect()}
+    t2 = run_batch_pipeline(spark, FIXTURE, str(tmp_path / "w1"))
+    second = {tuple(r) for r in t2.read(spark).collect()}
+    assert first == second and len(first) > 0
+    # PK holds (B22 over the weather table).
+    dups = (
+        t2.read(spark).groupBy("Time", "City_Name").count().filter("count > 1")
+    ).collect()
+    assert dups == []
+
+
+def test_streaming_http_source_canned(spark, tmp_path):
+    """A1 via the rate-clock + injectable fetcher: one tick fetches all
+    cities, transforms, and merges; a second tick upserts over it."""
+    cities = ["CityA", "CityB"]
+    doc_a = dict(DOC, name="CityA")
+    doc_b = dict(DOC, name="CityB", main={"temp": 3.0, "feels_like": 1.0, "humidity": 50})
+    fetcher = make_canned_fetcher(
+        {"CityA": [doc_a, dict(doc_a, main={"temp": 21.0, "feels_like": 20.0, "humidity": 60})],
+         "CityB": [doc_b, dict(doc_b)]}
+    )
+    root = str(tmp_path / "weather_stream")
+    q = http_microbatch_query(
+        spark, fetcher, root, cities=cities, interval="1 seconds"
+    )
+    try:
+        table = VersionedParquetTable(root)
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and (table.current_version() or 0) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert (table.current_version() or 0) >= 2
+    rows = {(r.City_Name, r.Temperature) for r in table.read(spark).collect()}
+    # Same (dt, city) key across ticks → second fetch overwrote the first.
+    assert ("CityA", 21.0) in rows and ("CityB", 3.0) in rows
