@@ -4,8 +4,10 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() action) after a warmup
-of the session; time measured per query, wall-clock.
+Each query is executed to completion via the ``noop`` sink — a
+``count()`` action would let Catalyst prune every column and skip the
+actual computation for projection-only queries, under-reporting by
+10x+ — after a session warmup; time measured per query, wall-clock.
 """
 
 from __future__ import annotations
@@ -36,6 +38,13 @@ BENCH_QUERIES = [
     "b25_window_frames",
     "b27_top_k",
     "b28_topk_per_group",
+    # Training-data pipeline ops (Tier C) — first-class headline work.
+    "c01_exact_dedup",
+    "c02_minhash_signatures",
+    "c02_lsh_candidates",
+    "c03_cosine_topk_lsh",
+    "c03_cosine_topk_ivf",
+    "c04_token_stats",
 ]
 
 
@@ -44,15 +53,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
+    def force(df) -> None:
+        """Fully evaluate every output column (no column pruning)."""
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: JIT + codegen + file listing, not measured.
-    QUERIES["b01_parquet_scan"](spark, sf_dir).count()
+    force(QUERIES["b01_parquet_scan"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(

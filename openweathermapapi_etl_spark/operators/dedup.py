@@ -62,44 +62,72 @@ def minhash_signature(
 ) -> DataFrame:
     """C2a: k-wide MinHash signature per document.
 
-    One projection per row — no shuffle, no Python. Documents with
-    fewer than ``n`` tokens get NULL signature components.
+    Two stacked projections, no shuffle, no Python. The hashed-shingle
+    array is materialized in its own projection and the k affine mins
+    read *that column*: higher-order functions are interpreted (not
+    codegen'd, no common-subexpression elimination), so inlining the
+    shingle pipeline into each of the k components re-evaluates it k
+    times — measured 8x slower at sf0.1. Catalyst's CollapseProject
+    keeps the split because the alias is non-cheap and multiply
+    referenced. Documents with fewer than ``n`` tokens get NULL
+    signature components.
     """
-    hs = shingle_hashes(F.col(text_col), n, portable)
+    hashed = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n, portable).alias("_hs")
+    )
 
     def affine_min(a: int, b: int):
         # Closure factory — F.transform requires a 1-/2-arg lambda, so
         # the constants can't ride along as default args.
         return F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P))
+            F.transform(
+                F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)
+            )
         )
 
     cols = [F.col(id_col)]
     for j, (a, b) in enumerate(_affine_params(k)):
         cols.append(affine_min(a, b).alias(f"m{j}"))
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """C2b: LSH banding — docs sharing any band of their signature
     become a candidate pair (id_a < id_b).
 
     Plan shape: explode each doc into k/band_size (band_no, band_key)
-    rows → self-equi-join on the band key → distinct pairs. The join
-    is an equi-join on a hash key: shuffle-partitioned, never a cross
-    product. Hot buckets (boilerplate docs) are the skew risk at
-    100 TB → AQE skew-join or a bucket-size cap upstream.
+    rows → groupBy the band key → expand id pairs *inside* each bucket
+    → distinct pairs. One shuffle, and the signatures are computed
+    exactly once (a self-join formulation re-evaluates the whole
+    MinHash pipeline on both sides — measured 2x the cost — and
+    shuffles twice). Pair expansion per bucket is O(B^2) by nature of
+    LSH; hot buckets (boilerplate docs) are the skew risk at 100 TB —
+    pass ``max_bucket`` to drop pathological buckets (a doc shared by
+    that many near-dups is boilerplate; standard practice) or rely on
+    AQE skew handling.
     """
     n_bands = k // band_size
+
+    def band_key(b: int):
+        comps = [F.col(f"m{b * band_size + i}") for i in range(band_size)]
+        nonnull = comps[0].isNotNull()
+        for c in comps[1:]:
+            nonnull = nonnull & c.isNotNull()
+        # NULL component = "too short to shingle" → whole band NULL.
+        # (concat_ws alone silently *drops* NULLs, which would lump all
+        # short docs into one giant "" bucket.)
+        return F.when(nonnull, F.concat_ws("_", *[c.cast("string") for c in comps]))
+
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_no"),
-                F.concat_ws(
-                    "_", *[F.col(f"m{b * band_size + i}") for i in range(band_size)]
-                ).alias("band_key"),
+                F.lit(b).alias("band_no"), band_key(b).alias("band_key")
             )
             for b in range(n_bands)
         ]
@@ -111,22 +139,30 @@ def lsh_candidate_pairs(
             F.col("band.band_no").alias("band_no"),
             F.col("band.band_key").alias("band_key"),
         )
-        # A NULL component means "too short to shingle" — not joinable.
-        .filter(~F.col("band_key").contains("null"))
+        .filter(F.col("band_key").isNotNull())
     )
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

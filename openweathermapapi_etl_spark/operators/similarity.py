@@ -106,6 +106,117 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """C2e: embedding-cosine near-duplicate pairs — all (id_a, id_b)
+    with ``cosine >= threshold`` and ``id_a < id_b``.
+
+    ``n_planes=None`` is the exact path: broadcast self-join over the
+    ``id_a < id_b`` triangle (O(N^2) scoring — the verification stage,
+    oracle-checkable). At 100 TB you never run the exact path on the
+    full corpus: pass ``n_planes`` to pre-prune candidates to
+    same-hyperplane-bucket pairs (an equi-join on the bucket id, so
+    each bucket bounds its own candidate set; recall < 1 by design),
+    then this same exact scoring runs only on the surviving pairs.
+    Downstream dedup keeps ``min(id)`` per connected component (or,
+    cheaper and standard, drops every ``id_b`` — last-writer-loses).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes is not None:
+        planes = make_planes(dim, n_planes)
+        a = a.withColumn("bucket", hyperplane_bits(F.col("va"), planes))
+        b = b.withColumn("bucket", hyperplane_bits(F.col("vb"), planes))
+        pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = F.broadcast(a).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = 40,
+    query_mod: int = 50,
+) -> DataFrame:
+    """C3c: IVF (inverted-file) ANN — the standard scale path for
+    corpus-sized similarity search.
+
+    1. Coarse quantizer: centroids are the vectors with
+       ``id % centroid_mod == 0`` (a deterministic stand-in for k-means
+       so the whole operator stays SQL-oracle-expressible; swap in
+       trained centroids in production — the plan shape is identical).
+    2. Cell assignment: every vector joins the *broadcast* centroid set
+       and keeps its argmax-cosine centroid via ``max_by`` — a single
+       map-side-combinable groupBy, no window shuffle.
+    3. Probing: each query scores the same broadcast centroids and
+       probes its top-``nprobe`` cells.
+    4. Exact re-ranking only inside probed cells: candidates =
+       probe ⋈ assignment on centroid id (equi-join, bucket-bounded —
+       never the N^2 cross product), then fold-exact cosine + per-query
+       top-k.
+
+    Recall < 1 by design (a true neighbor may live in an unprobed
+    cell). Ties break on smaller centroid / neighbor id so the result
+    is deterministic and bit-matches the DuckDB oracle.
+    """
+    from pyspark.sql import Window as W
+
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored_cent = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent))
+        .select(
+            "vid",
+            "centroid_id",
+            cosine(F.col("v"), F.col("cv")).alias("cs"),
+        )
+    )
+    # argmax(cs), tie -> min centroid_id: max of (cs, -centroid_id).
+    assigned = scored_cent.groupBy("vid").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg"))
+        ).alias("centroid_id")
+    )
+    wp = W.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid_id"))
+    probes = (
+        scored_cent.filter(F.col("vid") % query_mod == 0)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "centroid_id")
+    )
+    # Each vector lives in exactly one cell and probe centroids are
+    # distinct per query, so (query_id, neighbor_id) pairs are unique.
+    cand = probes.join(assigned, on="centroid_id").filter(
+        F.col("vid") != F.col("query_id")
+    ).select("query_id", F.col("vid").alias("neighbor_id"))
+    q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

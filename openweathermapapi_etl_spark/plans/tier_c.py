@@ -18,7 +18,12 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.multimodal import fake_decode_metadata, to_binary_payload
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
 from ..operators.text import (
     STOPWORDS,
     fingerprint_md5,
@@ -193,6 +198,45 @@ def c02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, "text", "doc_id", block_cols=["lang", "source"])
 
 
+# DuckDB spelling of the fold-exact cosine (matches the Spark
+# zip_with/aggregate left-to-right double fold bit for bit).
+def _o_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+_O_NORMS = (
+    "SELECT vec_id, sqrt(list_reduce(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm "
+    "FROM embeddings"
+)
+
+
+@register(
+    "c02_embedding_neardup",
+    oracle=f"""
+    WITH norms AS ({_O_NORMS})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_o_dot('a.embedding', 'b.embedding')} / (na.nrm * nb.nrm) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE {_o_dot('a.embedding', 'b.embedding')} / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def c02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2e: embedding-cosine near-dup pairs (cosine >= 0.4, exact
+    verification path; at scale the same scoring runs on LSH-bucketed
+    candidates — see operators/similarity.py)."""
+    return embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # C3 — similarity search
 # ---------------------------------------------------------------------------
@@ -245,6 +289,69 @@ def c03_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(q, e, k=5, dim=64, n_planes=4)
+
+
+def _ivf_oracle(k: int = 5, nprobe: int = 2, cmod: int = 40, qmod: int = 50) -> str:
+    cos_vc = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    cos_qn = f"{_o_dot('q.embedding', 'n.embedding')} / (nq.nrm * nn.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored_cent AS (
+      SELECT v.vec_id AS vid, c.centroid_id, {cos_vc} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_cent) r WHERE rn = 1),
+    probes AS (
+      SELECT vid AS query_id, centroid_id FROM (
+        SELECT vid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_cent WHERE vid % {qmod} = 0) r WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, a.vid AS neighbor_id
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vid <> p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos_qn} AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings n ON n.vec_id = cand.neighbor_id
+      JOIN norms nq ON nq.vec_id = cand.query_id
+      JOIN norms nn ON nn.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) r
+    WHERE rank <= {k}
+    """
+
+
+@register("c03_cosine_topk_ivf", oracle=_ivf_oracle())
+def c03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3c: IVF ANN with a deterministic coarse quantizer (vectors with
+    id % 40 == 0 as centroids, nprobe=2) — fully hash-checked against a
+    DuckDB oracle because the quantizer is SQL-expressible. The scale
+    path: broadcast centroids, map-side argmax assignment, equi-join on
+    cell id — no cross product anywhere."""
+    return cosine_topk_ivf(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=2,
+        centroid_mod=40,
+        query_mod=50,
+    )
 
 
 # ---------------------------------------------------------------------------
