@@ -1,0 +1,52 @@
+"""Skew-mitigation operators: salted aggregation (and the pattern for
+salted joins).
+
+Why this exists: a ``groupBy(key)`` over 100 TB with a power-law key
+(one customer = 20% of rows) funnels the hot key's entire volume
+through one reducer. Spark's partial aggregation already combines
+map-side, which covers *aggregation* skew in most cases — but when the
+per-key state is wide (many distinct aggregates, collect-style aggs)
+or AQE skew handling is unavailable (it only splits *join* partitions,
+not aggregation partitions), explicit salting is the standard fix:
+
+stage 1: groupBy(key, salt)  — salt = hash(row) % n_salts spreads the
+         hot key over n_salts reducers; partials are small
+stage 2: groupBy(key)        — combine n_salts partial rows per key
+
+Decomposable aggregates only (sum/count/min/max — avg as sum+count).
+The rewrite is semantics-preserving, so its DuckDB oracle is the plain
+single-stage aggregation — which is exactly what makes it safely
+verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column],
+    n_salts: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-stage salted sum/count aggregation.
+
+    ``sums`` maps output alias → input column expression; each gets an
+    exact SUM (cast upstream if decimal parity is needed) plus an
+    overall ``n_rows`` count. ``salt_on`` picks the salt from a stable
+    row attribute (deterministic re-runs); default is a hash of all
+    non-key columns in ``sums``.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.concat_ws("|", *sums.values())
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(f"_s_{a}") for a, c in sums.items()],
+        F.count("*").alias("_n"),
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_s_{a}").alias(a) for a in sums],
+        F.sum("_n").alias("n_rows"),
+    )

@@ -14,9 +14,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_sum_count
 from ..sources import read_parquet, write_parquet
 from .registry import register
-from .util import DEC, davg, dsum, o_davg, o_dsum, t
+from .util import DEC, davg, dsum, o_davg, o_dsum, t, views
 
 # ---------------------------------------------------------------------------
 # Flagship (entry): TPC-H-Q3-shaped join + agg + sort + limit
@@ -968,3 +969,87 @@ def b31_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# B16/B20 extensions: exact percentiles, GROUPING SETS, salted skew agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           median(l_quantity)                  AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b16_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16b: exact interpolated percentiles / median per group.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` use the same
+    index formula p*(n-1) with linear interpolation — verified
+    bit-identical. Exact percentiles need the full sorted group; at
+    100 TB switch to `approx_percentile` (t-digest, mergeable
+    partial aggregation) — the B18 pattern."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.median("l_quantity").alias("med_qty"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus)   AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*)                  AS n,
+       {o_dsum('o_totalprice')}  AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("b20_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def b20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20c: explicit GROUPING SETS (the general form of rollup/cube).
+
+    The identical SQL text runs on both engines; Spark expands the sets
+    into one Expand node feeding a single hash aggregate — each input
+    row fans out once per set, partial aggregation still applies."""
+    views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "b16_salted_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {o_dsum('o_totalprice')} AS sum_price,
+           COUNT(*)                 AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def b16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16c: two-stage salted aggregation (operators/skew.py) — the
+    explicit skew-mitigation rewrite for power-law keys at 100 TB.
+    Semantics-preserving, so the oracle is the plain one-stage GROUP BY:
+    that equivalence is exactly what the hash check proves."""
+    o = t(spark, sf_dir, "orders")
+    out = salted_sum_count(
+        o,
+        ["o_orderpriority"],
+        {"sum_price": F.col("o_totalprice").cast(DEC)},
+        n_salts=16,
+        salt_on="o_orderkey",
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_rows",
+    )

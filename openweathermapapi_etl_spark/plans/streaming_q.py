@@ -269,3 +269,70 @@ def b44_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _SPARK_FMT_US).alias("ts_s"),
         "value",
     )
+
+
+@register(
+    "b50_stateful_running_agg",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM {_EV} ev GROUP BY user_id
+    """,
+)
+def b50_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: custom stateful streaming operator via applyInPandasWithState
+    — per-user running (count, max) carried in the state store across
+    micro-batches, one Arrow-batched emission per key per batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (custom session logic, decaying
+    counters, online sketches). The per-user count is strictly
+    increasing, so each user's *final* emission equals the full-batch
+    aggregate — which is exactly what the oracle checks. State is
+    hash-partitioned by key; at 100 TB the constraint is state-store
+    size per executor → add a timeout (GroupStateTimeout) to expire
+    idle keys.
+    """
+    import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b50")
+    stream = replay_files_stream(spark, d, EVENTS)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    def running_agg(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        running_agg,
+        out_schema,
+        "n BIGINT, mx DOUBLE",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(res, "b50_out", "update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
