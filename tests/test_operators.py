@@ -105,3 +105,54 @@ def test_multimodal_stub_and_fake_decode(spark):
     out = fake_decode_metadata(wrapped, "id").collect()[0]
     assert out.n_bytes == 11
     assert out.width == 11 % 640 and out.height == (11 * 7) % 480
+
+
+def test_lsh_short_docs_do_not_bucket_together(spark):
+    """Docs too short to shingle (<3 tokens) have NULL signature
+    components; the band key must be NULL (not joinable) — concat_ws
+    alone would silently drop the NULLs and lump every short doc into
+    one giant '' bucket (false candidate pairs + quadratic blowup)."""
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "yo"), (3, "a b c d e f"), (4, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signature(df, "text", "doc_id", k=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 4)}
+
+
+def test_lsh_max_bucket_drops_hot_buckets(spark):
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same text repeated here often") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signature(df, "text", "doc_id", k=8)
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == 10  # C(5,2)
+    assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=4).count() == 0
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(
+        [("a", i * 1.0) for i in range(100)] + [("b", 7.0)], ["k", "v"]
+    )
+    out = {
+        r.k: (r.sv, r.n_rows)
+        for r in salted_sum_count(
+            df, ["k"], {"sv": F.col("v")}, n_salts=8, salt_on="v"
+        ).collect()
+    }
+    assert out == {"a": (sum(range(100)) * 1.0, 100), "b": (7.0, 1)}
