@@ -1053,3 +1053,70 @@ def b16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "n_rows",
     )
+
+
+@register(
+    "b20_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20d: pivot (rows→columns). Explicit value list — without it
+    Spark runs an extra distinct-values job AND the output schema
+    becomes data-dependent, both wrong at 100 TB. A pivot cell with no
+    rows yields NULL where conditional COUNT gives 0 → coalesce."""
+    o = t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "b16_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM customer WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def b16_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16d: ordered string aggregation (LISTAGG/STRING_AGG) —
+    collect_list has no deterministic order across partitions, so
+    sort the collected array before joining (the portable spelling of
+    ORDER BY inside an aggregate)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("b12_correlated_scalar_subquery", oracle=_CORRELATED_SQL)
+def b12_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12b: correlated scalar subquery (orders at >2x their customer's
+    average) — identical SQL text on both engines. Catalyst
+    *decorrelates* it into an aggregate + join (no per-row re-execution
+    — the naive nested-loop interpretation would be O(rows²) at scale);
+    `.explain` shows one aggregate on o_custkey joined back to orders."""
+    views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
