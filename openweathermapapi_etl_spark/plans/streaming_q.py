@@ -336,3 +336,65 @@ def b50_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "b51_stream_stream_join",
+    oracle=f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           strftime(a.ts, '{_FMT_US}') AS click_ts,
+           strftime(b.ts, '{_FMT_US}') AS purchase_ts
+    FROM {_EV} a JOIN {_EV} b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def b51_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: stream-stream inner join — click→purchase attribution
+    within 30 minutes, both sides replayed as micro-batch streams.
+
+    The equi-key (user_id) makes it a state-store hash join; the time
+    bound is the residual condition. No watermark here so the result
+    is *exactly* the batch join regardless of arrival order (inner
+    joins buffer both sides); in production add
+    ``withWatermark`` on both sides so the time bound lets Spark evict
+    state — unbounded join state is the stream-stream scale hazard.
+    """
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b51")
+    clicks = (
+        replay_files_stream(spark, d, EVENTS)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts_t"),
+        )
+    )
+    purchases = (
+        replay_files_stream(spark, d, EVENTS)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts_t"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts_t") >= F.col("click_ts_t"))
+        & (
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts_t", _SPARK_FMT_US).alias("click_ts"),
+        F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
+    )
+    return run_to_memory(joined, "b51_out", "append")
