@@ -398,3 +398,33 @@ def b51_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
     )
     return run_to_memory(joined, "b51_out", "append")
+
+
+@register(
+    "b52_stream_static_join",
+    oracle=f"""
+    SELECT c.c_nationkey, e.event_type, COUNT(*) AS n, {o_dsum('e.value')} AS total
+    FROM {_EV} e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey, e.event_type
+    """,
+)
+def b52_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: stream-static join — the streaming side enriched against a
+    batch dimension table (re-read per micro-batch, so dimension
+    updates are picked up between batches). The static side is
+    broadcast-joined into each batch — no state store involved, which
+    is what makes stream-static the *cheap* join at scale vs B51's
+    stateful stream-stream join."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b52")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    stream = replay_files_stream(spark, d, EVENTS)
+    joined = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey
+    )
+    agg = joined.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n"), dsum("value", "total")
+    )
+    return run_to_memory(agg, "b52_out", "complete")

@@ -84,3 +84,46 @@ def test_pk_uniqueness_by_construction(spark):
     out = keyed_upsert(old, upd, keys=["k"])
     counts = out.groupBy("k").count().filter("count > 1").collect()
     assert counts == []
+
+
+# ---------------------------------------------------------------------------
+# Property-based: sequential upserts == single last-write-wins reduction
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["x", "y"]),
+    )
+    _batches = st.lists(st.lists(_row, max_size=4), min_size=1, max_size=3)
+
+    @given(batches=_batches)
+    @settings(max_examples=8, deadline=None)
+    def test_upsert_sequence_is_last_write_wins(spark, batches):
+        """Folding keyed_upsert over N batches must equal the one-shot
+        model: per key, the winning row of the LAST batch containing
+        that key, where within a batch the max (ord, val) wins — the
+        A11/ON CONFLICT semantics generalized (SURVEY.md §2.1)."""
+        state = make_df(spark, [])
+        model: dict[str, tuple] = {}
+        for batch in batches:
+            if not batch:
+                continue
+            state = keyed_upsert(
+                state, make_df(spark, batch), keys=["k"], order_col="ord"
+            )
+            for k in {r[0] for r in batch}:
+                winner = max(
+                    (r for r in batch if r[0] == k), key=lambda r: (r[1], r[2])
+                )
+                model[k] = winner
+        assert _rows(state) == set(model.values())
