@@ -124,3 +124,23 @@ def m1_versioned_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFram
     table.upsert(spark, updates, keys=["o_orderkey"])
     table.upsert(spark, updates, keys=["o_orderkey"])  # idempotent re-run
     return _present(table.read(spark))
+
+
+@register("m1_partitioned_upsert", oracle=M1_ORACLE)
+def m1_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 storage layer, partition-pruned flavor: the table is hive-
+    partitioned on o_orderstatus; the upsert merges and rewrites ONLY
+    touched partitions and hard-links the rest from the previous
+    version (operators/merge.py). The oracle is the same plain MERGE —
+    identical results prove pruning loses nothing. This is the shape
+    that keeps M1 O(touched partitions) on a 100 TB date-partitioned
+    fact table."""
+    base, updates = _base_and_updates(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m1p_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, partition_by="o_orderstatus")
+    table.upsert(spark, base, keys=["o_orderkey"])
+    table.upsert(spark, updates, keys=["o_orderkey"])
+    return _present(table.read(spark))

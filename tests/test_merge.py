@@ -127,3 +127,65 @@ if _HAVE_HYPOTHESIS:
                 )
                 model[k] = winner
         assert _rows(state) == set(model.values())
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned upsert (M1 at scale: rewrite only touched partitions)
+# ---------------------------------------------------------------------------
+
+
+def make_pdf(spark, rows):
+    """Rows of (k, ds, val) — ds is the partition column, derived from k
+    (the functional-dependency requirement)."""
+    return spark.createDataFrame(
+        [Row(k=k, ds=d, val=v) for k, d, v in rows],
+        schema="k string, ds string, val string",
+    )
+
+
+def test_partitioned_upsert_matches_unpartitioned(spark, tmp_path):
+    base = [("a1", "d1", "old"), ("a2", "d1", "old"), ("b1", "d2", "old"),
+            ("c1", "d3", "old")]
+    upd = [("a1", "d1", "new"), ("a3", "d1", "new")]  # touches d1 only
+
+    plain = VersionedParquetTable(str(tmp_path / "plain"))
+    plain.upsert(spark, make_pdf(spark, base), keys=["k"])
+    plain.upsert(spark, make_pdf(spark, upd), keys=["k"])
+
+    part = VersionedParquetTable(str(tmp_path / "part"), partition_by="ds")
+    part.upsert(spark, make_pdf(spark, base), keys=["k"])
+    part.upsert(spark, make_pdf(spark, upd), keys=["k"])
+
+    cols = ["k", "ds", "val"]
+    assert _rows(plain.read(spark).select(*cols)) == _rows(
+        part.read(spark).select(*cols)
+    )
+
+
+def test_partitioned_upsert_hardlinks_untouched_partitions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root, partition_by="ds")
+    table.upsert(
+        spark,
+        make_pdf(spark, [("a1", "d1", "x"), ("b1", "d2", "x"), ("c1", "d3", "x")]),
+        keys=["k"],
+    )
+    v1 = table.current_version()
+
+    def inodes(version, part):
+        d = os.path.join(root, f"v={version}", f"ds={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d2 = inodes(v1, "d2")
+    table.upsert(spark, make_pdf(spark, [("a1", "d1", "y")]), keys=["k"])
+    v2 = table.current_version()
+    assert v2 == v1 + 1
+    # untouched partition: same inodes (hard links, no data rewrite)
+    assert inodes(v2, "d2") == before_d2
+    # touched partition carries the update
+    got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
+    assert got == {("a1", "d1", "y"), ("b1", "d2", "x"), ("c1", "d3", "x")}
