@@ -1120,3 +1120,27 @@ def b12_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
     `.explain` shows one aggregate on o_custkey joined back to orders."""
     views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+@register(
+    "b05_jdbc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def b05_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: JDBC sink + source round-trip — the reference's literal
+    Postgres path (/root/reference/dags/weather-etl.py:112-140), here
+    against the Derby embedded driver Spark already bundles. The write
+    is batched/parallel (vs the reference's row-at-a-time INSERTs);
+    the read-back proves type fidelity. Production swaps url+driver
+    for Postgres; add partitionColumn bounds for parallel reads."""
+    from ..sources import read_jdbc, write_jdbc
+
+    url = (
+        "jdbc:derby:"
+        + os.path.join(tempfile.gettempdir(), f"spark_graft_b05_{os.getpid()}")
+        + ";create=true"
+    )
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_jdbc(df, url, "NATION_RT", mode="overwrite", **driver)
+    return read_jdbc(spark, url, "NATION_RT", **driver)

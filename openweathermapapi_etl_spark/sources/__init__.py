@@ -11,6 +11,7 @@ from .io import (  # noqa: F401
     read_csv,
     read_json,
     read_parquet,
+    read_jdbc,
     write_jdbc,
     write_parquet,
 )

@@ -62,13 +62,25 @@ def write_jdbc(
     /root/reference/dags/weather-etl.py:112-114,134-140 — but batched
     and parallel instead of row-at-a-time INSERTs).
 
-    Off the correctness path: raises a clear error when no JDBC driver
-    jar is on the classpath (none ships in this image).
+    Verified against the Derby embedded driver Spark bundles for its
+    metastore (b05_jdbc_roundtrip); point ``url``/``options`` at
+    Postgres + its driver jar for the reference's literal sink.
     """
     try:
         df.write.mode(mode).options(**options).jdbc(url=url, table=table)
-    except Exception as exc:  # pragma: no cover - no driver in image
+    except Exception as exc:
         raise RuntimeError(
-            "JDBC sink unavailable (no driver jar on classpath); "
-            "provide spark.jars with a JDBC driver to enable B5"
+            "JDBC sink failed — is the driver jar on the classpath? "
+            "(pass spark.jars / options['driver'])"
         ) from exc
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:
+    """B5 — JDBC source. ``table`` may be a table name or a
+    ``(SELECT ...) alias`` pushdown subquery; add ``partitionColumn``/
+    ``lowerBound``/``upperBound``/``numPartitions`` options for a
+    parallel read — without them JDBC reads are ONE task, the classic
+    JDBC-at-scale trap."""
+    return spark.read.options(**options).jdbc(url=url, table=table)

@@ -189,3 +189,25 @@ def test_partitioned_upsert_hardlinks_untouched_partitions(spark, tmp_path):
     # touched partition carries the update
     got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
     assert got == {("a1", "d1", "y"), ("b1", "d2", "x"), ("c1", "d3", "x")}
+
+
+def test_crash_during_swap_leaves_table_readable_and_recoverable(spark, tmp_path):
+    """A crash after writing a new version dir but BEFORE the pointer
+    swap must leave readers on the old version, and the next upsert
+    must recover (overwrite the orphan dir and commit past it)."""
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root)
+    table.upsert(spark, make_df(spark, [("a", 1, "v1")]), keys=["k"])
+
+    # Simulate the crash: orphan v=2 exists, pointer still names v=1.
+    orphan = os.path.join(root, "v=2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    assert table.current_version() == 1
+    assert _rows(table.read(spark)) == {("a", 1, "v1")}
+
+    table.upsert(spark, make_df(spark, [("a", 2, "v2")]), keys=["k"])
+    assert table.current_version() == 2
+    assert _rows(table.read(spark)) == {("a", 2, "v2")}
