@@ -23,6 +23,7 @@ from ..operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs,
+    make_planes,
 )
 from ..operators.text import (
     STOPWORDS,
@@ -280,12 +281,51 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(q, e, k=5)
 
 
-@register("c03_cosine_topk_lsh")
+def _lsh_topk_oracle(k: int = 5, dim: int = 64, n_planes: int = 4) -> str:
+    """The hyperplanes are a deterministic LCG (no RNG state), so they
+    inline as SQL literals — which upgrades the LSH ANN from a
+    rows-only check to a full value-hash oracle."""
+    planes = make_planes(dim, n_planes)
+
+    def dot_lit(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN {dot_lit(p)} >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos_qn = f"{_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket
+      FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos_qn} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos_qn} DESC, c.vec_id) AS rank
+      FROM bucketed q
+      JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id % 50 = 0) r
+    WHERE rank <= {k}
+    """
+
+
+@register("c03_cosine_topk_lsh", oracle=_lsh_topk_oracle())
 def c03_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3b (scale path, rows-only): hyperplane-LSH-bucketed ANN —
-    same output shape as c03_cosine_topk with recall < 1; deterministic
-    given the fixed seed, but the seeded projections are not
-    SQL-expressible, so the driver records the rows-only check."""
+    """C3b (scale path): hyperplane-LSH-bucketed ANN — same output
+    shape as c03_cosine_topk with recall < 1 by design. The seeded
+    projections are pure LCG constants, inlined into the oracle as
+    literals, so even the ANN path is value-hash-checked."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(q, e, k=5, dim=64, n_planes=4)
