@@ -117,3 +117,29 @@ def test_streaming_http_source_canned(spark, tmp_path):
     rows = {(r.City_Name, r.Temperature) for r in table.read(spark).collect()}
     # Same (dt, city) key across ticks → second fetch overwrote the first.
     assert ("CityA", 21.0) in rows and ("CityB", 3.0) in rows
+
+
+def test_failed_fetch_aborts_whole_batch(spark, tmp_path):
+    """A7 atomicity: one city succeeds, the next raises — the batch
+    must abort with NOTHING written (the reference commits once per
+    run, after all cities: a failed HTTP call means no partial table,
+    /root/reference/dags/weather-etl.py:119,143)."""
+    import time
+
+    cities = ["CityA", "CityBoom"]
+    # CityA has a document; CityBoom's queue is empty → fetcher raises.
+    fetcher = make_canned_fetcher({"CityA": [dict(DOC, name="CityA")]})
+    root = str(tmp_path / "weather_atomic")
+    q = http_microbatch_query(
+        spark, fetcher, root, cities=cities, interval="1 seconds"
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and q.exception() is None:
+            time.sleep(0.5)
+        exc = q.exception()
+    finally:
+        q.stop()
+    assert exc is not None  # the batch failed loudly (not A15 silence)
+    # ...and atomically: no version was ever committed.
+    assert VersionedParquetTable(root).current_version() is None
