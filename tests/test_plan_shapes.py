@@ -1,0 +1,60 @@
+"""Physical-plan shape guards: the scale properties SCALE.md claims
+(broadcast joins on dims, filter pushdown into scans, TakeOrderedAndProject
+top-k, no accidental cartesian products) asserted as tests so a plan
+regression fails CI, not a 100 TB run. See PLANS.md for the full audit.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from openweathermapapi_etl_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_dims_no_cartesian(spark):
+    s = plan_of(spark, "flagship_q3")
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+    # all three scans receive pushed filters
+    assert len([m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m]) == 3
+
+
+def test_filters_push_into_parquet_scan(spark):
+    s = plan_of(spark, "b07_filter_predicates")
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", s))
+    for col in ("o_orderdate", "o_totalprice"):
+        assert col in pushed, f"{col} not pushed into the scan"
+
+
+def test_topk_plans_take_ordered_no_global_sort(spark):
+    s = plan_of(spark, "b27_top_k")
+    assert "TakeOrderedAndProject" in s
+
+
+def test_range_join_keeps_equi_prefix_hash_join(spark):
+    s = plan_of(spark, "b14_range_join")
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_salted_agg_is_two_stage(spark):
+    # two groupBys → (partial+final) pairs: at least 3 HashAggregate
+    # nodes and exactly one exchange keyed on the salt stage
+    s = plan_of(spark, "b16_salted_agg")
+    assert s.count("HashAggregate") >= 3
+
+
+def test_groupby_agg_has_partial_aggregation(spark):
+    s = plan_of(spark, "b16_groupby_agg")
+    assert "partial_sum" in s  # map-side combine before the exchange
