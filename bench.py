@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     # Training-data pipeline ops (Tier C) — first-class headline work.
     "c01_exact_dedup",
     "c02_minhash_signatures",
+    "c02_minhash_fast",
     "c02_lsh_candidates",
     "c03_cosine_topk_lsh",
     "c03_cosine_topk_ivf",

@@ -50,10 +50,16 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_hashes(text_col: Column, n: int = 3, portable: bool = True) -> Column:
-    """Array of hashed word n-gram shingles for one document."""
+    """Array of hashed word n-gram shingles for one document.
+
+    Both flavors land in [0, P): the portable char-fold is < P by
+    construction; the xxhash64 fast path is pmod-reduced so the affine
+    MinHash transform (a*h+b) can't overflow int64 under ANSI mode.
+    """
     sh = word_shingles(tokens(text_col), n)
-    hash_fn = char_fold_hash if portable else fast_hash
-    return F.transform(sh, hash_fn)
+    if portable:
+        return F.transform(sh, char_fold_hash)
+    return F.transform(sh, lambda x: F.pmod(fast_hash(x), F.lit(HASH_P)))
 
 
 def minhash_signature(

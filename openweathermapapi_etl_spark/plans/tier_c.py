@@ -564,3 +564,17 @@ def c05_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), "payload"
     )
     return fake_decode_metadata(wrapped, "id")
+
+
+@register("c02_minhash_fast")
+def c02_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2a-prod (rows-only by design): the production MinHash flavor —
+    xxhash64 (one JVM intrinsic per shingle) instead of the portable
+    per-character fold the oracle-checked twin uses. Same plan shape,
+    same signature width; not DuckDB-reproducible, so the rows-only
+    check applies. Exists to benchmark the real 100 TB path: the
+    portable hash is the *verification* spelling, not the shipping
+    one."""
+    return minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=False
+    )
