@@ -50,3 +50,32 @@ def salted_sum_count(
         *[F.sum(f"_s_{a}").alias(a) for a in sums],
         F.sum("_n").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join: spread a skewed big-side key over ``n_salts``
+    partitions; replicate the small side once per salt.
+
+    The standard fix when one hot key (20% of a 100 TB fact table)
+    funnels a sort-merge join through a single reducer and AQE's skew
+    split isn't available/enough. Big side gets a deterministic salt
+    (``salt_on`` row attribute, default the join key's row — pass a
+    row-unique column for real spread); small side explodes ×n_salts so
+    every (key, salt) pair still matches. Replication factor n_salts on
+    the small side is the price — use for big⋈small only, and prefer a
+    plain broadcast when the small side fits (this exists for when it
+    does NOT). Semantics-preserving: the oracle is the plain join.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.col(on)
+    big2 = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    small2 = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big2.join(small2, on=[on, "_salt"], how=how).drop("_salt")

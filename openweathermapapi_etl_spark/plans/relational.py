@@ -1144,3 +1144,27 @@ def b05_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     write_jdbc(df, url, "NATION_RT", mode="overwrite", **driver)
     return read_jdbc(spark, url, "NATION_RT", **driver)
+
+
+@register(
+    "b10_salted_join",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def b10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10b: salted equi-join (operators/skew.py) — the explicit
+    hot-key rewrite for fact⋈dim joins too big to broadcast and too
+    skewed for one reducer. Semantics-preserving, so the oracle is the
+    plain join: the hash match proves the rewrite loses/duplicates
+    nothing."""
+    from ..operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    return salted_join(o, c, on="o_custkey", n_salts=8, salt_on="o_orderkey").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_nationkey"
+    )
