@@ -66,3 +66,46 @@ def test_session_window_streaming_append(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n"))
     )
     assert 0 < streamed.count() <= batch.count()
+
+
+def test_checkpoint_prevents_reprocessing_on_restart(spark, sf_dir, tmp_path):
+    """Restart semantics: a foreachBatch+M1 stream restarted with the
+    SAME checkpoint must not re-read already-committed source files —
+    the table version stays put (exactly-once source tracking). Even
+    if it did re-read, M1 idempotence would keep the DATA identical;
+    the version check proves the offsets, not just the merge."""
+    from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+    from openweathermapapi_etl_spark.schemas import EVENTS
+    from openweathermapapi_etl_spark.streaming.jobs import (
+        replay_files_stream,
+        split_events_files,
+    )
+
+    replay = str(tmp_path / "replay")
+    split_events_files(spark, sf_dir, replay, n_files=2)
+    ckpt = str(tmp_path / "ckpt")
+    table = VersionedParquetTable(str(tmp_path / "table"))
+
+    def run_once():
+        stream = replay_files_stream(spark, replay, EVENTS)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: table.upsert(
+                    df.sparkSession, df, keys=["user_id", "event_type"],
+                    order_col="ts",
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    v1 = table.current_version()
+    rows1 = table.read(spark).count()
+    assert v1 and v1 >= 1 and rows1 > 0
+
+    run_once()  # restart from the same checkpoint: nothing new to do
+    assert table.current_version() == v1
+    assert table.read(spark).count() == rows1
