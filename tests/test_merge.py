@@ -211,3 +211,15 @@ def test_crash_during_swap_leaves_table_readable_and_recoverable(spark, tmp_path
     table.upsert(spark, make_df(spark, [("a", 2, "v2")]), keys=["k"])
     assert table.current_version() == 2
     assert _rows(table.read(spark)) == {("a", 2, "v2")}
+
+
+def test_vacuum_retains_two_versions(spark, tmp_path):
+    """Version retention: old version dirs beyond keep-2 are vacuumed;
+    the previous version stays for in-flight readers."""
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root)
+    for i in range(4):
+        table.upsert(spark, make_df(spark, [("a", i, f"v{i}")]), keys=["k"])
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    assert dirs == ["v=3", "v=4"]
+    assert table.current_version() == 4
