@@ -1168,3 +1168,41 @@ def b10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, on="o_custkey", n_salts=8, salt_on="o_orderkey").select(
         "o_orderkey", "o_totalprice", "c_name", "c_nationkey"
     )
+
+
+@register(
+    "b10_bucketed_colocated_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate_s
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+          FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def b10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10c: co-located join via bucketed tables — both sides written
+    ``bucketBy(orderkey)`` + sorted, so the sort-merge join reads
+    pre-shuffled, pre-sorted buckets and the join needs ZERO exchanges
+    (asserted in tests/test_plan_shapes.py). This is THE pattern for a
+    repeated 100 TB fact⋈fact join: pay the shuffle once at write
+    time, never again per query. The merge hint pins SMJ so the demo
+    is not broadcast away at toy scale; the oracle is the plain join."""
+    pid = os.getpid()
+    t_li, t_o = f"b10c_lineitem_{pid}", f"b10c_orders_{pid}"
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s")
+    )
+    for df, name, key in ((li, t_li, "l_orderkey"), (o, t_o, "o_orderkey")):
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).format(
+            "parquet"
+        ).saveAsTable(name)
+    return (
+        spark.table(t_li)
+        .hint("merge")
+        .join(spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderdate_s")
+    )

@@ -58,3 +58,11 @@ def test_salted_agg_is_two_stage(spark):
 def test_groupby_agg_has_partial_aggregation(spark):
     s = plan_of(spark, "b16_groupby_agg")
     assert "partial_sum" in s  # map-side combine before the exchange
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    """The whole point of bucketing: the fact⋈fact sort-merge join must
+    read co-located buckets with NO shuffle in the plan."""
+    s = plan_of(spark, "b10_bucketed_colocated_join")
+    assert "SortMergeJoin" in s
+    assert "Exchange" not in s
