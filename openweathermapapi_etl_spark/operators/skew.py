@@ -72,7 +72,15 @@ def salted_join(
     the small side is the price — use for big⋈small only, and prefer a
     plain broadcast when the small side fits (this exists for when it
     does NOT). Semantics-preserving: the oracle is the plain join.
+
+    Only inner/left are valid: a right/full join would null-extend each
+    UNMATCHED small-side row once per salt replica (n_salts duplicates).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full would duplicate unmatched replicated rows"
+        )
     salt_src = F.col(salt_on) if salt_on else F.col(on)
     big2 = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
     small2 = small.withColumn(

@@ -156,3 +156,13 @@ def test_salted_agg_matches_plain_groupby(spark):
         ).collect()
     }
     assert out == {"a": (sum(range(100)) * 1.0, 100), "b": (7.0, 1)}
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, df, on="k", how="full")
