@@ -308,12 +308,18 @@ def b35_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
            CAST(json_extract(props, '$.k') AS INTEGER)       AS k_value,
-           CAST(len(json_keys(props)) AS INTEGER)            AS n_keys
+           CAST(len(json_keys(props)) AS INTEGER)            AS n_keys,
+           CAST(list_reduce(
+                 list_transform(json_keys(props),
+                   kk -> CAST(json_extract(props, '$.' || kk) AS INTEGER)),
+                 (a, b) -> a + b) AS INTEGER)                AS vals_sum
     FROM events
     """,
 )
 def b36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B36: JSON text → MapType → map_keys / element access / size."""
+    """B36: JSON text → MapType → map_keys / map_values / element
+    access / size (values folded to a sum so map_values is checked
+    order-independently)."""
     e = t(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,int>")
     return e.select(
@@ -321,6 +327,9 @@ def b36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0), lambda acc, x: acc + x
+        ).alias("vals_sum"),
     )
 
 
@@ -331,13 +340,15 @@ def b36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k')                  AS k_str,
            CAST(json_extract(props, '$.k') AS BIGINT)         AS k_num,
            COALESCE(json_extract_string(props, '$.missing'), '<none>') AS missing_path,
-           to_json(struct_pack(id := event_id, kind := event_type))    AS packed
+           to_json(struct_pack(id := event_id, kind := event_type))    AS packed,
+           json_extract_string(props, '$.k')                  AS jt_k
     FROM events
     """,
 )
 def b37_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B37: get_json_object / missing-path NULL / to_json(struct)
-    (A2/A3 generalized: nested-document access as expressions)."""
+    """B37: get_json_object / json_tuple / missing-path NULL /
+    to_json(struct) (A2/A3 generalized: nested-document access as
+    expressions)."""
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -349,4 +360,5 @@ def b37_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("kind"))
         ).alias("packed"),
+        F.json_tuple(F.col("props"), "k").alias("jt_k"),
     )
