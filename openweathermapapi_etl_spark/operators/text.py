@@ -119,3 +119,21 @@ def fingerprint_rolling(text: Column) -> Column:
     """Numeric fingerprint: portable rolling hash of the normalized text
     (cheap 60-bit-ish identity for bucketing/sampling)."""
     return char_fold_hash(F.lower(F.trim(text)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text) — one of the
+    standard quality-filter signals. ASCII punctuation set so the
+    regex behaves identically across engines."""
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    return F.when(
+        F.length(text) > 0, n_punct / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: runs of alphanumerics OR single
+    non-alphanumeric non-space chars — the pre-tokenizer split most
+    BPE vocabularies start from (ASCII classes only, so DuckDB's
+    regexp_extract_all counts identically)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 ]"))

@@ -27,9 +27,11 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     STOPWORDS,
+    bpe_token_count,
     fingerprint_md5,
     fingerprint_rolling,
     lang_id,
+    punct_ratio,
     quality_score,
     stopword_hits,
     tokens,
@@ -409,7 +411,13 @@ def c03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS INTEGER)                  AS n_chars_text,
            CAST(len(list_distinct(tk)) AS INTEGER)        AS n_unique,
            CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
-           CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) AS mean_tok_len
+           CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) AS mean_tok_len,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+                AS INTEGER)                               AS n_tokens_bpe,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                          AS DOUBLE) / length(text)
+                ELSE 0.0 END                              AS punct_ratio
     FROM toks
     """,
 )
@@ -428,6 +436,8 @@ def c04_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("text") - (F.size(tk) - 1)).cast("double") / F.size(tk)).alias(
             "mean_tok_len"
         ),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
     )
 
 
