@@ -85,3 +85,95 @@ def fake_decode_metadata(df: DataFrame, id_col: str = "id") -> DataFrame:
             )
 
     return df.select(F.col(id_col), "payload").mapInPandas(decode, DECODED_SCHEMA)
+
+
+#: Output schema of the resize stage.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize(df: DataFrame, target_w: int = 224, id_col: str = "id") -> DataFrame:
+    """Resize stage via ``mapInPandas`` — aspect-preserving to a target
+    width with integer arithmetic (real codec stubbed like decode; the
+    batch shape, schema, and the downstream-ML-standard 224-width
+    contract are the real, tested parts)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64").clip(lower=1)
+            h = pdf["height"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "new_width": pd.Series([target_w] * len(pdf)).astype("int32"),
+                    "new_height": ((h * target_w) // w).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage (row-multiplying — UDTF-shaped).
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 5, id_col: str = "id") -> DataFrame:
+    """Frame-sampling stage via ``mapInPandas`` — one output row per
+    every-``n``-th frame (0, n, 2n, ... < n_frames): the row-MULTIPLYING
+    batch shape a video pipeline needs (mapInPandas yields more rows
+    than it consumes, unlike a scalar pandas_udf)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for _id, n in zip(pdf[id_col], pdf["n_frames"].astype("int64")):
+                for i in range(0, int(n), every_n):
+                    ids.append(_id)
+                    idxs.append(i)
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs}).astype(
+                {"id": "int64", "frame_idx": "int32"}
+            )
+
+    return df.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+#: Output schema of the feature-extraction stage.
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def fake_feature_extract(df: DataFrame, n_bins: int = 8, id_col: str = "id") -> DataFrame:
+    """Feature-extraction stage via ``mapInPandas``: an ``n_bins``-wide
+    byte-value histogram per payload (the deterministic stand-in for an
+    image-embedding model; the Arrow binary-column batch transfer and
+    array-typed output are the real parts)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                hist = [0] * n_bins
+                for b in payload:
+                    hist[b % n_bins] += 1
+                feats.append(hist)
+            yield pd.DataFrame({"id": pdf[id_col], "features": feats})
+
+    return df.select(F.col(id_col), "payload").mapInPandas(extract, FEATURES_SCHEMA)

@@ -17,7 +17,13 @@ from ..operators.dedup import (
     minhash_signature,
     simhash16,
 )
-from ..operators.multimodal import fake_decode_metadata, to_binary_payload
+from ..operators.multimodal import (
+    fake_decode_metadata,
+    fake_feature_extract,
+    fake_resize,
+    frame_sample,
+    to_binary_payload,
+)
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -587,4 +593,82 @@ def c02_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     one."""
     return minhash_signature(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=False
+    )
+
+
+@register(
+    "c05_resize",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id AS id,
+             CAST(octet_length(encode(text)) % 640 AS INTEGER)        AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER)  AS height
+      FROM documents)
+    SELECT id, width, height,
+           CAST(224 AS INTEGER) AS new_width,
+           CAST((height * 224) // greatest(width, 1) AS INTEGER) AS new_height
+    FROM decoded
+    """,
+)
+def c05_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5c: decode → resize chain over mapInPandas (aspect-preserving
+    to width 224, integer arithmetic so the oracle is exact)."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    return fake_resize(fake_decode_metadata(wrapped, "id"), target_w=224)
+
+
+@register(
+    "c05_frame_sample",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id AS id,
+             CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+      FROM documents)
+    SELECT id, CAST(f AS INTEGER) AS frame_idx
+    FROM decoded, LATERAL unnest(range(0, n_frames, 5)) AS t(f)
+    """,
+)
+def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5d: frame sampling — the row-multiplying mapInPandas shape
+    (every 5th frame index per clip; oracle = LATERAL range)."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    return frame_sample(fake_decode_metadata(wrapped, "id"), every_n=5)
+
+
+def _feature_oracle(n_bins: int = 8) -> str:
+    cols = ",\n           ".join(
+        "CAST(len(list_filter(bytes, b -> b % {n} = {i})) AS INTEGER) AS h{i}".format(
+            n=n_bins, i=i
+        )
+        for i in range(n_bins)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id AS id,
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(text[i])) AS bytes
+      FROM documents)
+    SELECT id, {cols} FROM b
+    """
+
+
+@register("c05_feature_extract", oracle=_feature_oracle())
+def c05_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5e: feature extraction — byte-histogram embedding stand-in via
+    mapInPandas (Arrow binary batches in, array feature out; unpacked
+    to columns so the oracle compares scalars). Payloads are ASCII
+    text, so DuckDB's per-char ascii() equals the byte values."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    feats = fake_feature_extract(wrapped, n_bins=8)
+    return feats.select(
+        "id", *[F.element_at("features", i + 1).alias(f"h{i}") for i in range(8)]
     )
