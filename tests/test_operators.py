@@ -166,3 +166,50 @@ def test_salted_join_rejects_right_full(spark):
     df = spark.createDataFrame([(1, "x")], ["k", "v"])
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(df, df, on="k", how="full")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _doc = st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+    ).map(" ".join)
+
+    @given(docs=st.lists(_doc, min_size=1, max_size=8))
+    @settings(max_examples=8, deadline=None)
+    def test_lsh_pairs_match_naive_band_model(spark, docs):
+        """The bucket-groupBy pair expansion must equal the naive model:
+        (a, b) is a candidate iff some band of their MinHash signatures
+        matches exactly (all components non-null)."""
+        from openweathermapapi_etl_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signature,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), ["doc_id", "text"]
+        )
+        sigs = minhash_signature(df, "text", "doc_id", k=8)
+        rows = {r.doc_id: [r[f"m{j}"] for j in range(8)] for r in sigs.collect()}
+        expected = set()
+        for a in rows:
+            for b in rows:
+                if a >= b:
+                    continue
+                for band in range(4):
+                    ca = rows[a][band * 2 : band * 2 + 2]
+                    cb = rows[b][band * 2 : band * 2 + 2]
+                    if None not in ca and ca == cb:
+                        expected.add((a, b))
+                        break
+        got = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2).collect()
+        }
+        assert got == expected
