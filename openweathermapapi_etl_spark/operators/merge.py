@@ -89,11 +89,28 @@ def keyed_upsert(
 
     ``old`` must already be key-unique (guaranteed when it was produced
     by this function); ``updates`` may contain intra-batch duplicates.
+
+    NULL keys are handled NULL-safely (``<=>``): a NULL key is one key
+    group, consistent with the window dedup above (``partitionBy``
+    groups NULLs) and the B22 uniqueness check. A plain equality anti
+    join would never match NULL-key rows, so repeated upserts would
+    silently accumulate NULL-key duplicates and break the key-unique
+    invariant M1's correctness rests on. ``<=>`` is still an equi-join
+    key for Spark's hash joins, so the plan is unchanged.
     """
     deduped = dedup_last_write_wins(updates, keys, order_col)
     deduped = deduped.select(*old.columns)  # align column order
-    anti_right = F.broadcast(deduped) if broadcast_updates else deduped
-    survivors = old.join(anti_right, on=keys, how="left_anti")
+    # Rename the anti side's keys so the null-safe condition is
+    # unambiguous even when ``updates`` shares lineage with ``old``.
+    anti_keys = deduped.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys]
+    )
+    anti_right = F.broadcast(anti_keys) if broadcast_updates else anti_keys
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        cond = c if cond is None else cond & c
+    survivors = old.join(anti_right, on=cond, how="left_anti")
     return deduped.unionByName(survivors)
 
 

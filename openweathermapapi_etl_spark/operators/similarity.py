@@ -202,6 +202,20 @@ def cosine_topk_ivf(
     Recall < 1 by design (a true neighbor may live in an unprobed
     cell). Ties break on smaller centroid / neighbor id so the result
     is deterministic and bit-matches the DuckDB oracle.
+
+    Plan discipline (the round-2 fix): the corpus×centroid scoring —
+    the dominant cost — runs exactly ONCE, inside the assignment
+    aggregation, and the aggregation *carries each vector through*
+    (``any_value``), so the inverted file ``(vid, cell, vector)`` comes
+    out of one corpus pass and the re-rank joins against it instead of
+    rescanning the corpus. Probing scores only the ``vid % query_mod``
+    slice (filter BEFORE the centroid join), and the probe set —
+    queries × nprobe rows — is broadcast into the candidate join, so
+    the only shuffles left are the assignment groupBy and the two small
+    windows. Round 1's shape scored the full corpus twice and rescanned
+    it twice more for re-rank vectors: 22 exchanges → this plan halves
+    that (pinned by tests/test_plan_shapes.py::test_ivf_plan_single_
+    corpus_scoring_pass).
     """
     from pyspark.sql import Window as W
 
@@ -210,56 +224,51 @@ def cosine_topk_ivf(
         F.col(vec_col).alias("cv"),
         norm_fold(F.col(vec_col)).alias("cvn"),
     )
-    scored_cent = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-            norm_fold(F.col(vec_col)).alias("vn"),
-        )
-        .join(F.broadcast(cent))
-        .select(
-            "vid",
-            "centroid_id",
-            cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn")).alias(
-                "cs"
-            ),
-        )
+    normed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("vn"),
     )
-    # argmax(cs), tie -> min centroid_id: max of (cs, -centroid_id).
-    assigned = scored_cent.groupBy("vid").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg"))
-        ).alias("centroid_id")
+    cs = cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
+    # Inverted file in one pass: argmax(cs) (tie -> min centroid_id via
+    # max of (cs, -centroid_id)) + the vector itself, map-side combined.
+    inverted = (
+        normed.join(F.broadcast(cent))
+        .select("vid", "v", "vn", "centroid_id", cs.alias("cs"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("centroid_id"),
+            F.any_value("v").alias("nv"),
+            F.any_value("vn").alias("nn"),
+        )
     )
     wp = W.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid_id"))
     probes = (
-        scored_cent.filter(F.col("vid") % query_mod == 0)
+        normed.filter(F.col("vid") % query_mod == 0)
+        .join(F.broadcast(cent))
+        .select("vid", "v", "vn", "centroid_id", cs.alias("cs"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select(F.col("vid").alias("query_id"), "centroid_id")
+        .select(
+            F.col("vid").alias("query_id"),
+            "centroid_id",
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+        )
     )
     # Each vector lives in exactly one cell and probe centroids are
     # distinct per query, so (query_id, neighbor_id) pairs are unique.
-    cand = probes.join(assigned, on="centroid_id").filter(
-        F.col("vid") != F.col("query_id")
-    ).select("query_id", F.col("vid").alias("neighbor_id"))
-    q = corpus.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_fold(F.col(vec_col)).alias("qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_fold(F.col(vec_col)).alias("cn"),
-    )
+    # Probes (|Q|·nprobe rows) broadcast → map-side candidate join.
     scored = (
-        cand.join(F.broadcast(q), on="query_id")
-        .join(c, on="neighbor_id")
+        inverted.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
-            "neighbor_id",
-            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            F.col("vid").alias("neighbor_id"),
+            cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")).alias(
                 "cos_sim"
             ),
         )

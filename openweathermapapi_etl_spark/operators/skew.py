@@ -59,16 +59,20 @@ def salted_join(
     n_salts: int = 16,
     salt_on: str | None = None,
     how: str = "inner",
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Salted equi-join: spread a skewed big-side key over ``n_salts``
     partitions; replicate the small side once per salt.
 
     The standard fix when one hot key (20% of a 100 TB fact table)
     funnels a sort-merge join through a single reducer and AQE's skew
-    split isn't available/enough. Big side gets a deterministic salt
-    (``salt_on`` row attribute, default the join key's row — pass a
-    row-unique column for real spread); small side explodes ×n_salts so
-    every (key, salt) pair still matches. Replication factor n_salts on
+    split isn't available/enough. Big side gets a deterministic salt:
+    ``salt_on`` picks a stable row attribute; the default hashes ALL
+    big-side columns, so even the hot key's rows spread across the
+    salts (salting on the join key itself would give the hot key ONE
+    salt — zero spread while still paying the small-side replication —
+    which is why it is NOT the default). Small side explodes ×n_salts
+    so every (key, salt) pair still matches. Replication factor n_salts on
     the small side is the price — use for big⋈small only, and prefer a
     plain broadcast when the small side fits (this exists for when it
     does NOT). Semantics-preserving: the oracle is the plain join.
@@ -81,9 +85,10 @@ def salted_join(
             f"salted_join supports how='inner'|'left', got {how!r}: "
             "right/full would duplicate unmatched replicated rows"
         )
-    salt_src = F.col(salt_on) if salt_on else F.col(on)
-    big2 = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    salt_srcs = [F.col(salt_on)] if salt_on else [F.col(c) for c in big.columns]
+    big2 = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_srcs), F.lit(n_salts)))
     small2 = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return big2.join(small2, on=[on, "_salt"], how=how).drop("_salt")
+    joined = big2.join(small2, on=[on, "_salt"], how=how)
+    return joined if keep_salt else joined.drop("_salt")

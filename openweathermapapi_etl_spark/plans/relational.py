@@ -1003,6 +1003,59 @@ def b16_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b16_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b16_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16c: ``approx_percentile`` — the 100 TB spelling of B16b
+    (SCALE.md "Aggregation"): a mergeable quantile sketch
+    (Greenwald-Khanna) with map-side partial aggregation, where exact
+    ``percentile`` must materialize each full sorted group.
+
+    The sketch is approximate, so no other engine reproduces its bits —
+    the oracle is therefore a *bounds* check, the sketch's actual
+    contract: the returned value's rank must lie within the guaranteed
+    rank error (1/accuracy) of the target quantile. The query emits a
+    per-group ``rank_ok`` verdict computed against the data itself
+    (rank interval [#<app, #<=app] must overlap 0.5 ± tolerance — the
+    interval form keeps heavy ties from false-failing); the oracle says
+    every group must be TRUE.
+    """
+    acc = 1000
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    app = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("price", 0.5, acc).alias("app")
+    )
+    checked = (
+        li.join(F.broadcast(app), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("price") < F.col("app"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("price") <= F.col("app"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+    tol = 5.0 / acc  # 5× the guaranteed rank error: deterministic pass
+    return checked.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("n_lt") / F.col("n") <= 0.5 + tol)
+            & (F.col("n_le") / F.col("n") >= 0.5 - tol)
+        ).alias("rank_ok"),
+    )
+
+
 _GROUPING_SETS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus)   AS g_status,

@@ -216,11 +216,50 @@ def b43_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b43_streaming_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def b43_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 (scale flavor): ``dropDuplicatesWithinWatermark`` — dedup
+    state is EVICTED once the watermark passes a key's event time, so
+    state size is bounded by the watermark horizon instead of growing
+    with every distinct key forever (the 100 TB hazard of plain
+    ``dropDuplicates``, kept beside this as the oracle twin).
+
+    Correctness contract: duplicates are only guaranteed dropped when
+    they arrive within the watermark delay of the first occurrence.
+    Here the delay is computed as the full event-time span of the
+    replay + 1 hour, so no duplicate can outrun eviction and the result
+    is exactly ``SELECT DISTINCT`` — which is what makes the scale
+    flavor hash-checkable. In production you size the delay to the
+    real-world duplicate window (e.g. the reference's cron period),
+    trading state for dedup horizon.
+    """
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    delay_s = int((hi - lo).total_seconds()) + 3600
+    d = _replay_dir(spark, sf_dir, "b43w")
+    stream = replay_files_stream(spark, d, EVENTS)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, "b43w_out", "append")
+
+
+@register(
     "b44_foreachbatch_upsert",
     oracle=f"""
     WITH ev AS (SELECT * FROM {_EV} e),
     tagged AS (
-      SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 1) // 2 FROM ev)
+      -- batch boundary = split_events_files' ceil((max_id+1)/2) step,
+      -- NOT floor: with an even max_id the floor puts the boundary row
+      -- in the wrong batch (regression-pinned by an even-max fixture
+      -- test in tests/test_streaming.py).
+      SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 2) // 2 FROM ev)
                      THEN 0 ELSE 1 END AS batch
       FROM ev),
     ranked AS (
@@ -398,6 +437,86 @@ def b51_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
     )
     return run_to_memory(joined, "b51_out", "append")
+
+
+@register(
+    "b51_stream_stream_join_watermarked",
+    oracle=f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           strftime(a.ts, '{_FMT_US}') AS click_ts,
+           strftime(b.ts, '{_FMT_US}') AS purchase_ts
+    FROM {_EV} a JOIN {_EV} b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def b51_stream_stream_join_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 (scale flavor): the same click→purchase attribution join with
+    ``withWatermark`` on BOTH sides — the time-bound residual plus the
+    watermarks let Spark compute a state watermark per side and EVICT
+    buffered rows (clicks older than ``watermark - 30 min`` can never
+    match a future purchase), so join state is bounded by the lateness
+    horizon instead of buffering both streams forever (the unbounded
+    flavor is kept beside this as the oracle twin).
+
+    Why the batch join is still the exact oracle: the replay splits the
+    events by event *time* (older half first), so arrival order matches
+    event-time order. After batch 1 the watermark is
+    ``max_ts(batch 1) - 2h < mid_ts``, which (a) never marks a batch-2
+    row (``ts >= mid_ts``) late, and (b) only evicts clicks with
+    ``ts < watermark - 30min`` — all strictly older than any click a
+    batch-2 purchase could still match (``ts >= mid_ts - 30min``). No
+    pair is lost, so the watermarked result equals the batch join.
+    """
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    d = _replay_dir(
+        spark,
+        sf_dir,
+        "b51w",
+        predicates=[F.col("ts") < F.lit(mid_ts), F.col("ts") >= F.lit(mid_ts)],
+    )
+    clicks = (
+        replay_files_stream(spark, d, EVENTS)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts_t"),
+        )
+        .withWatermark("click_ts_t", "2 hours")
+    )
+    purchases = (
+        replay_files_stream(spark, d, EVENTS)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts_t"),
+        )
+        .withWatermark("purchase_ts_t", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts_t") >= F.col("click_ts_t"))
+        & (
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts_t", _SPARK_FMT_US).alias("click_ts"),
+        F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
+    )
+    return run_to_memory(joined, "b51w_out", "append")
 
 
 @register(

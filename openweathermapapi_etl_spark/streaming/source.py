@@ -104,7 +104,11 @@ def http_microbatch_query(
         )
         raw_parsed = spark.read.schema(WEATHER_RAW).json(raw.rdd.map(lambda r: r[0]))
         if raw_log_root:
-            raw.write.mode("append").text(
+            # Overwrite the per-batch dir, not append: a failed-then-
+            # retried micro-batch re-enters with the SAME batch_id, so
+            # overwrite makes the bronze log idempotent on retry
+            # (append would double-log the batch's documents).
+            raw.write.mode("overwrite").text(
                 os.path.join(raw_log_root, f"batch={batch_id}")
             )
         staged = transform_raw(raw_parsed).distinct()  # A10

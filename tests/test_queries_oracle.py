@@ -49,21 +49,23 @@ def test_entry_contract(spark):
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
-def test_driver_window_spans_all_families():
+def test_driver_window_rotates_to_stalest_checked():
     """The correctness driver records rows for the first 50 registered
-    names only (round-1 CORRECTNESS held exactly the first 50). Pin the
-    curated head so a refactor can't silently push a family back out of
-    the driver's verification window."""
-    head = list(QUERIES)[:50]
-    families = {QUERIES[n].__module__.rsplit(".", 1)[-1] for n in head}
-    assert {
-        "relational",
-        "scalar_funcs",
-        "udfs",
-        "tier_c",
-        "merge_q",
-        "weather_q",
-        "streaming_q",
-    } <= families, f"driver window lost a family: {sorted(families)}"
-    for prefix in ("m1_", "c0", "a03", "a10", "b4", "b5"):
-        assert any(n.startswith(prefix) for n in head), prefix
+    names only (rounds 1-2: CORRECTNESS_r0N.json held exactly the first
+    50). Per round-2 advisor guidance the window ROTATES: this round's
+    new/changed queries lead, then every query round 2's window did NOT
+    cover (stalest driver check first), and round 2's window rotates to
+    the back. Pin that invariant so a refactor can't silently pin a
+    fixed curated head again."""
+    from openweathermapapi_etl_spark.plans import _R2_WINDOW, _R3_HEAD
+
+    names = list(QUERIES)
+    head = names[:50]
+    assert head[: len(_R3_HEAD)] == _R3_HEAD, "new/changed queries must lead"
+    expected = set(_R3_HEAD) | (set(QUERIES) - set(_R2_WINDOW))
+    assert set(head) == expected, (
+        "first 50 must be exactly new/changed + round-2-unchecked queries"
+    )
+    # Union of r2's window and this head = every registered query: no
+    # query goes two rounds without an independent driver check.
+    assert set(_R2_WINDOW) | set(head) == set(QUERIES)
