@@ -117,6 +117,16 @@ def lsh_candidate_pairs(
     pass ``max_bucket`` to drop pathological buckets (a doc shared by
     that many near-dups is boilerplate; standard practice) or rely on
     AQE skew handling.
+
+    ``max_bucket`` is enforced BEFORE any bucket materializes: a
+    window count over the bucket key sizes each bucket row-wise (the
+    window buffer spills; an agg buffer holding one giant id array
+    cannot) and oversized buckets are filtered out ahead of the
+    ``collect_list``, in the same exchange. The previous shape filtered
+    AFTER the collect_list, so one pathological boilerplate bucket
+    still built its full id array on a single executor before being
+    dropped — the exact skew this parameter exists to prevent (pinned
+    by tests/test_operators.py::test_lsh_max_bucket_filters_before_collect).
     """
     n_bands = k // band_size
 
@@ -147,13 +157,31 @@ def lsh_candidate_pairs(
         )
         .filter(F.col("band_key").isNotNull())
     )
+    if max_bucket is not None:
+        # Enforce the cap BEFORE any bucket materializes: a window
+        # count over the same (band_no, band_key) partitioning sizes
+        # every bucket row-wise (WindowExec buffers ROWS and spills —
+        # never one giant array in an agg buffer), and the filter drops
+        # oversized buckets ahead of the collect_list. Same partitioning
+        # → the groupBy below adds NO second exchange. This beats the
+        # count-then-anti-join formulation, whose count branch rescans
+        # the corpus and re-runs the whole MinHash pipeline (the
+        # dominant per-row cost) a second time. Bonus: singleton
+        # buckets — the vast majority at real data densities — are
+        # dropped here too, before they ever occupy agg state.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_no", "band_key")
+        exploded = (
+            exploded.withColumn("_n", F.count("*").over(w))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+            .drop("_n")
+        )
     buckets = (
         exploded.groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.filter(
         F.flatten(
             F.transform(

@@ -85,7 +85,25 @@ def salted_join(
             f"salted_join supports how='inner'|'left', got {how!r}: "
             "right/full would duplicate unmatched replicated rows"
         )
-    salt_srcs = [F.col(salt_on)] if salt_on else [F.col(c) for c in big.columns]
+    if salt_on:
+        salt_srcs = [F.col(salt_on)]
+    else:
+        # Spark's hash()/xxhash64() reject MapType inputs at analysis
+        # time (maps have no canonical element order), so the
+        # all-columns default must skip them — a big side carrying a
+        # map column would otherwise fail where an explicit salt_on
+        # works.
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_join default salt needs at least one non-map "
+                "column on the big side; pass salt_on= explicitly"
+            )
+        salt_srcs = [F.col(c) for c in hashable]
     big2 = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_srcs), F.lit(n_salts)))
     small2 = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -141,6 +141,81 @@ def test_lsh_max_bucket_drops_hot_buckets(spark):
     assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=4).count() == 0
 
 
+def test_lsh_max_bucket_filters_before_collect(spark):
+    """max_bucket must be enforced BEFORE collect_list (round-3 verdict
+    Wrong #5): the plan sizes buckets with a window count inside the
+    same exchange and filters there, so a hot bucket never materializes
+    its id array in an agg buffer. Behavior: the oversized boilerplate
+    group vanishes, a within-cap pair survives."""
+    import contextlib
+    import io
+
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated verbatim") for i in range(5)]
+        + [(10, "another document entirely different words"),
+           (11, "another document entirely different words")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signature(df, "text", "doc_id", k=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=4)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(10, 11)}
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    agg_at, win_at = tree.index("ObjectHashAggregate"), tree.index("Window")
+    # Tree prints parents first: the collect_list agg must sit ABOVE the
+    # window count, with no exchange between them (same partitioning),
+    # and the size filter between the two.
+    assert agg_at < win_at, "bucket-size filter must run before collect_list"
+    assert "Exchange" not in tree[agg_at:win_at]
+    assert "Filter" in tree[agg_at:win_at]
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """The default salt (hash of all big-side columns) must spread a hot
+    key's rows across MANY salts — salting on the join key itself would
+    give the hot key exactly one salt (zero spread, the round-2 no-op
+    bug). Also: result equals the plain join."""
+    from openweathermapapi_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 0)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "label"])
+    out = salted_join(big, small, on="k", n_salts=8, keep_salt=True)
+    hot_salts = out.filter("k = 'hot'").select("_salt").distinct().count()
+    assert hot_salts > 1, "hot key landed on a single salt: no spread"
+    plain = {tuple(r) for r in big.join(small, on="k").collect()}
+    assert {tuple(r) for r in out.drop("_salt").collect()} == plain
+
+
+def test_salted_join_default_salt_skips_map_columns(spark):
+    """xxhash64 rejects MapType at analysis time; the all-columns
+    default salt must skip map columns instead of failing where an
+    explicit salt_on would work (round-3 advisor, low)."""
+    from openweathermapapi_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("a", 1, {"x": "1"}), ("a", 2, {"y": "2"}), ("b", 3, {"z": "3"})],
+        "k string, payload int, props map<string,string>",
+    )
+    small = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "label"])
+    got = {
+        (r.k, r.payload, r.label)
+        for r in salted_join(big, small, on="k", n_salts=4)
+        .select("k", "payload", "label")
+        .collect()
+    }
+    assert got == {("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B")}
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from pyspark.sql import functions as F
 
