@@ -214,8 +214,8 @@ def cosine_topk_ivf(
     the only shuffles left are the assignment groupBy and the two small
     windows. Round 1's shape scored the full corpus twice and rescanned
     it twice more for re-rank vectors: 22 exchanges → this plan halves
-    that (pinned by tests/test_plan_shapes.py::test_ivf_plan_single_
-    corpus_scoring_pass).
+    that (pinned by
+    tests/test_plan_shapes.py::test_ivf_plan_single_corpus_scoring_pass).
     """
     from pyspark.sql import Window as W
 

@@ -250,6 +250,44 @@ def b43_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(deduped, "b43w_out", "append")
 
 
+@register("b43_streaming_dedup_watermarked_evicting")
+def b43_streaming_dedup_watermarked_evicting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B43 (eviction proof, rows-only by design): the same
+    ``dropDuplicatesWithinWatermark`` with a SMALL real delay (10
+    minutes against a ~30-day event span), arrival in event-time order
+    (older half first) so the watermark actually advances between
+    micro-batches and batch-1 dedup state is EVICTED before batch 2 —
+    the bounded-state behavior the watermarked flavor exists for. A key
+    re-seen after its state was evicted re-emits, so the output is
+    arrival-order-dependent and has no batch SQL oracle (the driver
+    records rows-only); it IS deterministic given the fixed two-batch
+    time split. The state-store eviction itself is asserted from the
+    query's progress metrics in
+    tests/test_streaming.py::test_watermarked_dedup_evicts_state.
+    """
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    d = _replay_dir(
+        spark,
+        sf_dir,
+        "b43e",
+        predicates=[F.col("ts") < F.lit(mid_ts), F.col("ts") >= F.lit(mid_ts)],
+    )
+    stream = replay_files_stream(spark, d, EVENTS)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, "b43e_out", "append")
+
+
 @register(
     "b44_foreachbatch_upsert",
     oracle=f"""
@@ -257,8 +295,8 @@ def b43_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     tagged AS (
       -- batch boundary = split_events_files' ceil((max_id+1)/2) step,
       -- NOT floor: with an even max_id the floor puts the boundary row
-      -- in the wrong batch (regression-pinned by an even-max fixture
-      -- test in tests/test_streaming.py).
+      -- in the wrong batch (regression-pinned by tests/test_streaming.py::
+      -- test_split_even_max_id_boundary_matches_ceil_oracle).
       SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 2) // 2 FROM ev)
                      THEN 0 ELSE 1 END AS batch
       FROM ev),

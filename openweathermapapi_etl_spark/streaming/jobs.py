@@ -71,12 +71,13 @@ def replay_files_stream(
     )
 
 
-def run_to_memory(
+def run_to_memory_query(
     stream_df: DataFrame, name: str, output_mode: str
-) -> DataFrame:
-    """Drive a streaming DataFrame to completion into a memory sink and
-    return the result table (availableNow → processes all input then
-    stops — the test-mode trigger for the reference's cron cadence)."""
+):
+    """Like :func:`run_to_memory`, but also returns the finished
+    StreamingQuery so callers can read state-store metrics
+    (``stateOperators`` in the progress log) — the eviction proof for
+    watermarked operators."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -86,4 +87,13 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(name), q
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the result table (availableNow → processes all input then
+    stops — the test-mode trigger for the reference's cron cadence)."""
+    return run_to_memory_query(stream_df, name, output_mode)[0]

@@ -78,21 +78,19 @@ def make_canned_fetcher(docs_by_city: dict[str, list[dict]]) -> Fetcher:
     return fetch
 
 
-def http_microbatch_query(
+def make_batch_processor(
     spark: SparkSession,
     fetcher: Fetcher,
-    table_root: str,
-    cities: list[str] | None = None,
-    interval: str = "5 minutes",
+    table: VersionedParquetTable,
+    city_list: list[str],
     raw_log_root: str | None = None,
-) -> StreamingQuery:
-    """Start the streaming ETL: rate-clock → fetch → transform → M1.
-
-    ``raw_log_root``: optional bronze zone — append the raw documents
-    as JSON per batch (A16, more useful than the reference's log lines).
+) -> Callable:
+    """The per-tick foreachBatch callback, exposed as a named builder so
+    tests can invoke it directly with a repeated batch_id — Spark
+    re-enters a failed micro-batch with the SAME id, and the bronze-log
+    idempotence under that retry is pinned by
+    tests/test_weather_pipeline.py::test_bronze_log_idempotent_on_batch_retry.
     """
-    city_list = cities or DEFAULT_CITIES
-    table = VersionedParquetTable(table_root)
 
     def process_batch(batch_df, batch_id: int) -> None:
         # One fetch per city, driver-side; any failure aborts the batch
@@ -114,6 +112,27 @@ def http_microbatch_query(
         staged = transform_raw(raw_parsed).distinct()  # A10
         table.upsert(spark, staged, keys=WEATHER_KEYS)  # A11/M1
 
+    return process_batch
+
+
+def http_microbatch_query(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    table_root: str,
+    cities: list[str] | None = None,
+    interval: str = "5 minutes",
+    raw_log_root: str | None = None,
+) -> StreamingQuery:
+    """Start the streaming ETL: rate-clock → fetch → transform → M1.
+
+    ``raw_log_root``: optional bronze zone — append the raw documents
+    as JSON per batch (A16, more useful than the reference's log lines).
+    """
+    city_list = cities or DEFAULT_CITIES
+    table = VersionedParquetTable(table_root)
+    process_batch = make_batch_processor(
+        spark, fetcher, table, city_list, raw_log_root
+    )
     clock = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     return (
         clock.writeStream.trigger(processingTime=interval)

@@ -78,6 +78,34 @@ def test_versioned_table_vacuum(spark, tmp_path):
     assert _rows(table.read(spark)) == {("a", 3, "v3")}
 
 
+def test_null_key_upsert_is_idempotent_and_unique(spark):
+    """NULL keys are one key group (merge.py's eqNullSafe anti join,
+    round-3 fix): a plain ``=`` anti join never matches NULL-key rows,
+    so repeated upserts of a NULL-key batch would silently accumulate
+    duplicates and break the key-unique invariant. Upsert the same
+    NULL-key batch twice: the NULL group must update in place, stay
+    unique, and be idempotent."""
+    old = make_df(spark, [(None, 1, "n1"), ("a", 1, "x")])
+    upd = make_df(spark, [(None, 2, "n2")])
+    once = keyed_upsert(old, upd, keys=["k"])
+    assert _rows(once) == {(None, 2, "n2"), ("a", 1, "x")}
+    twice = keyed_upsert(once, upd, keys=["k"])
+    assert _rows(twice) == _rows(once)
+    # Key uniqueness counts NULL as a group (groupBy groups NULLs).
+    dupes = twice.groupBy("k").count().filter("count > 1").collect()
+    assert dupes == []
+
+
+def test_null_key_upsert_broadcast_path(spark):
+    """The eqNullSafe condition must hold on the forced-broadcast anti
+    join too (both code paths share it, but the broadcast plan is the
+    production regime — reference: 12-row batches)."""
+    old = make_df(spark, [(None, 1, "n1"), ("b", 1, "y")])
+    upd = make_df(spark, [(None, 3, "n3"), ("b", 2, "y2")])
+    out = keyed_upsert(old, upd, keys=["k"], broadcast_updates=True)
+    assert _rows(out) == {(None, 3, "n3"), ("b", 2, "y2")}
+
+
 def test_pk_uniqueness_by_construction(spark):
     old = make_df(spark, [("a", 1, "x"), ("b", 1, "y")])
     upd = make_df(spark, [("a", 2, "x2"), ("a", 3, "x3"), ("c", 1, "z")])

@@ -60,6 +60,23 @@ def test_groupby_agg_has_partial_aggregation(spark):
     assert "partial_sum" in s  # map-side combine before the exchange
 
 
+def test_ivf_plan_single_corpus_scoring_pass(spark):
+    """The round-3 IVF rewrite (operators/similarity.py): the corpus×
+    centroid scoring runs ONCE inside the inverted-file aggregation and
+    the re-rank joins the carried vectors instead of rescanning. Pin the
+    shape: no sort-merge joins, ≤4 shuffles (inverted-file groupBy + two
+    small windows), exactly 2 keyless broadcast NLJs (full-corpus
+    assignment + query-slice probing — a third would mean the corpus is
+    being rescored), and 4 scans (round 1's two-pass shape had more of
+    all of these: 22 exchanges / 2 SMJ)."""
+    s = plan_of(spark, "c03_cosine_topk_ivf")
+    tree = s.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert len(re.findall(r"\bExchange\b", tree)) <= 4
+    assert tree.count("BroadcastNestedLoopJoin") == 2
+    assert tree.count("Scan parquet") == 4
+
+
 def test_bucketed_join_has_zero_exchanges(spark):
     """The whole point of bucketing: the fact⋈fact sort-merge join must
     read co-located buckets with NO shuffle in the plan."""

@@ -68,6 +68,94 @@ def test_session_window_streaming_append(spark, sf_dir, tmp_path):
     assert 0 < streamed.count() <= batch.count()
 
 
+def test_watermarked_dedup_evicts_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT state once the watermark
+    passes a key's horizon (round-3 verdict Wrong #4: the oracle-twin
+    flavor sizes its delay to the full span, so it provably evicts
+    nothing). Small delay + event-time-ordered arrival over a ~30-day
+    span → batch-1 state is gone by end of batch 2: numRowsRemoved > 0
+    and final state is far below the emitted key count."""
+    from openweathermapapi_etl_spark.catalog import load_table
+    from openweathermapapi_etl_spark.streaming.jobs import run_to_memory_query
+
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    out = str(tmp_path / "evict_replay")
+    split_events_files(
+        spark, sf_dir, out,
+        predicates=[F.col("ts") < F.lit(mid_ts), F.col("ts") >= F.lit(mid_ts)],
+    )
+    stream = replay_files_stream(spark, out, EVENTS)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    emitted, q = run_to_memory_query(deduped, "t_evict", "append")
+    ops = [
+        op
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    ]
+    assert ops, "no state operator metrics recorded"
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    assert removed > 0, "watermark advanced across batches but nothing evicted"
+    final_state = ops[-1]["numRowsTotal"]
+    assert final_state < emitted.count(), (
+        f"state ({final_state}) should be bounded well below emitted "
+        f"keys ({emitted.count()}) — eviction isn't bounding state"
+    )
+
+
+def test_split_even_max_id_boundary_matches_ceil_oracle(spark, tmp_path):
+    """The b44 oracle's batch-boundary formula is ceil((max_id+1)/2) =
+    (max_id+2)//2, NOT floor — with an EVEN max_id, floor would put the
+    boundary row in the wrong batch (round-3 fix, streaming_q.py b44
+    oracle comment). Fixture: ids 0..4 (max_id=4, even) → step 3 →
+    batch 0 = {0,1,2}, batch 1 = {3,4}; floor's step of 2 would have
+    put id 2 in batch 1."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + datetime.timedelta(minutes=i),
+            user_id=i % 2,
+            event_type="click",
+            value=float(i),
+            props="{}",
+        )
+        for i in range(5)
+    ]
+    sf = str(tmp_path / "sf_even")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    out = str(tmp_path / "split_even")
+    split_events_files(spark, sf, out, n_files=2)
+
+    def ids(fname):
+        return {
+            r.event_id
+            for r in spark.read.schema(EVENTS)
+            .parquet(os.path.join(out, fname))
+            .collect()
+        }
+
+    assert ids("0000.parquet") == {0, 1, 2}
+    assert ids("0001.parquet") == {3, 4}
+    # The SQL-side twin of the same boundary, as the b44 oracle writes it:
+    max_id = 4
+    assert (max_id + 2) // 2 == 3
+
+
 def test_checkpoint_prevents_reprocessing_on_restart(spark, sf_dir, tmp_path):
     """Restart semantics: a foreachBatch+M1 stream restarted with the
     SAME checkpoint must not re-read already-committed source files —

@@ -119,6 +119,69 @@ def test_streaming_http_source_canned(spark, tmp_path):
     assert ("CityA", 21.0) in rows and ("CityB", 3.0) in rows
 
 
+def test_bronze_log_idempotent_on_batch_retry(spark, tmp_path):
+    """A16 retry idempotence (round-3 fix): a failed micro-batch is
+    re-entered by Spark with the SAME batch_id; the bronze zone writes
+    mode=overwrite per batch dir, so the retry replaces rather than
+    double-logs. Simulate the retry by invoking the batch processor
+    twice with batch_id=0 and assert the bronze dir holds each city's
+    document exactly once."""
+    from openweathermapapi_etl_spark.streaming.source import make_batch_processor
+
+    cities = ["CityA", "CityB"]
+    docs = {
+        "CityA": [dict(DOC, name="CityA"), dict(DOC, name="CityA")],
+        "CityB": [dict(DOC, name="CityB"), dict(DOC, name="CityB")],
+    }
+    bronze = str(tmp_path / "bronze")
+    table = VersionedParquetTable(str(tmp_path / "tbl"))
+    process = make_batch_processor(
+        spark, make_canned_fetcher(docs), table, cities, raw_log_root=bronze
+    )
+    process(None, 0)
+    process(None, 0)  # the retry: same batch_id
+    logged = spark.read.text(os.path.join(bronze, "batch=0"))
+    assert logged.count() == len(cities)  # not 2x
+    names = sorted(
+        json.loads(r.value)["name"] for r in logged.collect()
+    )
+    assert names == ["CityA", "CityB"]
+    # ...and the silver table stayed key-unique (M1 idempotence).
+    dups = table.read(spark).groupBy("Time", "City_Name").count().filter(
+        "count > 1"
+    ).collect()
+    assert dups == []
+
+
+def test_processing_time_trigger_fires_on_real_clock(spark, tmp_path):
+    """A12: the reference schedules on a real clock (cron */5,
+    /root/reference/dags/weather-etl.py:46). Run the stream with a
+    1-second ``processingTime`` trigger — NOT availableNow — let ≥2
+    ticks fire on the wall clock, assert the batch count from the
+    query's own progress log, and stop cleanly."""
+    import time
+
+    cities = ["CityA"]
+    # Enough canned documents for many ticks.
+    fetcher = make_canned_fetcher({"CityA": [dict(DOC, name="CityA")] * 30})
+    root = str(tmp_path / "weather_clock")
+    q = http_microbatch_query(
+        spark, fetcher, root, cities=cities, interval="1 seconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(q.recentProgress) < 3:
+            time.sleep(0.5)
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    batch_ids = {p["batchId"] for p in progress}
+    assert len(batch_ids) >= 2, f"expected >=2 real-clock ticks, got {batch_ids}"
+    assert not q.isActive  # clean stop
+    assert VersionedParquetTable(root).current_version() >= 1
+
+
 def test_failed_fetch_aborts_whole_batch(spark, tmp_path):
     """A7 atomicity: one city succeeds, the next raises — the batch
     must abort with NOTHING written (the reference commits once per
