@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "c03_cosine_topk_lsh",
     "c03_cosine_topk_ivf",
     "c04_token_stats",
+    # Custom-op hot paths (round-3 verdict task 5): the MERGE operator,
+    # the stateful streaming upsert sink, and the weather ETL e2e are
+    # perf-regression-tracked alongside the relational headline set.
+    "m1_keyed_upsert",
+    "b44_foreachbatch_upsert",
+    "a10_weather_pipeline_e2e",
 ]
 
 

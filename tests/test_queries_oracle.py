@@ -51,21 +51,26 @@ def test_entry_contract(spark):
 
 def test_driver_window_rotates_to_stalest_checked():
     """The correctness driver records rows for the first 50 registered
-    names only (rounds 1-2: CORRECTNESS_r0N.json held exactly the first
+    names only (rounds 1-3: CORRECTNESS_r0N.json held exactly the first
     50). Per round-2 advisor guidance the window ROTATES: this round's
-    new/changed queries lead, then every query round 2's window did NOT
-    cover (stalest driver check first), and round 2's window rotates to
+    new/changed queries lead, then every query round 3's window did NOT
+    cover (stalest driver check first), and round 3's window rotates to
     the back. Pin that invariant so a refactor can't silently pin a
     fixed curated head again."""
-    from openweathermapapi_etl_spark.plans import _R2_WINDOW, _R3_HEAD
+    from openweathermapapi_etl_spark.plans import _R3_WINDOW, _R4_HEAD
 
     names = list(QUERIES)
     head = names[:50]
-    assert head[: len(_R3_HEAD)] == _R3_HEAD, "new/changed queries must lead"
-    expected = set(_R3_HEAD) | (set(QUERIES) - set(_R2_WINDOW))
-    assert set(head) == expected, (
-        "first 50 must be exactly new/changed + round-2-unchecked queries"
+    assert head[: len(_R4_HEAD)] == _R4_HEAD, "new/changed queries must lead"
+    # Every query NOT driver-checked in round 3 (checked r2 or brand
+    # new) must be inside this round's window...
+    stalest = set(QUERIES) - set(_R3_WINDOW)
+    assert stalest <= set(head), (
+        "every round-3-unchecked query must be in the first 50"
     )
-    # Union of r2's window and this head = every registered query: no
+    # ...and anything else in the window must be head or a round-3 name
+    # rotated forward to fill the remainder.
+    assert set(head) <= set(_R4_HEAD) | stalest | set(_R3_WINDOW)
+    # Union of r3's window and this head = every registered query: no
     # query goes two rounds without an independent driver check.
-    assert set(_R2_WINDOW) | set(head) == set(QUERIES)
+    assert set(_R3_WINDOW) | set(head) == set(QUERIES)
