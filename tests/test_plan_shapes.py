@@ -2,6 +2,19 @@
 (broadcast joins on dims, filter pushdown into scans, TakeOrderedAndProject
 top-k, no accidental cartesian products) asserted as tests so a plan
 regression fails CI, not a 100 TB run. See PLANS.md for the full audit.
+
+Counting convention (round-5 fix, shared with tools/explain_report.py):
+node counts come from the plan TREE — the first blank-line-delimited
+section of ``explain("formatted")`` — because the per-node detail
+blocks that follow repeat every node name (~2x inflation; round 4's
+PLANS.md said "14 IVF exchanges" where the tree has 7). ``PushedFilters``
+is printed ONLY in the detail blocks, so pushdown checks match the full
+output.
+
+Every guard runs at BOTH sf0.01 and the bench scale sf0.1: the IVF plan
+demonstrably changes shape with scale (3 tree exchanges at sf0.01, 7 at
+sf0.1), so pinning one SF would let a scale-only regression through.
+Explain is plan-compile only (no execution), so the extra SF is cheap.
 """
 
 from __future__ import annotations
@@ -10,76 +23,96 @@ import contextlib
 import io
 import re
 
+import pytest
+
 from openweathermapapi_etl_spark.plans import QUERIES
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-def plan_of(spark, name: str) -> str:
+@pytest.fixture(params=SF_DIRS, ids=["sf0.01", "sf0.1"])
+def sf(request) -> str:
+    return request.param
+
+
+def plan_of(spark, name: str, sf_dir: str) -> tuple[str, str]:
+    """(full formatted output, tree section) of the query's static plan."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        QUERIES[name](spark, SF_DIR).explain("formatted")
-    return buf.getvalue()
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    s = buf.getvalue()
+    return s, s.split("\n\n")[0]
 
 
-def test_flagship_broadcasts_dims_no_cartesian(spark):
-    s = plan_of(spark, "flagship_q3")
-    assert s.count("BroadcastHashJoin") >= 3
-    assert "CartesianProduct" not in s
+def test_flagship_broadcasts_dims_no_cartesian(spark, sf):
+    s, tree = plan_of(spark, "flagship_q3", sf)
+    # customer⋈orders and orders⋈lineitem both broadcast (no shuffle join)
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
     # all three scans receive pushed filters
     assert len([m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m]) == 3
 
 
-def test_filters_push_into_parquet_scan(spark):
-    s = plan_of(spark, "b07_filter_predicates")
+def test_filters_push_into_parquet_scan(spark, sf):
+    s, _ = plan_of(spark, "b07_filter_predicates", sf)
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", s))
     for col in ("o_orderdate", "o_totalprice"):
         assert col in pushed, f"{col} not pushed into the scan"
 
 
-def test_topk_plans_take_ordered_no_global_sort(spark):
-    s = plan_of(spark, "b27_top_k")
-    assert "TakeOrderedAndProject" in s
+def test_topk_plans_take_ordered_no_global_sort(spark, sf):
+    _, tree = plan_of(spark, "b27_top_k", sf)
+    assert "TakeOrderedAndProject" in tree
 
 
-def test_range_join_keeps_equi_prefix_hash_join(spark):
-    s = plan_of(spark, "b14_range_join")
-    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
-    assert "CartesianProduct" not in s
+def test_range_join_keeps_equi_prefix_hash_join(spark, sf):
+    _, tree = plan_of(spark, "b14_range_join", sf)
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+    assert "CartesianProduct" not in tree
 
 
-def test_salted_agg_is_two_stage(spark):
-    # two groupBys → (partial+final) pairs: at least 3 HashAggregate
-    # nodes and exactly one exchange keyed on the salt stage
-    s = plan_of(spark, "b16_salted_agg")
-    assert s.count("HashAggregate") >= 3
+def test_salted_agg_is_two_stage(spark, sf):
+    # two groupBys → (partial+final) pairs: ≥3 HashAggregate tree nodes
+    # and exactly 2 exchanges (salt stage + final combine)
+    _, tree = plan_of(spark, "b16_salted_agg", sf)
+    assert tree.count("HashAggregate") >= 3
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2
 
 
-def test_groupby_agg_has_partial_aggregation(spark):
-    s = plan_of(spark, "b16_groupby_agg")
+def test_groupby_agg_has_partial_aggregation(spark, sf):
+    s, _ = plan_of(spark, "b16_groupby_agg", sf)
     assert "partial_sum" in s  # map-side combine before the exchange
 
 
-def test_ivf_plan_single_corpus_scoring_pass(spark):
+# Per-SF exchange bound for the IVF plan tree: measured 3 at sf0.01 and
+# 7 at sf0.1 (the growth is extra Exchanges, not join-strategy changes —
+# BNLJ stays 2, SMJ stays 0 at both). A value above the bound at EITHER
+# scale is a real plan regression, not a methodology artifact.
+_IVF_MAX_EXCHANGES = {"/root/testdata/sf0.01": 4, "/root/testdata/sf0.1": 7}
+
+
+def test_ivf_plan_single_corpus_scoring_pass(spark, sf):
     """The round-3 IVF rewrite (operators/similarity.py): the corpus×
     centroid scoring runs ONCE inside the inverted-file aggregation and
     the re-rank joins the carried vectors instead of rescanning. Pin the
-    shape: no sort-merge joins, ≤4 shuffles (inverted-file groupBy + two
-    small windows), exactly 2 keyless broadcast NLJs (full-corpus
-    assignment + query-slice probing — a third would mean the corpus is
-    being rescored), and 4 scans (round 1's two-pass shape had more of
-    all of these: 22 exchanges / 2 SMJ)."""
-    s = plan_of(spark, "c03_cosine_topk_ivf")
-    tree = s.split("\n\n")[0]
+    shape: no sort-merge joins, per-SF exchange bounds (above), at most
+    2 keyless broadcast NLJs (full-corpus assignment + query-slice
+    probing — a third would mean the corpus is being rescored), and at
+    most 4 scans (round 1's two-pass shape had more of all of these:
+    22 exchanges / 2 SMJ). Upper bounds, not equalities, so a Spark
+    upgrade or broadcast-threshold change that PRESERVES the one-pass
+    property doesn't false-fail (round-4 advisor)."""
+    _, tree = plan_of(spark, "c03_cosine_topk_ivf", sf)
     assert "SortMergeJoin" not in tree
-    assert len(re.findall(r"\bExchange\b", tree)) <= 4
-    assert tree.count("BroadcastNestedLoopJoin") == 2
-    assert tree.count("Scan parquet") == 4
+    assert len(re.findall(r"\bExchange\b", tree)) <= _IVF_MAX_EXCHANGES[sf]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+    assert tree.count("Scan parquet") <= 4
 
 
-def test_bucketed_join_has_zero_exchanges(spark):
+def test_bucketed_join_has_zero_exchanges(spark, sf):
     """The whole point of bucketing: the fact⋈fact sort-merge join must
     read co-located buckets with NO shuffle in the plan."""
-    s = plan_of(spark, "b10_bucketed_colocated_join")
-    assert "SortMergeJoin" in s
-    assert "Exchange" not in s
+    _, tree = plan_of(spark, "b10_bucketed_colocated_join", sf)
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree
