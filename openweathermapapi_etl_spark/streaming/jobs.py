@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 
+def write_events_file(part: DataFrame, out_dir: str, idx: int) -> str:
+    """Write one replay file ``{idx:04d}.parquet`` with mtime = idx
+    offset (strictly increasing mtimes → deterministic file→batch
+    order). Callers that stage arrival INCREMENTALLY (write file 0, run
+    a query to completion, write file 1, run again) use this directly —
+    see ``b39_watermark_late_drop`` for why that matters."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp{idx}")
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(out_dir, f"{idx:04d}.parquet")
+    shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    ts = time.time() - 1000 + idx
+    os.utime(dst, (ts, ts))
+    return dst
+
+
 def split_events_files(
     spark: SparkSession,
     sf_dir: str,
@@ -40,7 +58,6 @@ def split_events_files(
     if predicates is not None:
         n_files = len(predicates)
     shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
     for i in range(n_files):
         if predicates is not None:
             part = events.filter(predicates[i])
@@ -48,15 +65,7 @@ def split_events_files(
             part = events.filter(
                 (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
             )
-        tmp = os.path.join(out_dir, f"_tmp{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(out_dir, f"{i:04d}.parquet")
-        shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        # Strictly increasing mtimes → deterministic file→batch order.
-        ts = time.time() - 1000 + i
-        os.utime(dst, (ts, ts))
+        write_events_file(part, out_dir, i)
     return events
 
 
@@ -69,6 +78,41 @@ def replay_files_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(dir_path)
     )
+
+
+def run_checkpointed_append(stream_df: DataFrame, ckpt: str, collected: list):
+    """Drive ONE availableNow run with a foreachBatch sink accumulating
+    the appended rows driver-side; returns the finished query (for
+    ``stateOperators`` metrics).
+
+    Why this exists (Spark 4.1 semantics, discovered round 5): within a
+    single availableNow run, the input-side late-row filter of stateful
+    operators evaluates against the watermark restored at QUERY START —
+    per-batch watermark advances only drive state eviction/emission, not
+    input filtering (the progress log still *displays* the advanced
+    watermark, which is what makes the degradation silent:
+    ``numRowsDroppedByWatermark`` stays 0 and late rows aggregate as if
+    on time). Sequential runs on a SHARED checkpoint restore the
+    committed watermark at start, so run N+1 genuinely filters rows that
+    run N made late — matching the reference's sequential-cron-runs
+    cadence. The memory sink can't recover from a checkpoint, hence
+    foreachBatch + a driver-side list (bounded: append mode emits each
+    finalized aggregate exactly once; production would write a table).
+    Pinned by tests/test_streaming.py::test_watermark_actually_drops_late_rows.
+    """
+
+    def sink(df: DataFrame, _bid: int) -> None:
+        collected.extend(df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 def run_to_memory_query(
