@@ -151,11 +151,14 @@ def _lsh_oracle(k: int = 8, band_size: int = 2, max_bucket: int | None = None) -
 def c02_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2b: LSH banding (4 bands x 2 rows) → near-dup candidate pairs.
     Explode-to-bands + equi-join on band key: bounded by bucket sizes,
-    never a cross product."""
+    never a cross product. ``max_bucket=None`` is the EXPLICIT opt-out
+    of the production default cap (operators/dedup.py defaults to
+    10_000): this is the exhaustive oracle twin, kept uncapped so the
+    DuckDB oracle enumerates exactly the same pair set."""
     sigs = minhash_signature(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
     )
-    return lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2)
+    return lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=None)
 
 
 @register("c02_lsh_candidates_capped", oracle=_lsh_oracle(max_bucket=3))
