@@ -92,11 +92,22 @@ def salted_join(
         # time (maps have no canonical element order), so the
         # all-columns default must skip them — a big side carrying a
         # map column would otherwise fail where an explicit salt_on
-        # works.
-        from pyspark.sql.types import MapType
+        # works. The rejection applies to maps at ANY nesting depth
+        # (struct<m: map<...>>, array<map<...>>), so the check walks
+        # the full type tree, not just the top level (round-4 advisor).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(has_map(f.dataType) for f in dt.fields)
+            return False
 
         hashable = [
-            f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+            f.name for f in big.schema.fields if not has_map(f.dataType)
         ]
         if not hashable:
             raise ValueError(

@@ -216,6 +216,28 @@ def test_salted_join_default_salt_skips_map_columns(spark):
     assert got == {("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B")}
 
 
+def test_salted_join_default_salt_skips_nested_map_columns(spark):
+    """Round-4 advisor: xxhash64 also rejects maps NESTED inside
+    struct/array columns, so the default-salt guard must walk the full
+    type tree — struct<m: map<...>> and array<map<...>> columns are
+    skipped, and the surviving scalar column still salts the join."""
+    from openweathermapapi_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("a", 1, ({"x": "1"},), [{"y": "2"}]), ("b", 3, ({"z": "3"},), [])],
+        "k string, payload int, "
+        "s struct<m: map<string,string>>, am array<map<string,string>>",
+    )
+    small = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "label"])
+    got = {
+        (r.k, r.payload, r.label)
+        for r in salted_join(big, small, on="k", n_salts=4)
+        .select("k", "payload", "label")
+        .collect()
+    }
+    assert got == {("a", 1, "A"), ("b", 3, "B")}
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from pyspark.sql import functions as F
 

@@ -162,8 +162,11 @@ def test_processing_time_trigger_fires_on_real_clock(spark, tmp_path):
     import time
 
     cities = ["CityA"]
-    # Enough canned documents for many ticks.
-    fetcher = make_canned_fetcher({"CityA": [dict(DOC, name="CityA")] * 30})
+    # Sized to outlast the worst case: 1s ticks for the full 60s poll
+    # deadline on a loaded machine (round-4 advisor: a drained queue
+    # kills the query mid-test with an opaque fetcher error instead of
+    # a clear tick-count assertion).
+    fetcher = make_canned_fetcher({"CityA": [dict(DOC, name="CityA")] * 120})
     root = str(tmp_path / "weather_clock")
     q = http_microbatch_query(
         spark, fetcher, root, cities=cities, interval="1 seconds"
