@@ -52,6 +52,42 @@ BENCH_QUERIES = [
     "m1_keyed_upsert",
     "b44_foreachbatch_upsert",
     "a10_weather_pipeline_e2e",
+    # Multimodal Arrow hot paths (round-4 verdict task 6): the only
+    # operator family previously absent from the headline set — a
+    # mapInPandas Arrow-batch perf regression was invisible.
+    "c05_feature_extract",
+    "c05_frame_sample",
+]
+
+#: The previous round's headline set (BENCH_r04.json), so totals can be
+#: compared like-for-like round-over-round: the headline total grows
+#: whenever queries are ADDED, which otherwise reads as a regression
+#: until decomposed (round-4 verdict task 7).
+PREV_ROUND_QUERIES = [
+    "flagship_q3",
+    "b06_select_expr",
+    "b07_filter_predicates",
+    "b10_inner_join",
+    "b11_left_join",
+    "b14_range_join",
+    "b15_asof_join",
+    "b16_groupby_agg",
+    "b17_count_distinct",
+    "b20_rollup",
+    "b23_ranking_windows",
+    "b25_window_frames",
+    "b27_top_k",
+    "b28_topk_per_group",
+    "c01_exact_dedup",
+    "c02_minhash_signatures",
+    "c02_minhash_fast",
+    "c02_lsh_candidates",
+    "c03_cosine_topk_lsh",
+    "c03_cosine_topk_ivf",
+    "c04_token_stats",
+    "m1_keyed_upsert",
+    "b44_foreachbatch_upsert",
+    "a10_weather_pipeline_e2e",
 ]
 
 
@@ -80,6 +116,9 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
+                "value_prev_set": round(
+                    sum(timings.get(n, 0.0) for n in PREV_ROUND_QUERIES), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
