@@ -51,26 +51,30 @@ def test_entry_contract(spark):
 
 def test_driver_window_rotates_to_stalest_checked():
     """The correctness driver records rows for the first 50 registered
-    names only (rounds 1-3: CORRECTNESS_r0N.json held exactly the first
-    50). Per round-2 advisor guidance the window ROTATES: this round's
-    new/changed queries lead, then every query round 3's window did NOT
-    cover (stalest driver check first), and round 3's window rotates to
-    the back. Pin that invariant so a refactor can't silently pin a
-    fixed curated head again."""
-    from openweathermapapi_etl_spark.plans import _R3_WINDOW, _R4_HEAD
+    names only. The window ROTATES each round; since round 5 the head
+    is DERIVED (tools/changed_queries.py: git diff → module → reverse
+    transitive import closure → registered queries) instead of
+    hand-curated, with direct changes ordered before transitive ones.
+    This round the closure (77 affected) overflows the 50-slot window,
+    so the invariant is: the derived head leads in order (the window is
+    entirely affected names, truncating only the lower-risk transitive
+    tail), the overflow ranks immediately after the window (stalest for
+    the next rotation), and round 4's window rotates to the back."""
+    from openweathermapapi_etl_spark.plans import _R4_WINDOW, _R5_HEAD
 
     names = list(QUERIES)
-    head = names[:50]
-    assert head[: len(_R4_HEAD)] == _R4_HEAD, "new/changed queries must lead"
-    # Every query NOT driver-checked in round 3 (checked r2 or brand
-    # new) must be inside this round's window...
-    stalest = set(QUERIES) - set(_R3_WINDOW)
-    assert stalest <= set(head), (
-        "every round-3-unchecked query must be in the first 50"
-    )
-    # ...and anything else in the window must be head or a round-3 name
-    # rotated forward to fill the remainder.
-    assert set(head) <= set(_R4_HEAD) | stalest | set(_R3_WINDOW)
-    # Union of r3's window and this head = every registered query: no
-    # query goes two rounds without an independent driver check.
-    assert set(_R3_WINDOW) | set(head) == set(QUERIES)
+    assert names[: len(_R5_HEAD)] == _R5_HEAD, "affected queries must lead"
+    # The previous round's window rotates to the back (minus names
+    # promoted into the head).
+    tail = [n for n in _R4_WINDOW if n not in set(_R5_HEAD)]
+    assert names[-len(tail):] == tail, "round-4 window must rotate to the back"
+    # Everything in between is the stale remainder; nothing lost.
+    middle = names[len(_R5_HEAD):-len(tail)]
+    assert set(middle) == set(QUERIES) - set(_R5_HEAD) - set(tail)
+    # Every name the 50-slot window sheds this round is either covered
+    # by round 4's window (checked last round) or ranked ahead of all
+    # round-4-checked names for the next rotation — no query is both
+    # dropped from the window AND deprioritized behind fresher names.
+    window = set(names[:50])
+    for n in set(QUERIES) - window - set(_R4_WINDOW):
+        assert names.index(n) < len(names) - len(tail), n
