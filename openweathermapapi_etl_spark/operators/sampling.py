@@ -1,0 +1,102 @@
+"""C7 — deterministic sampling & dataset-mixing operators for
+training-data pipelines: hash-based train/val/test split, stratified
+per-group sampling, and weighted mixture expansion.
+
+All three are the shapes a 100 TB curation job actually runs:
+
+- **hash_split** is pure row-local column arithmetic — zero shuffle,
+  scan speed, and *stable*: a document lands in the same split on
+  every run, on every cluster, regardless of partitioning, because
+  the bucket is a content-independent hash of its id (the property
+  random() cannot give you, and the reason training pipelines never
+  split with rand()).
+- **stratified_sample** is one window per stratum — a single hash
+  shuffle on the strata key; the hash order key makes the sample
+  deterministic AND unbiased (hash order is uncorrelated with any
+  data column).
+- **mixture_expand** is a row-multiplying projection (explode of a
+  per-row sequence) — no shuffle; upsampling weights are the standard
+  way training mixes oversample high-quality sources.
+
+The portable :func:`~.text.char_fold_hash` keeps every one of them
+bit-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_fold_hash
+
+
+def split_bucket(key: Column, salt: str = "split", n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a salted key hash.
+
+    The salt decorrelates the split from any other use of the same
+    hash on the same key (e.g. sampling): different salt → independent
+    bucket assignment.
+    """
+    return F.pmod(
+        char_fold_hash(F.concat(F.lit(salt + ":"), key.cast("string"))),
+        F.lit(n_buckets),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Add (split_bucket, split) columns: 'train' / 'val' / 'test' by
+    hash bucket of the salted key — row-local, shuffle-free, stable
+    across runs and cluster layouts."""
+    b = split_bucket(F.col(key_col), salt)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_bucket", b).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in deterministic hash
+    order (hash, then key as tiebreak — total order, so the sample is
+    unique). Adds ``sample_rank`` (1-based). One shuffle on the strata
+    key; rank cutoff happens inside the window, so only the window
+    sort pays for oversized strata."""
+    from pyspark.sql import Window as W
+
+    order = split_bucket(F.col(key_col), salt, n_buckets=1_000_000_007)
+    w = W.partitionBy(*strata_cols).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def mixture_expand(df: DataFrame, weight: Column) -> DataFrame:
+    """Weighted mixture expansion: repeat each row ``weight`` times
+    (integer weights; 0 drops the row), adding ``copy_no`` in
+    [0, weight). Row-multiplying projection, no shuffle — downstream
+    shuffles (e.g. a global shuffle-for-training-order) see the
+    already-expanded stream.
+
+    Guarded: ``F.sequence(0, -1)`` generates a *descending* [0, -1]
+    (the word_shingles pitfall), which would emit two copies of a
+    weight-0 row instead of dropping it — so non-positive weights
+    short-circuit to an empty array before the explode."""
+    w = weight.cast("int")
+    seq = F.when(w > 0, F.sequence(F.lit(0), w - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_no", F.explode(seq))

@@ -318,3 +318,55 @@ def cosine_topk_lsh(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """Per-label embedding centroid in long form: (label, dim,
+    centroid_val, n_vectors), dim 1-based.
+
+    The building block of embedding-space curation (cluster centers,
+    k-means update steps, IVF coarse-quantizer training). Plan:
+    posexplode the vector → ONE partial+final hash agg keyed on
+    (label, dim) — the explode multiplies rows by the dimension count
+    but never shuffles unaggregated vectors; the exchange carries only
+    (label, dim, partial-sum) after map-side combine, so at 100 TB the
+    shuffle volume is #labels x dim, independent of the corpus size.
+
+    Float policy: the default is a plain double mean (production — the
+    partial-agg order perturbs only the ~1e-16 tail, far below
+    embedding noise). ``quantize_scale`` (e.g. ``10**6``) is the
+    parity flavor: components are floored onto a 1/scale grid and
+    summed as BIGINT, making the aggregation integer-exact and thus
+    order-independent AND engine-identical — the DECIMAL(38,12) trick
+    (plans/util.dsum) is NOT enough here because Spark rounds the
+    double→decimal cast HALF_UP while DuckDB rounds half-even, and at
+    12 decimal places real embedding components do land on ties
+    (observed at sf0.01). floor(v * scale) is a single IEEE multiply +
+    floor, bit-identical across engines; quantization error ≤ 1/scale
+    per component. Integer sums are also cheaper than decimal sums.
+    No-overflow envelope: |component| * scale * group_rows < 2^63 —
+    at scale=1e6 that allows 9e12 unit-normalized vectors per label.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    v = F.col("val").cast("double")
+    if quantize_scale:
+        mean = F.sum(
+            F.floor(v * quantize_scale).cast("bigint")
+        ).cast("double") / (F.lit(float(quantize_scale)) * F.count("*"))
+    else:
+        mean = F.sum(v) / F.count("*")
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            mean.alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

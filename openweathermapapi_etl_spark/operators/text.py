@@ -16,7 +16,7 @@ Two hash families:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Modulus of the portable polynomial hash (fits products in int64:
@@ -137,3 +137,74 @@ def bpe_token_count(text: Column) -> Column:
     BPE vocabularies start from (ASCII classes only, so DuckDB's
     regexp_extract_all counts identically)."""
     return F.regexp_count(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 ]"))
+
+
+#: PII patterns, kept to ASCII classes + literal anchors so the Java
+#: (Spark) and RE2 (DuckDB) regex engines match identically.
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholders — the
+    scrub stage of a training-data pipeline. Two JVM regexp_replace
+    passes, scan speed; email first so an address containing digits
+    can't be half-eaten by the phone pattern."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text`` — audit metrics emitted
+    alongside the redaction so a scrub job can report coverage."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )
+
+
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document: of its word
+    n-grams, how many are duplicates and how dominant is the top one.
+
+    Returns (id, n_grams, n_distinct, top_gram_n, dup_gram_frac,
+    top_gram_token_frac): ``dup_gram_frac`` = fraction of n-gram
+    instances whose gram occurs more than once; ``top_gram_token_frac``
+    = fraction of the document's tokens covered by repetitions of the
+    single most frequent n-gram (n * count / n_tokens, the Gopher
+    "fraction of tokens in the most common n-gram" rule). High values
+    mean boilerplate/looping text — the standard repetition filter.
+
+    Plan: explode n-grams → partial+final count per (doc, gram) → one
+    more agg per doc. Two shuffles, both keyed on document-ish keys
+    (skew-free: a document's gram multiset is bounded by its length).
+    Documents with fewer than ``n`` tokens have no n-grams and are
+    absent from the output (nothing to score).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_gram_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("n_dup"),
+    )
+    n_tokens = F.col("n_grams") + (n - 1)  # grams = tokens - (n-1)
+    return stats.select(
+        F.col(id_col),
+        "n_grams",
+        "n_distinct",
+        "top_gram_n",
+        (F.col("n_dup").cast("double") / F.col("n_grams")).alias("dup_gram_frac"),
+        (F.lit(n) * F.col("top_gram_n").cast("double") / n_tokens).alias(
+            "top_gram_token_frac"
+        ),
+    )

@@ -15,6 +15,7 @@ from . import tier_c  # noqa: E402,F401
 from . import merge_q  # noqa: E402,F401
 from . import weather_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 # The correctness driver records rows for the FIRST 50 registered names
 # only (observed in rounds 1-4: CORRECTNESS_r0{1,2,3,4}.json each held
@@ -100,6 +101,16 @@ _R4_WINDOW = [
 # LSH cap default, NULL-ts replay guards, the b39 two-run rework) +
 # 44 transitive (relational.py imports the edited operators/skew.py).
 _R5_HEAD = [
+    # NEW this round (plans/curation.py): never driver-checked, so they
+    # outrank every changed-but-previously-green name.
+    "c06_dedup_clusters",  # curation (NEW)
+    "c04_repetition_stats",  # curation (NEW)
+    "c04_pii_redact",  # curation (NEW)
+    "c04_vocab_topk",  # curation (NEW)
+    "c07_hash_split",  # curation (NEW)
+    "c07_stratified_sample",  # curation (NEW)
+    "c07_mixture_expand",  # curation (NEW)
+    "c03_label_centroids",  # curation (NEW)
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c

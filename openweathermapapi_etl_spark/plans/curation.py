@@ -1,0 +1,300 @@
+"""Tier C continued — corpus-curation operators (SURVEY.md §2.4):
+cluster resolution over LSH candidate pairs, repetition quality
+filters, PII redaction, vocabulary statistics, deterministic
+splits/samples/mixtures, and per-label embedding centroids.
+
+These are the stages a 100 TB training-data pipeline runs between the
+dedup/similarity primitives (tier_c.py) and the training job; each is
+hash-checked against a DuckDB oracle (the connected-components oracle
+is a recursive CTE — transitive closure is SQL-expressible even though
+the Spark side is iterative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cluster import dedup_clusters
+from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+from ..operators.sampling import hash_split, mixture_expand, stratified_sample
+from ..operators.similarity import label_centroids
+from ..operators.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    ngram_repetition_stats,
+    pii_counts,
+    redact_pii,
+    tokens,
+)
+from .registry import register
+from .tier_c import _O_HASH, _lsh_oracle
+from .util import t
+
+# ---------------------------------------------------------------------------
+# C6 — near-dup cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def _clusters_oracle() -> str:
+    """Transitive closure of the LSH pair graph as a recursive CTE:
+    min reachable doc_id == the component's canonical cluster id."""
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """
+
+
+@register("c06_dedup_clusters", oracle=_clusters_oracle())
+def c06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: LSH candidate pairs → duplicate CLUSTERS via min-label
+    propagation (operators/cluster.py) — the closure step every dedup
+    pipeline runs after banding (A~B, B~C ⇒ {A,B,C} is one group with
+    one survivor). Iterative on the Spark side (diameter-bounded, one
+    shuffle per round, lineage truncated per round); the oracle is the
+    same closure as a DuckDB recursive CTE. Production-default bucket
+    cap (10k) on the pair generation."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — repetition filters, PII redaction, vocabulary stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS gram
+      FROM toks),
+    per_gram AS (SELECT doc_id, gram, COUNT(*) AS cnt
+                 FROM grams GROUP BY doc_id, gram),
+    stats AS (SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT)  AS n_grams,
+                     CAST(COUNT(*) AS BIGINT)  AS n_distinct,
+                     CAST(MAX(cnt) AS BIGINT)  AS top_gram_n,
+                     CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)
+                          AS BIGINT)           AS n_dup
+              FROM per_gram GROUP BY doc_id)
+    SELECT doc_id, n_grams, n_distinct, top_gram_n,
+           CAST(n_dup AS DOUBLE) / n_grams AS dup_gram_frac,
+           2 * CAST(top_gram_n AS DOUBLE) / (n_grams + 1) AS top_gram_token_frac
+    FROM stats
+    """,
+)
+def c04_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4e: Gopher-style repetition signals (duplicate-2-gram fraction,
+    top-2-gram token coverage) — the boilerplate/looping-text filter.
+    Explode → two document-keyed aggregations, skew-free."""
+    return ngram_repetition_stats(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=2
+    )
+
+
+@register(
+    "c04_pii_redact",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(contact,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')                    AS clean_text,
+           CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS INTEGER)
+             AS n_phones
+    FROM c
+    """,
+)
+def c04_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4f: PII scrub — mask emails/phones with typed placeholders and
+    report match counts. The corpus is synthetic word soup with no real
+    PII, so both engines append a deterministic contact line per doc
+    and redact THAT: the regex surface is exercised end-to-end against
+    text that actually contains matches. Pure regexp_replace columns,
+    scan speed, ASCII-only classes so Java and RE2 agree."""
+    d = t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    n_emails, n_phones = pii_counts(contact)
+    return d.select(
+        "doc_id",
+        redact_pii(contact).alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+@register(
+    "c04_vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    v AS (SELECT token,
+                 CAST(COUNT(*) AS BIGINT)                AS n_occ,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT)  AS n_docs
+          FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, n_occ, n_docs FROM v
+    ORDER BY n_occ DESC, token LIMIT 100
+    """,
+)
+def c04_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4g: global vocabulary top-100 by occurrence (doc frequency
+    alongside) — the corpus-statistics pass behind tokenizer/vocab
+    decisions. Explode → one partial+final hash agg keyed on the token
+    → TakeOrderedAndProject for the top-k (no global sort). The
+    (n_occ DESC, token) total order makes the cutoff deterministic."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return vocab.orderBy(F.col("n_occ").desc(), "token").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# C7 — deterministic splits / samples / mixtures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_hash_split",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, source,
+                      {_O_HASH.format(s="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                        AS split_bucket
+               FROM documents)
+    SELECT doc_id, lang, source, split_bucket,
+           CASE WHEN split_bucket < 80 THEN 'train'
+                WHEN split_bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def c07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7a: deterministic 80/10/10 train/val/test split by salted key
+    hash — row-local, shuffle-free, stable across runs and cluster
+    layouts (the property rand() cannot give). The salt decorrelates
+    the split from every other hash use of the same key."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_split(d, "doc_id", train_pct=80, val_pct=10, salt="split")
+
+
+@register(
+    "c07_stratified_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang,
+                      {_O_HASH.format(s="'sample:' || CAST(doc_id AS VARCHAR)")}
+                        AS hk
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                   AS sample_rank
+          FROM h)
+    SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM r WHERE sample_rank <= 25
+    """,
+)
+def c07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b: 25 documents per language in deterministic hash order —
+    unbiased (hash order is uncorrelated with any data column) and
+    reproducible. One shuffle on the stratum key; the rank cutoff
+    lives inside the window."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, ["lang"], n_per_stratum=25, key_col="doc_id", salt="sample"
+    ).select("doc_id", "lang", "sample_rank")
+
+
+@register(
+    "c07_mixture_expand",
+    oracle="""
+    SELECT doc_id, source, CAST(f AS INTEGER) AS copy_no
+    FROM documents,
+         LATERAL unnest(range(0, CASE source WHEN 'src0' THEN 3
+                                             WHEN 'src1' THEN 2
+                                             ELSE 1 END)) AS u(f)
+    """,
+)
+def c07_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7c: weighted mixture expansion — oversample high-quality
+    sources by integer weight (src0 x3, src1 x2, rest x1), the standard
+    training-mix construction. Row-multiplying projection (explode of a
+    per-row sequence), zero shuffle."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = (
+        F.when(F.col("source") == "src0", F.lit(3))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return mixture_expand(d, weight).select("doc_id", "source", "copy_no")
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, i, embedding[i] AS val
+               FROM embeddings,
+                    LATERAL unnest(generate_series(1, len(embedding))) AS u(i))
+    SELECT label, CAST(i AS INTEGER) AS dim,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT)  AS n_vectors
+    FROM e GROUP BY label, i
+    """,
+)
+def c03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3d: per-label centroid of the embedding corpus in long form —
+    the cluster-center / k-means-update / quantizer-training building
+    block. posexplode → ONE hash agg on (label, dim); after map-side
+    combine the shuffle carries #labels x dim rows regardless of corpus
+    size. Parity flavor: components quantized to 1e-6 and summed as
+    BIGINT — integer-exact, so order-independent and engine-identical
+    (the decimal trick is insufficient here: Spark rounds double→
+    decimal HALF_UP, DuckDB half-even, and 12-dp ties DO occur; see
+    operators/similarity.label_centroids). Production default is the
+    plain double mean."""
+    return label_centroids(
+        t(spark, sf_dir, "embeddings"), "embedding", "label",
+        quantize_scale=1_000_000,
+    )

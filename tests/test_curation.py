@@ -1,0 +1,195 @@
+"""Unit tests for the corpus-curation operators (operators/cluster.py,
+operators/sampling.py, the text.py repetition/PII additions, and
+similarity.label_centroids) on hand-built inputs where the expected
+output is known exactly. The oracle suite (test_queries_oracle.py)
+covers the same operators end-to-end on the testdata corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openweathermapapi_etl_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+)
+from openweathermapapi_etl_spark.operators.sampling import (
+    hash_split,
+    mixture_expand,
+    stratified_sample,
+)
+from openweathermapapi_etl_spark.operators.similarity import label_centroids
+from openweathermapapi_etl_spark.operators.text import (
+    ngram_repetition_stats,
+    pii_counts,
+    redact_pii,
+)
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+
+def test_components_chain_cycle_and_pair(spark):
+    # chain 1-2-3 (diameter 2), isolated pair 10-11, cycle 20-21-22-20.
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)])
+    got = {
+        (r.node, r.label) for r in connected_components(e).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_components_long_chain_needs_diameter_rounds(spark):
+    # 0-1-2-...-9: min label must walk the whole chain (worst case for
+    # min-label propagation) — proves the loop iterates past round 1.
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    got = {(r.node, r.label) for r in connected_components(e).collect()}
+    assert got == {(i, 0) for i in range(10)}
+
+
+def test_components_raise_rather_than_emit_half_merged(spark):
+    # max_iter too small for the diameter → loud failure, never a
+    # silently wrong half-merged labeling.
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=2)
+
+
+def test_dedup_clusters_sizes_and_survivors(spark):
+    e = _edges(spark, [(5, 3), (3, 7), (100, 101)])
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(e).collect()}
+    assert rows == {
+        3: (3, 3), 5: (3, 3), 7: (3, 3),
+        100: (100, 2), 101: (100, 2),
+    }
+    survivors = {d for d, (c, _n) in rows.items() if d == c}
+    assert survivors == {3, 100}
+
+
+# ---------------------------------------------------------------------------
+# sampling / splits / mixtures
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n=60):
+    return spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(n)], "doc_id bigint, lang string"
+    )
+
+
+def test_hash_split_is_deterministic_and_bounded(spark):
+    d = _docs(spark)
+    a = {(r.doc_id, r.split_bucket, r.split) for r in hash_split(d, "doc_id").collect()}
+    b = {(r.doc_id, r.split_bucket, r.split) for r in hash_split(d, "doc_id").collect()}
+    assert a == b  # stable across runs
+    for _id, bucket, split in a:
+        assert 0 <= bucket < 100
+        assert split == ("train" if bucket < 80 else "val" if bucket < 90 else "test")
+
+
+def test_hash_split_salt_decorrelates(spark):
+    d = _docs(spark, n=200)
+    a = {r.doc_id: r.split_bucket for r in hash_split(d, "doc_id", salt="s1").collect()}
+    b = {r.doc_id: r.split_bucket for r in hash_split(d, "doc_id", salt="s2").collect()}
+    assert any(a[i] != b[i] for i in a)  # different salt → different buckets
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    d = _docs(spark)  # 20 docs per lang
+    out = stratified_sample(d, ["lang"], n_per_stratum=5, key_col="doc_id")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r.sample_rank)
+    assert set(per) == {"en", "de", "fr"}
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    again = {(r.doc_id, r.sample_rank) for r in
+             stratified_sample(d, ["lang"], 5, "doc_id").collect()}
+    assert again == {(r.doc_id, r.sample_rank) for r in rows}  # deterministic
+
+
+def test_mixture_expand_counts_and_zero_weight_drops(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, src string"
+    )
+    w = (F.when(F.col("src") == "a", 3)
+         .when(F.col("src") == "b", 1)
+         .otherwise(0))
+    rows = mixture_expand(d, w).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r.copy_no)
+    assert got == {1: [0, 1, 2], 2: [0]}  # weight-0 row dropped entirely
+
+
+# ---------------------------------------------------------------------------
+# repetition stats / PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_on_crafted_docs(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # 2-grams: ab ba ab ba → all duplicated
+            (2, "w x y z"),       # 2-grams: wx xy yz → all unique
+            (3, "solo"),          # < 2 tokens → no grams, absent
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           ngram_repetition_stats(d, "text", "doc_id", n=2).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_grams, r1.n_distinct, r1.top_gram_n) == (4, 2, 2)
+    assert r1.dup_gram_frac == 1.0
+    assert r1.top_gram_token_frac == pytest.approx(2 * 2 / 5)
+    r2 = out[2]
+    assert (r2.n_grams, r2.n_distinct, r2.top_gram_n) == (3, 3, 1)
+    assert r2.dup_gram_frac == 0.0
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "mail a.b@x.org and b_c@y.example.net or call 555-1234 now"),
+         (2, "no pii here")],
+        "id bigint, text string",
+    )
+    out = {r.id: r for r in d.select(
+        "id",
+        redact_pii(F.col("text")).alias("clean"),
+        pii_counts(F.col("text"))[0].alias("ne"),
+        pii_counts(F.col("text"))[1].alias("np"),
+    ).collect()}
+    assert out[1].clean == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert (out[1].ne, out[1].np) == (2, 1)
+    assert out[2].clean == "no pii here"
+    assert (out[2].ne, out[2].np) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# label centroids
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_exact_means(spark):
+    d = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "label int, embedding array<float>",
+    )
+    out = {(r.label, r.dim): (r.centroid_val, r.n_vectors)
+           for r in label_centroids(d, "embedding", "label").collect()}
+    assert out == {
+        (0, 1): (2.0, 2), (0, 2): (4.0, 2),
+        (1, 1): (10.0, 1), (1, 2): (0.0, 1),
+    }
