@@ -264,3 +264,87 @@ class VersionedParquetTable:
                     continue
                 if v <= keep - retain:
                     shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    eff_col: str,
+) -> DataFrame:
+    """M2 — Slowly-Changing-Dimension Type 2 merge: apply a snapshot of
+    ``updates`` to a versioned ``history`` table, closing changed rows
+    and appending new versions instead of overwriting (the dimension-
+    history discipline M1's overwrite semantics deliberately lack).
+
+    ``history`` schema: keys + tracked + (valid_from, valid_to,
+    is_current); ``updates``: keys + tracked + ``eff_col`` (the new
+    version's effective time — assumed no earlier than the open rows'
+    valid_from; intra-batch duplicates collapse last-write-wins by it).
+
+    Per key:
+    - update with CHANGED tracked values (any column differs,
+      NULL-safely) → the open row is closed (valid_to = eff,
+      is_current = false) AND a new open row is appended;
+    - update with identical tracked values → no-op (idempotent: re-
+      applying a snapshot adds nothing);
+    - update for an unseen key → new open row;
+    - no update → untouched. Closed history rows pass through always.
+
+    Scale shape: ONE full-outer hash join of the open slice against the
+    deduped snapshot on the key (NULL-safe, so still an equi-join), then
+    each joined row EXPLODES into its 0/1/2 output rows — close+insert
+    come out of one pass with no second join and no plan-doubling
+    self-reference. Closed rows ride a union straight from the scan; on
+    a partitioned VersionedParquetTable the open slice is its own
+    partition (``is_current``), so the join never reads history.
+    """
+    vt_type = history.schema["valid_to"].dataType.simpleString()
+    out_cols = keys + tracked + ["valid_from", "valid_to", "is_current"]
+    upd = dedup_last_write_wins(updates, keys, order_col=eff_col)
+    cur = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+
+    c = cur.select(
+        *[F.col(n).alias(f"c_{n}") for n in keys + tracked],
+        F.col("valid_from").alias("c_valid_from"),
+        F.col("valid_to").alias("c_valid_to"),
+        F.lit(True).alias("c_present"),
+    )
+    u = upd.select(
+        *[F.col(n).alias(f"u_{n}") for n in keys + tracked],
+        F.col(eff_col).alias("u_eff"),
+        F.lit(True).alias("u_present"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"c_{k}").eqNullSafe(F.col(f"u_{k}"))
+        cond = e if cond is None else cond & e
+    j = c.join(u, cond, "full_outer")
+
+    changed = None
+    for x in tracked:
+        d = ~F.col(f"c_{x}").eqNullSafe(F.col(f"u_{x}"))
+        changed = d if changed is None else changed | d
+
+    def row(side: str, vfrom, vto, is_cur: bool):
+        return F.struct(
+            *[F.col(f"{side}_{n}").alias(n) for n in keys + tracked],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            F.lit(is_cur).alias("is_current"),
+        )
+
+    keep = row("c", F.col("c_valid_from"), F.col("c_valid_to"), True)
+    close = row("c", F.col("c_valid_from"), F.col("u_eff"), False)
+    fresh = row("u", F.col("u_eff"), F.lit(None).cast(vt_type), True)
+
+    emitted = (
+        F.when(F.col("u_present").isNull(), F.array(keep))
+        .when(F.col("c_present").isNull(), F.array(fresh))
+        .when(changed, F.array(close, fresh))
+        .otherwise(F.array(keep))
+    )
+    new_slice = j.select(F.explode(emitted).alias("r")).select("r.*")
+    return closed.select(*out_cols).unionByName(new_slice)

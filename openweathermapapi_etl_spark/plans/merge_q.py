@@ -144,3 +144,128 @@ def m1_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.upsert(spark, base, keys=["o_orderkey"])
     table.upsert(spark, updates, keys=["o_orderkey"])
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M2 — SCD Type 2 history merge
+# ---------------------------------------------------------------------------
+
+# The scenario on `customer`: an existing history (every customer open
+# since 1994, plus a pre-closed older version for custkey%5==0), then
+# one snapshot: custkey%3==0 re-delivered (acctbal changed only when
+# custkey%6==0) and custkey%10==0 re-registered under a shifted key
+# (brand-new members). Exercises all four per-key outcomes: close+new,
+# no-op, new-key insert, untouched passthrough.
+M2_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+cur0 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         DATE '1994-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM cust),
+pre AS (
+  SELECT c_custkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
+         DATE '1993-01-01', DATE '1994-01-01', FALSE
+  FROM cust WHERE c_custkey % 5 = 0),
+history AS (SELECT * FROM cur0 UNION ALL SELECT * FROM pre),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment, DATE '1995-06-01' AS eff
+  FROM cust WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_acctbal, c_mktsegment, DATE '1995-06-01'
+  FROM cust WHERE c_custkey % 10 = 0),
+cur AS (SELECT * FROM history WHERE is_current),
+hist AS (SELECT * FROM history WHERE NOT is_current),
+j AS (
+  SELECT c.c_custkey AS ck, c.c_acctbal AS ca, c.c_mktsegment AS cm,
+         c.valid_from AS cvf, c.valid_to AS cvt,
+         u.c_custkey AS uk, u.c_acctbal AS ua, u.c_mktsegment AS um, u.eff,
+         c.c_custkey IS NOT NULL AS has_c, u.c_custkey IS NOT NULL AS has_u,
+         (c.c_acctbal IS DISTINCT FROM u.c_acctbal
+          OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment) AS changed
+  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey),
+emitted AS (
+  SELECT ck AS c_custkey, ca AS c_acctbal, cm AS c_mktsegment,
+         cvf AS valid_from, cvt AS valid_to, TRUE AS is_current
+  FROM j WHERE has_c AND (NOT has_u OR NOT changed)
+  UNION ALL
+  SELECT ck, ca, cm, cvf, eff, FALSE FROM j WHERE has_c AND has_u AND changed
+  UNION ALL
+  SELECT uk, ua, um, eff, NULL, TRUE FROM j WHERE has_c AND has_u AND changed
+  UNION ALL
+  SELECT uk, ua, um, eff, NULL, TRUE FROM j WHERE NOT has_c)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from_s,
+       strftime(valid_to, '%Y-%m-%d')   AS valid_to_s,
+       CAST(is_current AS INTEGER)      AS is_current_i
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)
+"""
+
+
+def _scd2_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from ..operators.merge import scd2_apply  # noqa: F401  (re-export site)
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    d93 = F.lit("1993-01-01").cast("date")
+    d94 = F.lit("1994-01-01").cast("date")
+    d95 = F.lit("1995-06-01").cast("date")
+    cur0 = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        d94.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    pre = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        "c_mktsegment",
+        d93.alias("valid_from"),
+        d94.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    upd_redelivered = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 6 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+        d95.alias("eff"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+        d95.alias("eff"),
+    )
+    return cur0.unionByName(pre), upd_redelivered.unionByName(upd_new)
+
+
+@register("m2_scd2_merge", oracle=M2_ORACLE)
+def m2_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: Slowly-Changing-Dimension Type 2 merge — changed keys close
+    their open row and append a new version; unchanged re-deliveries
+    are no-ops; unseen keys insert; closed history passes through
+    (operators/merge.py::scd2_apply — one full-outer join of the open
+    slice vs the snapshot, each joined row explodes into its 0/1/2
+    output rows, no second join). The history discipline M1's
+    overwrite semantics deliberately lack."""
+    from ..operators.merge import scd2_apply
+
+    history, updates = _scd2_inputs(spark, sf_dir)
+    out = scd2_apply(
+        history, updates,
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        eff_col="eff",
+    )
+    return out.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from_s"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to_s"),
+        F.col("is_current").cast("int").alias("is_current_i"),
+    )

@@ -251,3 +251,91 @@ def test_vacuum_retains_two_versions(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(root) if d.startswith("v="))
     assert dirs == ["v=3", "v=4"]
     assert table.current_version() == 4
+
+
+# ---------------------------------------------------------------------------
+# M2 — SCD Type 2 (operators/merge.py::scd2_apply)
+# ---------------------------------------------------------------------------
+
+
+def _scd_hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, val string, valid_from int, valid_to int, is_current boolean"
+    )
+
+
+def _scd_upd(spark, rows):
+    return spark.createDataFrame(rows, "k string, val string, eff int")
+
+
+def _apply(hist, upd):
+    from openweathermapapi_etl_spark.operators.merge import scd2_apply
+
+    return scd2_apply(hist, upd, keys=["k"], tracked=["val"], eff_col="eff")
+
+
+def test_scd2_all_four_outcomes(spark):
+    hist = _scd_hist(spark, [
+        ("a", "v1", 10, None, True),     # will change
+        ("b", "v1", 10, None, True),     # unchanged re-delivery
+        ("c", "v1", 10, None, True),     # no update
+        ("a", "v0", 5, 10, False),       # closed history passthrough
+    ])
+    upd = _scd_upd(spark, [("a", "v2", 20), ("b", "v1", 20), ("d", "v1", 20)])
+    got = _rows(_apply(hist, upd))
+    assert got == {
+        ("a", "v0", 5, 10, False),       # untouched history
+        ("a", "v1", 10, 20, False),      # closed at eff
+        ("a", "v2", 20, None, True),     # new open version
+        ("b", "v1", 10, None, True),     # no-op
+        ("c", "v1", 10, None, True),     # untouched
+        ("d", "v1", 20, None, True),     # brand-new key
+    }
+
+
+def test_scd2_reapplying_same_snapshot_is_noop(spark):
+    hist = _scd_hist(spark, [("a", "v1", 10, None, True)])
+    upd = _scd_upd(spark, [("a", "v2", 20)])
+    once = _apply(hist, upd)
+    twice = _apply(once, upd)
+    assert _rows(once) == _rows(twice) == {
+        ("a", "v1", 10, 20, False),
+        ("a", "v2", 20, None, True),
+    }
+
+
+def test_scd2_sequential_applies_build_full_history(spark):
+    hist = _scd_hist(spark, [("a", "v1", 10, None, True)])
+    s2 = _apply(hist, _scd_upd(spark, [("a", "v2", 20)]))
+    s3 = _apply(s2, _scd_upd(spark, [("a", "v3", 30)]))
+    assert _rows(s3) == {
+        ("a", "v1", 10, 20, False),
+        ("a", "v2", 20, 30, False),
+        ("a", "v3", 30, None, True),
+    }
+    # exactly one open row per key at every step (the SCD2 invariant)
+    cur = [r for r in s3.collect() if r.is_current]
+    assert len(cur) == 1
+
+
+def test_scd2_intra_batch_duplicates_collapse_last_write_wins(spark):
+    hist = _scd_hist(spark, [("a", "v1", 10, None, True)])
+    upd = _scd_upd(spark, [("a", "v2", 20), ("a", "v3", 30)])  # same key twice
+    got = _rows(_apply(hist, upd))
+    # only the latest (eff=30) snapshot row applies
+    assert got == {
+        ("a", "v1", 10, 30, False),
+        ("a", "v3", 30, None, True),
+    }
+
+
+def test_scd2_null_tracked_values_compare_null_safely(spark):
+    hist = _scd_hist(spark, [("a", None, 10, None, True)])
+    # NULL -> NULL is NOT a change; NULL -> value is.
+    assert _rows(_apply(hist, _scd_upd(spark, [("a", None, 20)]))) == {
+        ("a", None, 10, None, True),
+    }
+    assert _rows(_apply(hist, _scd_upd(spark, [("a", "v", 20)]))) == {
+        ("a", None, 10, 20, False),
+        ("a", "v", 20, None, True),
+    }
