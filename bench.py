@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     # mapInPandas Arrow-batch perf regression was invisible.
     "c05_feature_extract",
     "c05_frame_sample",
+    # Round-5 curation additions: the iterative components resolver
+    # (join-per-round + lineage truncation — the only multi-job
+    # operator), the two-stage repetition agg, and the SCD2 merge.
+    "c06_dedup_clusters",
+    "c04_repetition_stats",
+    "m2_scd2_merge",
 ]
 
 #: The previous round's headline set (BENCH_r04.json), so totals can be

@@ -54,6 +54,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Materialize the edge list ONCE before looping: every round
+        # joins against `sym`, and without a checkpoint each round
+        # re-executes sym's entire upstream lineage (for LSH input
+        # that's the whole shingle→minhash→banding pipeline — measured
+        # 3-4x the total runtime at sf0.1). On a cluster, persist to
+        # disk or reliable-checkpoint instead if 2|E| exceeds memory.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
