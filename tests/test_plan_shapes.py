@@ -116,3 +116,50 @@ def test_bucketed_join_has_zero_exchanges(spark, sf):
     _, tree = plan_of(spark, "b10_bucketed_colocated_join", sf)
     assert "SortMergeJoin" in tree
     assert "Exchange" not in tree
+
+
+def test_hash_split_never_key_shuffles(spark, sf):
+    """The split is row-local: the ONLY exchange ever allowed is the
+    documented small-input round-robin scan fixup
+    (catalog._parallelize_scan) — a key shuffle would mean the split
+    stopped being a projection."""
+    s, tree = plan_of(spark, "c07_hash_split", sf)
+    for part in re.findall(r"Arguments: (\w+[Pp]artitioning)\(", s):
+        assert part == "RoundRobinPartitioning", part
+    assert "Join" not in tree and "HashAggregate" not in tree
+
+
+def test_vocab_topk_partial_aggs_and_take_ordered(spark, sf):
+    """Top-k must plan TakeOrderedAndProject (no global sort), with
+    map-side partial aggregation pairs for count + count-distinct."""
+    _, tree = plan_of(spark, "c04_vocab_topk", sf)
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("HashAggregate") >= 4
+    assert len(re.findall(r"\bExchange\b", tree)) <= 3
+    assert "Sort " not in tree  # TOaP replaces the global sort
+
+
+def test_label_centroids_one_keyed_exchange_with_partial_sum(spark, sf):
+    """posexplode → ONE keyed exchange carrying partial sums: the
+    shuffle volume is #labels x dim, not the corpus."""
+    s, tree = plan_of(spark, "c03_label_centroids", sf)
+    assert "partial_sum" in s  # map-side combine before the exchange
+    keyed = [p for p in re.findall(r"Arguments: (\w+[Pp]artitioning)\(", s)
+             if p != "RoundRobinPartitioning"]
+    assert keyed == ["hashpartitioning"]  # exactly one keyed shuffle
+
+
+def test_scd2_single_full_outer_join_no_cartesian(spark, sf):
+    """scd2_apply's shape: closed history unions straight off the scan,
+    ONE full-outer sort-merge join of open-slice vs snapshot, the LWW
+    dedup window (with WindowGroupLimit pushdown), and the explode
+    (Generate) emitting close+insert in the same pass — no second join,
+    no plan-doubling self-reference."""
+    _, tree = plan_of(spark, "m2_scd2_merge", sf)
+    assert tree.count("SortMergeJoin") == 1
+    assert "FullOuter" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("Generate") == 1
+    assert "WindowGroupLimit" in tree
+    assert len(re.findall(r"\bExchange\b", tree)) <= 3
