@@ -253,6 +253,22 @@ class VersionedParquetTable:
                 except OSError:
                     shutil.copy2(s, d)  # cross-device fallback
 
+    def compact(self, spark: SparkSession, files_per_partition: int = 1) -> int:
+        """Small-file compaction: rewrite the current version with
+        ``files_per_partition`` files (per hive partition dir when
+        partitioned, total otherwise) and commit it via the same atomic
+        pointer swap — content-identical, so readers never notice and a
+        crash mid-compact leaves the old version current.
+
+        This is the maintenance job every streaming upsert table needs:
+        each micro-batch writes task-count files, and scan cost at
+        100 TB is dominated by file COUNT (listing + open + footer per
+        file) long before byte size. ``coalesce`` (not ``repartition``)
+        narrows the write without adding a shuffle.
+        """
+        merged = self.read(spark).coalesce(files_per_partition)
+        return self.overwrite(merged)
+
     def _vacuum(self, keep: int, retain: int = 2) -> None:
         """Drop version dirs older than ``keep - retain`` (readers of the
         immediately previous version may still be in flight)."""

@@ -356,17 +356,81 @@ def label_centroids(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     )
-    v = F.col("val").cast("double")
-    if quantize_scale:
-        mean = F.sum(
-            F.floor(v * quantize_scale).cast("bigint")
-        ).cast("double") / (F.lit(float(quantize_scale)) * F.count("*"))
-    else:
-        mean = F.sum(v) / F.count("*")
     return (
         exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(
-            mean.alias("centroid_val"),
+            _mean_expr(F.col("val"), quantize_scale).alias("centroid_val"),
             F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+def _mean_expr(val: Column, quantize_scale: int | None) -> Column:
+    """Group mean of a float component — plain double (production) or
+    1/scale-grid quantized with BIGINT sums (parity; see
+    :func:`label_centroids` for why decimal sums are NOT enough)."""
+    v = val.cast("double")
+    if quantize_scale:
+        return F.sum(
+            F.floor(v * quantize_scale).cast("bigint")
+        ).cast("double") / (F.lit(float(quantize_scale)) * F.count("*"))
+    return F.sum(v) / F.count("*")
+
+
+def kmeans_update(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 40,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """One Lloyd iteration of cosine k-means: assign every vector to
+    its argmax-cosine centroid, then recompute each cell's mean vector
+    in long form (centroid_id, dim, centroid_val, n_members).
+
+    The seed centroids are the vectors with ``id % centroid_mod == 0``
+    — the same deterministic coarse quantizer as :func:`cosine_topk_ivf`,
+    which keeps the full iteration SQL-oracle-expressible; production
+    loops feed the previous iteration's output back in (identical plan
+    shape per round, so one checked round pins them all).
+
+    Plan: the assignment is the IVF inverted-file pass — broadcast
+    centroids, map-side-combinable ``max_by`` argmax, ties to the
+    smaller centroid id — then the update is the :func:`label_centroids`
+    shape keyed on the assigned cell: posexplode → one keyed exchange
+    carrying partial sums (#centroids × dim rows). Two shuffles per
+    iteration total, both independent of corpus width.
+    """
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        norm_fold(F.col(vec_col)).alias("cvn"),
+    )
+    normed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("vn"),
+    )
+    cs = cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
+    assigned = (
+        normed.join(F.broadcast(cent))
+        .select("vid", "v", "centroid_id", cs.alias("cs"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("centroid_id"),
+            F.any_value("v").alias("v"),
+        )
+    )
+    exploded = assigned.select(
+        "centroid_id", F.posexplode(F.col("v")).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("centroid_id", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            _mean_expr(F.col("val"), quantize_scale).alias("centroid_val"),
+            F.count("*").alias("n_members"),
         )
     )

@@ -112,6 +112,9 @@ _R5_HEAD = [
     "c07_mixture_expand",  # curation (NEW)
     "c03_label_centroids",  # curation (NEW)
     "m2_scd2_merge",  # merge_q (NEW)
+    "c06_dedup_corpus",  # curation (NEW)
+    "c03_kmeans_iter",  # curation (NEW)
+    "c07_filter_funnel",  # curation (NEW)
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c

@@ -298,3 +298,184 @@ def c03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings"), "embedding", "label",
         quantize_scale=1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — the deduplicated corpus itself
+# ---------------------------------------------------------------------------
+
+
+def _dedup_corpus_oracle() -> str:
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    losers AS (SELECT node FROM (SELECT node, MIN(r) AS m
+                                 FROM reach GROUP BY node) q
+               WHERE node <> m)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
+    """
+
+
+@register("c06_dedup_corpus", oracle=_dedup_corpus_oracle())
+def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b: the END of the dedup pipeline — the surviving corpus.
+    Candidate pairs → clusters → drop every member that is not its
+    cluster's canonical representative (minimum doc id); unpaired
+    documents survive untouched. One broadcast anti-join against the
+    (tiny) loser set; at 100 TB the corpus is never shuffled."""
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    losers = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — one k-means (Lloyd) iteration
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(cmod: int = 40, scale: int = 1_000_000) -> str:
+    from .tier_c import _O_NORMS, _o_dot
+
+    cos = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored AS (
+      SELECT v.vec_id AS vid, v.embedding AS v, c.centroid_id, {cos} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, v, centroid_id FROM (
+        SELECT vid, v, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) r WHERE rn = 1),
+    e AS (SELECT centroid_id, i, v[i] AS val
+          FROM assigned,
+               LATERAL unnest(generate_series(1, len(v))) AS u(i))
+    SELECT centroid_id, CAST(i AS INTEGER) AS dim,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {scale}) AS BIGINT))
+                AS DOUBLE) / ({scale}.0 * COUNT(*)) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM e GROUP BY centroid_id, i
+    """
+
+
+@register("c03_kmeans_iter", oracle=_kmeans_oracle())
+def c03_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3e: one full Lloyd iteration of cosine k-means (assign to the
+    argmax-cosine centroid, recompute cell means) — the training loop
+    behind a production IVF quantizer. Deterministic id-sampled seeds
+    keep the round SQL-oracle-expressible; production iterates by
+    feeding the output back in (identical plan per round, so this one
+    checked round pins them all). Two corpus-independent shuffles:
+    the max_by assignment agg and the (cell, dim) partial-sum agg
+    (operators/similarity.py::kmeans_update)."""
+    from ..operators.similarity import kmeans_update
+
+    return kmeans_update(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        centroid_mod=40,
+        quantize_scale=1_000_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — the curation funnel
+# ---------------------------------------------------------------------------
+
+
+def _o_langid_expr() -> str:
+    """DuckDB spelling of operators/text.lang_id as a single expression
+    (ties resolve in fixed language order, zero hits → 'und')."""
+    from ..operators.text import STOPWORDS
+
+    hits = {
+        la: "len(list_filter(tk, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in ws)
+        )
+        for la, ws in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for la in STOPWORDS:
+        case += f"WHEN {hits[la]} = {best} AND {best} > 0 THEN '{la}' "
+    return case + "ELSE 'und' END"
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+                  FROM documents),
+    sig AS (SELECT
+      (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                   BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(list_filter(tk, x -> x IN ('the','and','of','to','a'))) > 0
+              THEN 0.2 ELSE 0.0 END) AS quality,
+      {_o_langid_expr()} AS lang_pred,
+      len(tk) AS n_tokens
+    FROM toks),
+    agg AS (SELECT
+      CAST(COUNT(*) AS BIGINT) AS n0,
+      CAST(COALESCE(SUM(CASE WHEN quality >= 0.6 THEN 1 END), 0) AS BIGINT) AS n1,
+      CAST(COALESCE(SUM(CASE WHEN quality >= 0.6 AND lang_pred <> 'und'
+                        THEN 1 END), 0) AS BIGINT) AS n2,
+      CAST(COALESCE(SUM(CASE WHEN quality >= 0.6 AND lang_pred <> 'und'
+                             AND n_tokens BETWEEN 10 AND 1000
+                        THEN 1 END), 0) AS BIGINT) AS n3
+    FROM sig)
+    SELECT 'all' AS stage, n0 AS n_docs FROM agg
+    UNION ALL SELECT 'quality', n1 FROM agg
+    UNION ALL SELECT 'quality+lang', n2 FROM agg
+    UNION ALL SELECT 'quality+lang+len', n3 FROM agg
+    """
+
+
+@register("c07_filter_funnel", oracle=_funnel_oracle())
+def c07_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7d: the curation funnel — survivor counts after each filter
+    stage (quality score, language-ID, token-length band), the
+    coverage report every corpus-curation job emits. All stages are
+    row-local column expressions folded into ONE single-pass aggregate
+    (conditional sums), then unpivoted with stack(); no joins, no
+    second scan."""
+    from ..operators.text import lang_id, quality_score
+
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    p1 = quality_score(F.col("text"), tk) >= 0.6
+    p2 = p1 & (lang_id(tk) != "und")
+    p3 = p2 & F.size(tk).between(10, 1000)
+
+    def n(cond, alias):
+        return F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("bigint").alias(alias)
+
+    agg = d.agg(
+        F.count("*").alias("n0"), n(p1, "n1"), n(p2, "n2"), n(p3, "n3")
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'all', n0, 'quality', n1, 'quality+lang', n2, "
+            "'quality+lang+len', n3) as (stage, n_docs)"
+        )
+    )

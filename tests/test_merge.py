@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from openweathermapapi_etl_spark.operators.merge import (
     VersionedParquetTable,
@@ -339,3 +340,47 @@ def test_scd2_null_tracked_values_compare_null_safely(spark):
         ("a", None, 10, 20, False),
         ("a", "v", 20, None, True),
     }
+
+
+def test_compact_reduces_files_preserves_content_atomically(spark, tmp_path):
+    from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+
+    root = str(tmp_path / "ctab")
+    table = VersionedParquetTable(root)
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").repartition(8)
+    table.overwrite(df)
+    v1 = table.current_version()
+
+    def files_of(version):
+        d = os.path.join(root, f"v={version}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_of(v1)) == 8
+    before = {r.k for r in table.read(spark).collect()}
+    v2 = table.compact(spark)
+    assert v2 == v1 + 1
+    assert len(files_of(v2)) == 1                       # compacted
+    assert {r.k for r in table.read(spark).collect()} == before  # identical
+    assert os.path.isdir(os.path.join(root, f"v={v1}"))  # old version retained
+
+
+def test_compact_partitioned_keeps_partition_dirs(spark, tmp_path):
+    from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+
+    root = str(tmp_path / "ptab")
+    table = VersionedParquetTable(root, partition_by="p")
+    df = (
+        spark.range(0, 400)
+        .withColumnRenamed("id", "k")
+        .withColumn("p", (F.col("k") % 2).cast("string"))
+        .repartition(6)
+    )
+    table.overwrite(df)
+    v2 = table.compact(spark)
+    vdir = os.path.join(root, f"v={v2}")
+    parts = sorted(e for e in os.listdir(vdir) if e.startswith("p="))
+    assert parts == ["p=0", "p=1"]
+    for p in parts:
+        n = len([f for f in os.listdir(os.path.join(vdir, p)) if f.endswith(".parquet")])
+        assert n == 1
+    assert table.read(spark).count() == 400

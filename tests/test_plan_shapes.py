@@ -163,3 +163,18 @@ def test_scd2_single_full_outer_join_no_cartesian(spark, sf):
     assert tree.count("Generate") == 1
     assert "WindowGroupLimit" in tree
     assert len(re.findall(r"\bExchange\b", tree)) <= 3
+
+
+def test_kmeans_iter_broadcast_assign_two_keyed_shuffles(spark, sf):
+    """kmeans_update: centroid set broadcasts (one keyless BNLJ — a
+    second would mean the corpus is rescored), no sort-merge join, and
+    exactly two keyed shuffles (max_by assignment agg + (cell, dim)
+    partial-sum agg) — both carry data independent of corpus width."""
+    s, tree = plan_of(spark, "c03_kmeans_iter", sf)
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    keyed = [p for p in re.findall(r"Arguments: (\w+[Pp]artitioning)\(", s)
+             if p != "RoundRobinPartitioning"]
+    assert keyed == ["hashpartitioning", "hashpartitioning"]
+    assert "partial_sum" in s
