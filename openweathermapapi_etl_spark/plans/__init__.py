@@ -115,6 +115,8 @@ _R5_HEAD = [
     "c06_dedup_corpus",  # curation (NEW)
     "c03_kmeans_iter",  # curation (NEW)
     "c07_filter_funnel",  # curation (NEW)
+    "b04_orc_sink_roundtrip",  # relational (NEW)
+    "b02_text_sink_roundtrip",  # relational (NEW)
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c

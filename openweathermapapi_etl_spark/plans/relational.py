@@ -105,6 +105,38 @@ def b04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B2 (JSON scan) and B3 (CSV scan) live in weather_q.py / scalar_funcs.py
 # where fixture files are defined.
 
+
+@register(
+    "b04_orc_sink_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def b04_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4b: ORC sink + scan round-trip — Spark's other native columnar
+    format (vectorized reader, pushdown), the Hive-era interop surface.
+    Same hash-check discipline as the parquet round-trip: the files on
+    disk must reproduce the source table exactly."""
+    from ..sources.io import read_orc, write_orc
+
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b04orc_{os.getpid()}")
+    write_orc(t(spark, sf_dir, "nation"), out, mode="overwrite")
+    return read_orc(spark, out)
+
+
+@register(
+    "b02_text_sink_roundtrip",
+    oracle="SELECT text AS value FROM documents",
+)
+def b02_text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2b: line-delimited text sink + scan round-trip — the raw-corpus
+    interchange format (one document per line, single `value` column).
+    The multiset of lines read back must equal the source column
+    exactly (order-insensitive hash)."""
+    from ..sources.io import read_text, write_text
+
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b02txt_{os.getpid()}")
+    write_text(t(spark, sf_dir, "documents").select("text"), out, mode="overwrite")
+    return read_text(spark, out)
+
 # ---------------------------------------------------------------------------
 # B6-B9 — projection / filter / conditional / cast
 # ---------------------------------------------------------------------------

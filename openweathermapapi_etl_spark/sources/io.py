@@ -84,3 +84,36 @@ def read_jdbc(
     parallel read — without them JDBC reads are ONE task, the classic
     JDBC-at-scale trap."""
     return spark.read.options(**options).jdbc(url=url, table=table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """B4b — ORC sink: the other columnar format Spark ships natively
+    (vectorized reader, predicate pushdown, same split machinery as
+    parquet). Interop surface for Hive-era lakes."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """B4b — ORC scan (pushdown/pruning Catalyst-native, like B1)."""
+    return spark.read.orc(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """B2b — line-delimited text sink (single string column; the raw
+    corpus interchange format). One line per row — rows containing
+    newlines must be escaped upstream."""
+    df.write.mode(mode).text(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """B2b — text scan: one row per line, single ``value`` column.
+    Splittable by line like any text source; schema-free by nature."""
+    return spark.read.text(path)
