@@ -117,6 +117,7 @@ _R5_HEAD = [
     "c07_filter_funnel",  # curation (NEW)
     "b04_orc_sink_roundtrip",  # relational (NEW)
     "b02_text_sink_roundtrip",  # relational (NEW)
+    "c08_stream_curation_gate",  # streaming_q (NEW)
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c

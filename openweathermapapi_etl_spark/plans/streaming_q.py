@@ -628,3 +628,58 @@ def b52_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), dsum("value", "total")
     )
     return run_to_memory(agg, "b52_out", "complete")
+
+
+def _c08_oracle() -> str:
+    from .curation import _o_langid_expr
+
+    return f"""
+    WITH toks AS (SELECT text, string_split(text, ' ') AS tk FROM documents),
+    sig AS (SELECT
+      md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS content_fp,
+      (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                   BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(list_filter(tk, x -> x IN ('the','and','of','to','a'))) > 0
+              THEN 0.2 ELSE 0.0 END) AS quality,
+      {_o_langid_expr()} AS lang_pred
+    FROM toks)
+    SELECT DISTINCT content_fp FROM sig
+    WHERE quality >= 0.6 AND lang_pred <> 'und'
+    """
+
+
+@register("c08_stream_curation_gate", oracle=_c08_oracle())
+def c08_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: the curation gate as a STREAM — documents arrive in 2
+    micro-batches, each batch is gated (quality score + language-ID,
+    row-local column expressions at scan speed; drops 47/500 at
+    sf0.01), and streaming ``dropDuplicates`` on a bag-of-distinct-
+    tokens fingerprint deduplicates near-identical word-soups ACROSS
+    batches (54/500 collapse at sf0.01; state keyed on a 128-bit hash
+    — skew-free; unbounded here, pair with a watermark TTL for true
+    continuous ingest as b43's watermarked twin shows). Output = the
+    distinct surviving fingerprints, which is batch-expressible: the
+    oracle is a plain DISTINCT over the gated corpus. The kept doc per
+    duplicate group depends on arrival order, so only the fingerprint
+    — identical whichever copy survives — is emitted."""
+    from ..operators.text import lang_id, quality_score, tokens
+    from ..schemas import DOCUMENTS
+    from ..streaming.jobs import split_table_files
+
+    prep(spark)
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_c08_{os.getpid()}"
+    )
+    split_table_files(spark, sf_dir, "documents", "doc_id", d)
+    stream = replay_files_stream(spark, d, DOCUMENTS)
+    tk = tokens("text")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk))))
+    gated = (
+        stream.filter(
+            (quality_score(F.col("text"), tk) >= 0.6) & (lang_id(tk) != "und")
+        )
+        .select(fp.alias("content_fp"))
+        .dropDuplicates(["content_fp"])
+    )
+    return run_to_memory(gated, "c08_out", "append")

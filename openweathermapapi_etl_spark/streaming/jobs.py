@@ -39,6 +39,39 @@ def write_events_file(part: DataFrame, out_dir: str, idx: int) -> str:
     return dst
 
 
+def split_table_files(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    out_dir: str,
+    n_files: int = 2,
+    predicates: list | None = None,
+) -> DataFrame:
+    """Write any testdata table as ``n_files`` parquet files with
+    increasing mtimes (deterministic file→batch replay order).
+
+    Default split: contiguous ``id_col`` ranges. Pass ``predicates``
+    (one boolean Column per file) for custom arrival orders — e.g. the
+    watermark test ships *newer* events first so the second batch is
+    late. Returns the batch DataFrame."""
+    df = load_table(spark, sf_dir, table)
+    max_id = df.agg(F.max(id_col)).collect()[0][0]
+    step = (max_id + 1 + n_files - 1) // n_files
+    if predicates is not None:
+        n_files = len(predicates)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for i in range(n_files):
+        if predicates is not None:
+            part = df.filter(predicates[i])
+        else:
+            part = df.filter(
+                (F.col(id_col) >= i * step) & (F.col(id_col) < (i + 1) * step)
+            )
+        write_events_file(part, out_dir, i)
+    return df
+
+
 def split_events_files(
     spark: SparkSession,
     sf_dir: str,
@@ -46,27 +79,11 @@ def split_events_files(
     n_files: int = 2,
     predicates: list | None = None,
 ) -> DataFrame:
-    """Write events as ``n_files`` parquet files with increasing mtimes.
-
-    Default split: contiguous ``event_id`` ranges. Pass ``predicates``
-    (one boolean Column per file) for custom arrival orders — e.g. the
-    watermark test ships *newer* events first so the second batch is
-    late. Returns the batch DataFrame."""
-    events = load_table(spark, sf_dir, "events")
-    max_id = events.agg(F.max("event_id")).collect()[0][0]
-    step = (max_id + 1 + n_files - 1) // n_files
-    if predicates is not None:
-        n_files = len(predicates)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    for i in range(n_files):
-        if predicates is not None:
-            part = events.filter(predicates[i])
-        else:
-            part = events.filter(
-                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
-            )
-        write_events_file(part, out_dir, i)
-    return events
+    """Events-table shorthand for :func:`split_table_files` (the B38-B44
+    substrate)."""
+    return split_table_files(
+        spark, sf_dir, "events", "event_id", out_dir, n_files, predicates
+    )
 
 
 def replay_files_stream(
