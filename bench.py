@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "c06_dedup_clusters",
     "c04_repetition_stats",
     "m2_scd2_merge",
+    "c03_kmeans_iter",
 ]
 
 #: The previous round's headline set (BENCH_r04.json), so totals can be

@@ -96,28 +96,31 @@ _R4_WINDOW = [
     "b51_stream_stream_join_watermarked",
 ]
 
-# Generated: python tools/changed_queries.py 0bc33e7   (round-4 final
-# commit). 77 affected = 33 direct (tier_c.py, streaming_q.py edits:
-# LSH cap default, NULL-ts replay guards, the b39 two-run rework) +
-# 44 transitive (relational.py imports the edited operators/skew.py).
+# Generated: python tools/changed_queries.py 0bc33e7 (round-4 final
+# commit), then the 15 queries NEW in round 5 moved to the front —
+# never driver-checked outranks changed-but-previously-green. 107 of
+# 112 registered queries are in the closure (95 direct: this round
+# touched relational.py, streaming_q.py, tier_c.py, merge_q.py and
+# added curation.py; 12 transitive); the 50-slot window keeps the new
+# + highest-risk direct head, and the overflow ranks stalest-first for
+# the round-6 rotation. Every query is pytest-verified each run
+# regardless of the window.
 _R5_HEAD = [
-    # NEW this round (plans/curation.py): never driver-checked, so they
-    # outrank every changed-but-previously-green name.
-    "c06_dedup_clusters",  # curation (NEW)
-    "c04_repetition_stats",  # curation (NEW)
-    "c04_pii_redact",  # curation (NEW)
-    "c04_vocab_topk",  # curation (NEW)
-    "c07_hash_split",  # curation (NEW)
-    "c07_stratified_sample",  # curation (NEW)
-    "c07_mixture_expand",  # curation (NEW)
-    "c03_label_centroids",  # curation (NEW)
-    "m2_scd2_merge",  # merge_q (NEW)
-    "c06_dedup_corpus",  # curation (NEW)
-    "c03_kmeans_iter",  # curation (NEW)
-    "c07_filter_funnel",  # curation (NEW)
-    "b04_orc_sink_roundtrip",  # relational (NEW)
-    "b02_text_sink_roundtrip",  # relational (NEW)
-    "c08_stream_curation_gate",  # streaming_q (NEW)
+    "c06_dedup_clusters",  # NEW this round
+    "c04_repetition_stats",  # NEW this round
+    "c04_pii_redact",  # NEW this round
+    "c04_vocab_topk",  # NEW this round
+    "c07_hash_split",  # NEW this round
+    "c07_stratified_sample",  # NEW this round
+    "c07_mixture_expand",  # NEW this round
+    "c03_label_centroids",  # NEW this round
+    "m2_scd2_merge",  # NEW this round
+    "c06_dedup_corpus",  # NEW this round
+    "c03_kmeans_iter",  # NEW this round
+    "c07_filter_funnel",  # NEW this round
+    "b04_orc_sink_roundtrip",  # NEW this round
+    "b02_text_sink_roundtrip",  # NEW this round
+    "c08_stream_curation_gate",  # NEW this round
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c
@@ -151,50 +154,65 @@ _R5_HEAD = [
     "b51_stream_stream_join_watermarked",  # streaming_q
     "c03_cosine_topk_ivf",  # tier_c
     "b44_foreachbatch_upsert",  # streaming_q
-    "b10_salted_join",  # relational -> skew
-    "flagship_q3",  # relational -> skew
-    "b01_parquet_scan",  # relational -> skew
-    "b04_parquet_sink_roundtrip",  # relational -> skew
-    "b06_select_expr",  # relational -> skew
-    "b10_inner_join",  # relational -> skew
-    "b15_asof_join",  # relational -> skew
-    "b16_groupby_agg",  # relational -> skew
-    "b23_ranking_windows",  # relational -> skew
-    "b16_approx_percentile",  # relational -> skew
-    "b07_filter_predicates",  # relational -> skew
-    "b08_case_when",  # relational -> skew
-    "b09_cast_coalesce",  # relational -> skew
-    "b11_left_join",  # relational -> skew
-    "b11_full_outer_join",  # relational -> skew
-    "b11_right_join",  # relational -> skew
-    "b12_semi_join",  # relational -> skew
-    "b12_anti_join",  # relational -> skew
-    "b13_cross_join",  # relational -> skew
-    "b14_range_join",  # relational -> skew
-    "b17_count_distinct",  # relational -> skew
-    "b18_approx_count_distinct",  # relational -> skew
-    "b19_filtered_agg",  # relational -> skew
-    "b20_rollup",  # relational -> skew
-    "b20_cube",  # relational -> skew
-    "b21_having",  # relational -> skew
-    "b22_pk_uniqueness",  # relational -> skew
-    "b24_analytic_windows",  # relational -> skew
-    "b25_window_frames",  # relational -> skew
-    "b26_order_by",  # relational -> skew
-    "b27_top_k",  # relational -> skew
-    "b28_topk_per_group",  # relational -> skew
-    "b29_union",  # relational -> skew
-    "b29_union_distinct",  # relational -> skew
-    "b30_intersect",  # relational -> skew
-    "b31_except",  # relational -> skew
-    "b16_percentile_agg",  # relational -> skew
-    "b20_grouping_sets",  # relational -> skew
-    "b16_salted_agg",  # relational -> skew
-    "b20_pivot",  # relational -> skew
-    "b16_string_agg",  # relational -> skew
-    "b12_correlated_scalar_subquery",  # relational -> skew
-    "b05_jdbc_roundtrip",  # relational -> skew
-    "b10_bucketed_colocated_join",  # relational -> skew
+    "b10_salted_join",  # relational
+    "flagship_q3",  # relational
+    "b01_parquet_scan",  # relational
+    "b04_parquet_sink_roundtrip",  # relational
+    "b06_select_expr",  # relational
+    "b10_inner_join",  # relational
+    "b15_asof_join",  # relational
+    "b16_groupby_agg",  # relational
+    "b23_ranking_windows",  # relational
+    "b16_approx_percentile",  # relational
+    "b07_filter_predicates",  # relational
+    "b08_case_when",  # relational
+    "b09_cast_coalesce",  # relational
+    "b11_left_join",  # relational
+    "b11_full_outer_join",  # relational
+    "b11_right_join",  # relational
+    "b12_semi_join",  # relational
+    "b12_anti_join",  # relational
+    "b13_cross_join",  # relational
+    "b14_range_join",  # relational
+    "b17_count_distinct",  # relational
+    "b18_approx_count_distinct",  # relational
+    "b19_filtered_agg",  # relational
+    "b20_rollup",  # relational
+    "b20_cube",  # relational
+    "b21_having",  # relational
+    "b22_pk_uniqueness",  # relational
+    "b24_analytic_windows",  # relational
+    "b25_window_frames",  # relational
+    "b26_order_by",  # relational
+    "b27_top_k",  # relational
+    "b28_topk_per_group",  # relational
+    "b29_union",  # relational
+    "b29_union_distinct",  # relational
+    "b30_intersect",  # relational
+    "b31_except",  # relational
+    "b16_percentile_agg",  # relational
+    "b20_grouping_sets",  # relational
+    "b16_salted_agg",  # relational
+    "b20_pivot",  # relational
+    "b16_string_agg",  # relational
+    "b12_correlated_scalar_subquery",  # relational
+    "b05_jdbc_roundtrip",  # relational
+    "b10_bucketed_colocated_join",  # relational
+    "m1_keyed_upsert",  # merge_q
+    "m1_versioned_upsert_idempotent",  # merge_q
+    "m1_partitioned_upsert",  # merge_q
+    "b02_json_scan",  # scalar_funcs -> io
+    "b03_csv_scan",  # scalar_funcs -> io
+    "b32_string_funcs",  # scalar_funcs -> io
+    "b32_string_split",  # scalar_funcs -> io
+    "b33_datetime_funcs",  # scalar_funcs -> io
+    "b34_math_funcs",  # scalar_funcs -> io
+    "b35_array_funcs",  # scalar_funcs -> io
+    "a10_weather_pipeline_e2e",  # weather_q -> merge
+    "b35_explode",  # scalar_funcs -> io
+    "b36_map_funcs",  # scalar_funcs -> io
+    "b37_json_funcs",  # scalar_funcs -> io
+    "a03_weather_transform",  # weather_q -> merge
 ]
 
 

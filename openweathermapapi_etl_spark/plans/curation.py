@@ -329,8 +329,12 @@ def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6b: the END of the dedup pipeline — the surviving corpus.
     Candidate pairs → clusters → drop every member that is not its
     cluster's canonical representative (minimum doc id); unpaired
-    documents survive untouched. One broadcast anti-join against the
-    (tiny) loser set; at 100 TB the corpus is never shuffled."""
+    documents survive untouched. The anti-join plans as a key-shuffle
+    SMJ statically — the right general shape, because the loser set
+    scales with the duplicate rate (30-50% of a raw crawl, far beyond
+    broadcast); when it IS small, AQE converts the runtime join to
+    broadcast from the observed size, so both regimes get the right
+    plan without a hint."""
     d = t(spark, sf_dir, "documents")
     sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)

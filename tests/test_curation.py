@@ -193,3 +193,116 @@ def test_label_centroids_exact_means(spark):
         (0, 1): (2.0, 2), (0, 2): (4.0, 2),
         (1, 1): (10.0, 1), (1, 2): (0.0, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# property tests vs Python models
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _edge = st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda e: e[0] != e[1])
+
+    @given(edges=st.lists(_edge, min_size=1, max_size=14))
+    @settings(max_examples=8, deadline=None)
+    def test_components_match_union_find_model(spark, edges):
+        """Min-label propagation must equal a Python union-find on any
+        graph shape hypothesis throws at it (self-dedup, multi-edges in
+        both orientations, cycles, stars, chains)."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r.node: r.label for r in connected_components(df).collect()}
+        assert got == expected
+
+    _key = st.sampled_from(["a", "b", "c"])
+    _val = st.sampled_from(["v1", "v2", None])
+
+    @given(
+        snapshots=st.lists(
+            st.lists(st.tuples(_key, _val), min_size=0, max_size=3),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_scd2_sequential_applies_match_model(spark, snapshots):
+        """Applying N snapshots in sequence must equal a Python SCD2
+        model: per key, a chain of versions closed at each change, one
+        open row max, intervals contiguous. Intra-snapshot duplicate
+        keys collapse to the LAST tuple (eff ties break by value desc
+        — mirror dedup_last_write_wins's order for a deterministic
+        model)."""
+        from openweathermapapi_etl_spark.operators.merge import scd2_apply
+
+        # Python model -------------------------------------------------
+        hist_model: list[tuple] = []  # (k, val, vfrom, vto, is_current)
+        open_row: dict = {}  # k -> (val, vfrom)
+        for t_i, snap in enumerate(snapshots):
+            eff = 100 + t_i
+            # dedup_last_write_wins orders by (eff desc, val desc nulls
+            # last): all rows in one snapshot share eff, so the max
+            # value wins and a NULL wins only if every duplicate is
+            # NULL — mirror that exactly.
+            per_key: dict = {}
+            for k, v in snap:
+                per_key.setdefault(k, []).append(v)
+            dedup = {
+                k: sorted(
+                    vs, key=lambda x: (x is not None, x if x is not None else "")
+                )[-1]
+                for k, vs in per_key.items()
+            }
+            for k, v in dedup.items():
+                if k in open_row:
+                    cur_v, cur_from = open_row[k]
+                    if cur_v != v:  # null-safe inequality
+                        hist_model.append((k, cur_v, cur_from, eff, False))
+                        open_row[k] = (v, eff)
+                else:
+                    open_row[k] = (v, eff)
+        expected = set(hist_model) | {
+            (k, v, vf, None, True) for k, (v, vf) in open_row.items()
+        }
+
+        # Spark --------------------------------------------------------
+        hist = spark.createDataFrame(
+            [], "k string, val string, valid_from int, valid_to int, is_current boolean"
+        )
+        for t_i, snap in enumerate(snapshots):
+            upd = spark.createDataFrame(
+                [(k, v, 100 + t_i) for k, v in snap],
+                "k string, val string, eff int",
+            )
+            hist = scd2_apply(hist, upd, ["k"], ["val"], "eff")
+        got = {tuple(r) for r in hist.collect()}
+        assert got == expected
+        # invariant: at most one open row per key
+        open_counts = {}
+        for k, _v, _f, _t, cur in got:
+            if cur:
+                open_counts[k] = open_counts.get(k, 0) + 1
+        assert all(n == 1 for n in open_counts.values())
