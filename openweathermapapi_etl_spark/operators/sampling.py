@@ -100,3 +100,50 @@ def mixture_expand(df: DataFrame, weight: Column) -> DataFrame:
         F.array().cast("array<int>")
     )
     return df.withColumn("copy_no", F.explode(seq))
+
+
+def sequence_pack(
+    df: DataFrame,
+    key_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    position in a token stream and the training sequence ("pack") its
+    first token lands in — the assembly step between a curated corpus
+    and the training job (GPT-style pretraining concatenates documents
+    in order and slices fixed-length sequences; a document belongs to
+    pack ``floor(stream_offset / budget)``).
+
+    Adds (shard, stream_offset, pack_id): documents are first sharded
+    by salted key hash — sharding is what makes packing DISTRIBUTED,
+    one independent stream per shard instead of one global sequential
+    stream — then ordered deterministically within the shard (hash,
+    then key: total order → reproducible packs on any cluster layout),
+    and the running token offset is a window cumulative sum. One
+    shuffle on the shard key; the window frame is
+    rows-unbounded-preceding, which Spark evaluates streamingly (no
+    per-partition buffering beyond the running total).
+    """
+    from pyspark.sql import Window as W
+
+    shard = F.pmod(
+        char_fold_hash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+        F.lit(n_shards),
+    )
+    order = split_bucket(F.col(key_col), salt + "-order", n_buckets=1_000_000_007)
+    out = df.withColumn("shard", shard)
+    w = (
+        W.partitionBy("shard")
+        .orderBy(order.asc(), F.col(key_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col(n_tokens_col)).over(w)
+    offset = (running - F.col(n_tokens_col)).alias("stream_offset")
+    return out.select(
+        "*",
+        offset,
+        F.floor((running - F.col(n_tokens_col)) / budget).alias("pack_id"),
+    )

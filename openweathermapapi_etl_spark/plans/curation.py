@@ -483,3 +483,44 @@ def c07_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'quality+lang+len', n3) as (stage, n_docs)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_sequence_pack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             {_O_HASH.format(s="'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+               AS shard,
+             {_O_HASH.format(s="'pack-order:' || CAST(doc_id AS VARCHAR)")}
+               AS ord
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS stream_offset
+      FROM sized)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard, stream_offset,
+           CAST(floor(stream_offset / 512.0) AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def c07_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7e: concat-and-chunk sequence packing (budget 512 tokens,
+    8 hash shards) — every document gets its offset in a deterministic
+    per-shard token stream and the training sequence its first token
+    lands in (operators/sampling.py::sequence_pack). Sharding makes
+    packing distributed (one independent stream per shard); within a
+    shard the running offset is one streaming window sum."""
+    from ..operators.sampling import sequence_pack
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return sequence_pack(d, "doc_id", "n_tokens", budget=512, n_shards=8)

@@ -306,3 +306,34 @@ if _HAVE_HYP:
             if cur:
                 open_counts[k] = open_counts.get(k, 0) + 1
         assert all(n == 1 for n in open_counts.values())
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_pack_streams_are_contiguous_and_deterministic(spark):
+    from openweathermapapi_etl_spark.operators.sampling import sequence_pack
+
+    d = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in range(100)], "doc_id bigint, n_tokens bigint"
+    )
+    out = sequence_pack(d, "doc_id", "n_tokens", budget=64, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 100
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.stream_offset)
+        expect = 0
+        for r in shard_rows:
+            # concat-and-chunk: offsets tile the stream with no gaps
+            assert r.stream_offset == expect
+            assert r.pack_id == r.stream_offset // 64
+            expect += r.n_tokens
+    again = {(r.doc_id, r.shard, r.stream_offset, r.pack_id)
+             for r in sequence_pack(d, "doc_id", "n_tokens", 64, 4).collect()}
+    assert again == {(r.doc_id, r.shard, r.stream_offset, r.pack_id) for r in rows}
