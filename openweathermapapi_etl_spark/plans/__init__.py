@@ -122,6 +122,8 @@ _R5_HEAD = [
     "b02_text_sink_roundtrip",  # NEW this round
     "c08_stream_curation_gate",  # NEW this round
     "c07_sequence_pack",  # NEW this round
+    "c04_tfidf_topterms",  # NEW this round
+    "b23_distribution_windows",  # NEW this round
     "c02_lsh_candidates_capped",  # tier_c
     "b43_streaming_dedup_watermarked_evicting",  # streaming_q
     "c02_lsh_candidates",  # tier_c

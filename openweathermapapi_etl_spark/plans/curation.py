@@ -524,3 +524,66 @@ def c07_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
     )
     return sequence_pack(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_tfidf_topterms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT doc_id, term, tf, df, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INTEGER)
+               AS rank
+      FROM scored) r
+    WHERE rank <= 3
+    """,
+)
+def c04_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4h: top-3 most characteristic terms per document by tf-idf —
+    the keyword/topic-signal pass of corpus analysis. The idf is the
+    LOG-FREE rational form (tf x N / df): rank-equivalent to the
+    classic log idf for per-document ranking (log is monotone) and
+    bit-reproducible across engines, where ln() differs in the last
+    ulp between libm and the JVM. Plan: explode → (doc, term) agg →
+    term-keyed df agg → broadcast-joined back, per-doc top-k window;
+    every shuffle is keyed on doc or term, skew bounded by document
+    length / vocabulary frequency."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

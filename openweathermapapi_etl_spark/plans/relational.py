@@ -736,6 +736,32 @@ def b22_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b23_distribution_windows",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def b23_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23b: percent_rank / cume_dist — the distribution-rank flavors.
+    Both are exact rationals of ranks and partition sizes ((rank-1)/
+    (n-1), rows<=current/n), so one IEEE division reproduces bit-exact
+    across engines; ties deliberately kept (the functions define tie
+    semantics themselves)."""
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "b23_ranking_windows",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,

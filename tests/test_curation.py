@@ -337,3 +337,36 @@ def test_sequence_pack_streams_are_contiguous_and_deterministic(spark):
     again = {(r.doc_id, r.shard, r.stream_offset, r.pack_id)
              for r in sequence_pack(d, "doc_id", "n_tokens", 64, 4).collect()}
     assert again == {(r.doc_id, r.shard, r.stream_offset, r.pack_id) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges
+# ---------------------------------------------------------------------------
+
+
+def test_components_empty_edges_returns_empty(spark):
+    e = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(e).count() == 0
+    assert dedup_clusters(e).count() == 0
+
+
+def test_scd2_empty_updates_is_identity(spark):
+    from openweathermapapi_etl_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [("a", "v1", 10, None, True), ("a", "v0", 5, 10, False)],
+        "k string, val string, valid_from int, valid_to int, is_current boolean",
+    )
+    upd = spark.createDataFrame([], "k string, val string, eff int")
+    got = {tuple(r) for r in scd2_apply(hist, upd, ["k"], ["val"], "eff").collect()}
+    assert got == {("a", "v1", 10, None, True), ("a", "v0", 5, 10, False)}
+
+
+def test_sequence_pack_empty_and_single_row(spark):
+    from openweathermapapi_etl_spark.operators.sampling import sequence_pack
+
+    empty = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+    assert sequence_pack(empty, "doc_id", "n_tokens", 64).count() == 0
+    one = spark.createDataFrame([(7, 100)], "doc_id bigint, n_tokens bigint")
+    r = sequence_pack(one, "doc_id", "n_tokens", 64).collect()[0]
+    assert (r.stream_offset, r.pack_id) == (0, 0)

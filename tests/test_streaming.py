@@ -251,3 +251,41 @@ def test_checkpoint_prevents_reprocessing_on_restart(spark, sf_dir, tmp_path):
     run_once()  # restart from the same checkpoint: nothing new to do
     assert table.current_version() == v1
     assert table.read(spark).count() == rows1
+
+
+def test_curation_gate_dedup_state_spans_batches(spark, sf_dir, tmp_path):
+    """c08's streaming dropDuplicates must hold fingerprint state ACROSS
+    micro-batches: state rows == distinct surviving fingerprints, and
+    the output is strictly smaller than the gated input (near-identical
+    word-soups collapse) — proving the dedup actually engaged rather
+    than passing rows through."""
+    from openweathermapapi_etl_spark.operators.text import (
+        lang_id,
+        quality_score,
+        tokens,
+    )
+    from openweathermapapi_etl_spark.schemas import DOCUMENTS
+    from openweathermapapi_etl_spark.streaming.jobs import (
+        run_to_memory_query,
+        split_table_files,
+    )
+
+    out = str(tmp_path / "c08_replay")
+    split_table_files(spark, sf_dir, "documents", "doc_id", out)
+    stream = replay_files_stream(spark, out, DOCUMENTS)
+    tk = tokens("text")
+    gate = (quality_score(F.col("text"), tk) >= 0.6) & (lang_id(tk) != "und")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk))))
+    deduped = (
+        stream.filter(gate).select(fp.alias("content_fp"))
+        .dropDuplicates(["content_fp"])
+    )
+    result, q = run_to_memory_query(deduped, "t_c08_state", "append")
+    n_out = result.count()
+    from openweathermapapi_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_gated = docs.filter(gate).count()
+    assert 0 < n_out < n_gated  # dedup collapsed at least one group
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] == n_out  # one state row per fingerprint
