@@ -106,6 +106,7 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "c07_group_split",  # NEW this round
     "c06_dedup_clusters",  # NEW this round
     "c04_repetition_stats",  # NEW this round
     "c04_pii_redact",  # NEW this round

@@ -587,3 +587,68 @@ def c04_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — contamination-safe group split
+# ---------------------------------------------------------------------------
+
+
+def _group_split_oracle() -> str:
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    bucket = _O_HASH.format(
+        s="'gsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+             {bucket} % 100 AS split_bucket
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT doc_id, group_id, split_bucket,
+           CASE WHEN split_bucket < 80 THEN 'train'
+                WHEN split_bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@register("c07_group_split", oracle=_group_split_oracle())
+def c07_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7f: CONTAMINATION-SAFE train/val/test split — the split key is
+    the near-dup cluster's canonical id, not the document id, so a
+    whole duplicate group always lands in one split. Hashing raw doc
+    ids (c07_hash_split) puts near-identical documents on both sides
+    of the train/test boundary — the classic eval-leak — which is why
+    production pipelines split AFTER dedup clustering. Unpaired
+    documents are their own group (coalesce to doc_id); the cluster
+    map joins in as the small side."""
+    from ..operators.sampling import split_bucket
+
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    joined = d.select("doc_id").join(clusters, "doc_id", "left")
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    b = split_bucket(group, salt="gsplit")
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select(
+        "doc_id",
+        group.alias("group_id"),
+        b.alias("split_bucket"),
+        split.alias("split"),
+    )

@@ -339,6 +339,37 @@ def test_sequence_pack_streams_are_contiguous_and_deterministic(spark):
     assert again == {(r.doc_id, r.shard, r.stream_offset, r.pack_id) for r in rows}
 
 
+def test_group_split_never_splits_a_neardup_pair(spark, sf_dir):
+    # The contamination property c07_group_split exists for: no LSH
+    # candidate pair may straddle the train/test boundary. Re-derive
+    # the pair graph the query uses and check every edge lands in ONE
+    # split (c07_hash_split, by contrast, has no such guarantee).
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from openweathermapapi_etl_spark.plans.curation import c07_group_split
+
+    assign = c07_group_split(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    a = assign.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossers = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert pairs.count() > 0  # the property must be non-vacuous
+    assert crossers.count() == 0
+    # and all three splits are actually populated at this corpus size
+    assert assign.select("split").distinct().count() == 3
+
+
 # ---------------------------------------------------------------------------
 # empty-input edges
 # ---------------------------------------------------------------------------
