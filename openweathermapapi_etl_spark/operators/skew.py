@@ -121,3 +121,30 @@ def salted_join(
     )
     joined = big2.join(small2, on=[on, "_salt"], how=how)
     return joined if keep_salt else joined.drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
+    """The measurement half of skew handling: per-key row counts, each
+    key's share of the table, and its rank — top ``top_k`` keys only.
+
+    This is what decides whether a join/agg needs salting at all (rule
+    of thumb: a key holding >1/shuffle-partitions of the rows will
+    straggle its reducer). Cost is one partial+final count agg — the
+    map-side combine collapses each partition to its distinct keys
+    before the shuffle — plus a single-partition top-k over the key
+    cardinality, not the row count. NULL keys profile as their own
+    group (they hash to one reducer like any hot key, and a NULL-heavy
+    column is the single most common real-world skew source).
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = counts.select(F.sum("n").alias("_total"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col(key).asc_nulls_first())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("_total"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .drop("_total")
+    )

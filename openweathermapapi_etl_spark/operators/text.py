@@ -208,3 +208,58 @@ def ngram_repetition_stats(
             "top_gram_token_frac"
         ),
     )
+
+
+def contamination_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval: Column,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAINING documents that share
+    any word ``n``-gram with the EVAL set (the GPT-3-appendix /
+    Dolma-style overlap rule — an eval answer that appears verbatim in
+    the training corpus invalidates the benchmark).
+
+    ``is_eval`` is a boolean column over ``df`` marking the eval split.
+    Returns one row per *contaminated* training doc: ``n_grams`` (its
+    distinct gram count), ``n_hits`` (distinct grams also present in
+    the eval set), ``hit_frac = n_hits / n_grams`` for thresholding.
+
+    Scale shape: grams explode map-side; the per-doc ``distinct`` is
+    one shuffle keyed (doc, gram) — skew bounded by document length.
+    The eval side is a benchmark suite (thousands of docs, not
+    billions), so its distinct-gram set BROADCASTS and the train side
+    is ONE pass: a map-side broadcast left-join marks each train gram
+    hit/miss and a single per-doc aggregation counts both totals —
+    the 100 TB corpus is read once, shuffled once, aggregated once,
+    and never pairs with itself. If the eval set ever outgrows
+    broadcast, drop the hint and the same plan becomes a shuffled
+    join.
+    """
+    grams = df.select(
+        F.col(id_col),
+        is_eval.alias("_is_eval"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    ).distinct()
+    eval_grams = (
+        grams.filter("_is_eval").select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        grams.filter(~F.col("_is_eval"))
+        .join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_grams")).alias("hit_frac"),
+        )
+    )

@@ -21,6 +21,7 @@ from ..operators.sampling import hash_split, mixture_expand, stratified_sample
 from ..operators.similarity import label_centroids
 from ..operators.text import (
     EMAIL_RE,
+    contamination_flags,
     PHONE_RE,
     ngram_repetition_stats,
     pii_counts,
@@ -651,4 +652,45 @@ def c07_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         group.alias("group_id"),
         b.alias("split_bucket"),
         split.alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 — benchmark decontamination (n-gram overlap vs the eval split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c09_decontaminate",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      doc_id % 53 = 0 AS is_eval
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, is_eval,
+                 array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+          FROM d, unnest(generate_series(1, len(toks) - 3)) AS u(i)),
+    ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+    tr AS (SELECT doc_id, gram FROM g WHERE NOT is_eval),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+    hits AS (SELECT tr.doc_id, COUNT(*) AS n_hits
+             FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+    SELECT h.doc_id, p.n_grams, h.n_hits,
+           CAST(h.n_hits AS DOUBLE) / p.n_grams AS hit_frac
+    FROM hits h JOIN per_doc p USING (doc_id)
+    """,
+)
+def c09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: benchmark DECONTAMINATION — flag training documents sharing
+    any word 4-gram with the eval split (deterministic eval set:
+    doc_id % 53 = 0), the GPT-3-appendix / Dolma overlap rule. A
+    benchmark answer sitting verbatim in the training corpus is the
+    leak that invalidates evals, so this check runs over the FULL
+    corpus every release. operators/text.py::contamination_flags: the
+    eval side's distinct grams broadcast (benchmarks are thousands of
+    docs; the corpus is the 100 TB side), so the train probe is a
+    map-side hash join — the corpus shuffles once, keyed on
+    (doc, gram), and never self-pairs."""
+    d = t(spark, sf_dir, "documents")
+    return contamination_flags(
+        d, "text", "doc_id", is_eval=F.col("doc_id") % 53 == 0, n=4
     )

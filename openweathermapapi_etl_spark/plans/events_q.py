@@ -1,0 +1,102 @@
+"""Event-log analytics over the ``events`` table: batch sessionization
+(the batch twin of B42's streaming session windows) and the key-skew
+profile that decides when the skew operators (operators/skew.py) are
+worth their salt.
+
+Oracle notes: ``events.ts`` is nanosecond parquet — truncated to µs on
+load (catalog.load_table), so oracles start from the µs-truncated CTE;
+timestamps in output are formatted strings (same convention as
+streaming_q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sessions import session_stats, sessionize
+from ..operators.skew import key_skew_profile
+from .registry import register
+from .util import dsum, o_dsum, t
+
+_EV = """(SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                user_id, event_type, value, props FROM events)"""
+
+_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+_SPARK_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "b42_batch_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT * FROM {_EV}
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '{_FMT_US}') AS session_start,
+           strftime(MAX(ts), '{_FMT_US}') AS session_end,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def b42_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42b: gap-based BATCH sessionization — a new session per user
+    when >12h passes between events; one summary row per session.
+    The lag/cumsum formulation (operators/sessions.py) is pure window
+    algebra: one shuffle keyed on user, everything codegen'd, and the
+    session agg shuffles only session-level partials. This is the
+    batch twin of b42_session_window (same gap rule, streaming state
+    store) — lakehouse backfills run THIS; the streaming flavor keeps
+    it fresh."""
+    ev = t(spark, sf_dir, "events")
+    sessions = sessionize(ev, "user_id", "ts", gap="12 hours", tiebreak="event_id")
+    out = session_stats(
+        sessions, "user_id", "ts", [F.count("*").alias("n_events"), dsum("value", "total_value")]
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", _SPARK_FMT_US).alias("session_start"),
+        F.date_format("session_end", _SPARK_FMT_US).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "b16_key_skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n FROM {_EV} GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT user_id, n, CAST(n AS DOUBLE) / tot.total AS share, rnk
+    FROM (SELECT user_id, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+                                         user_id ASC NULLS FIRST)
+                      AS INTEGER) AS rnk
+          FROM counts) r CROSS JOIN tot
+    WHERE rnk <= 20
+    """,
+)
+def b16_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16d: key-skew profile — the top-20 hottest join/agg keys with
+    their share of the table (operators/skew.py::key_skew_profile).
+    Run this BEFORE choosing a join strategy at 100 TB: a key with
+    share > 1/shuffle-partitions straggles its reducer and wants
+    salting (b10_salted_join) or AQE skew-join. One count agg
+    (map-side combine shrinks the shuffle to distinct keys) + a
+    key-cardinality top-k; the full table never moves."""
+    return key_skew_profile(t(spark, sf_dir, "events"), "user_id", top_k=20)

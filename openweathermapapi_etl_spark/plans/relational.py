@@ -137,6 +137,77 @@ def b02_text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_text(t(spark, sf_dir, "documents").select("text"), out, mode="overwrite")
     return read_text(spark, out)
 
+
+@register(
+    "b01_schema_evolution",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(NULL AS VARCHAR) AS p_brand,
+           CAST(NULL AS DOUBLE)  AS p_retailprice
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, CAST(NULL AS VARCHAR) AS p_name,
+           p_brand, p_retailprice
+    FROM part WHERE p_partkey % 2 = 1
+    """,
+)
+def b01_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1b: schema-evolution scan — two writer generations land files
+    with DIFFERENT column sets in one dataset directory (generation 1:
+    ``p_name``; generation 2: ``p_brand``/``p_retailprice``), and
+    ``mergeSchema=true`` reads them back as the union schema with NULLs
+    where a file lacks a column. This is the long-lived-lake reality at
+    100 TB: columns get added over months and a full rewrite of old
+    files is off the table, so the SCAN must reconcile. Footer-merge
+    happens once at planning (driver-side, parallelized over footers);
+    per-file reads stay vectorized — evolution costs nothing per row.
+    The default non-merged read is kept strict so the relaxed semantics
+    are opt-in per query, not a global behavior change."""
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b01ev_{os.getpid()}")
+    part = t(spark, sf_dir, "part")
+    gen1 = part.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
+    gen2 = part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    write_parquet(gen1, out, mode="overwrite")
+    write_parquet(gen2, out, mode="append")
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+@register(
+    "b04_partitioned_sink_prune",
+    oracle="""
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def b04_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4c: hive-partitioned parquet sink + partition-PRUNED scan —
+    events laid out as ``event_type=<v>/`` directories, then a filter
+    on the partition column reads exactly one directory. At 100 TB this
+    is the difference between scanning the lake and scanning 1/k of it:
+    the predicate resolves at PLANNING time against directory names
+    (PartitionFilters in the scan node — pinned by
+    tests/test_plan_shapes.py::test_partition_prune_plan), no file of
+    any other partition is even listed into the scan. Partition count
+    stays bounded (one per event_type), so small-file explosion — the
+    classic over-partitioning failure — doesn't apply; high-cardinality
+    keys belong in bucketing (b10_bucketed_colocated_join), not
+    directory partitioning."""
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b04pp_{os.getpid()}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_parquet(ev, out, mode="overwrite", partition_by=["event_type"])
+    return (
+        read_parquet(spark, out)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B6-B9 — projection / filter / conditional / cast
 # ---------------------------------------------------------------------------

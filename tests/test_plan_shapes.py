@@ -178,3 +178,37 @@ def test_kmeans_iter_broadcast_assign_two_keyed_shuffles(spark, sf):
              if p != "RoundRobinPartitioning"]
     assert keyed == ["hashpartitioning", "hashpartitioning"]
     assert "partial_sum" in s
+
+
+def test_partition_prune_plan(spark, sf):
+    """b04_partitioned_sink_prune: the partition-column predicate must
+    resolve at PLANNING time (PartitionFilters on the scan node — only
+    the matching directory is listed), with no shuffle anywhere."""
+    s, tree = plan_of(spark, "b04_partitioned_sink_prune", sf)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", s), (
+        "partition filter did not reach the scan"
+    )
+    assert tree.count("Exchange") == 0
+
+
+def test_sessionize_single_user_shuffle(spark, sf):
+    """b42_batch_sessionize: ONE exchange keyed on the user — the
+    session-numbering window shuffles once and the per-session agg
+    reuses that partitioning (grouping keys ⊇ window partition key),
+    shuffling only session-level partials."""
+    _, tree = plan_of(spark, "b42_batch_sessionize", sf)
+    assert tree.count("Exchange") <= 1
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_decontaminate_broadcasts_eval_no_self_pair(spark, sf):
+    """c09_decontaminate: the eval-gram set broadcasts (the corpus side
+    must never shuffle for the probe) and the corpus never self-pairs.
+    Upper bounds per the brittleness guidance: only regressions fail."""
+    _, tree = plan_of(spark, "c09_decontaminate", sf)
+    assert tree.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    bound = 5 if sf.endswith("0.01") else 7  # measured 4 / 6
+    assert tree.count("Exchange") <= bound
