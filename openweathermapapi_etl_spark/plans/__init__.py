@@ -107,6 +107,7 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b51_stream_stream_left_join",  # NEW this round
     "c09_decontaminate",  # NEW this round
     "b42_batch_sessionize",  # NEW this round
     "b16_key_skew_profile",  # NEW this round

@@ -683,3 +683,116 @@ def c08_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["content_fp"])
     )
     return run_to_memory(gated, "c08_out", "append")
+
+
+@register(
+    "b51_stream_stream_left_join",
+    oracle=f"""
+    SELECT a.event_id AS click_id, a.user_id,
+           strftime(a.ts, '{_FMT_US}') AS click_ts,
+           b.event_id AS purchase_id,
+           strftime(b.ts, '{_FMT_US}') AS purchase_ts
+    FROM {_EV} a LEFT JOIN {_EV} b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND a.ts IS NOT NULL
+    """,
+)
+def b51_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51c: stream-stream LEFT OUTER join — every click, attributed or
+    not. The outer flavor is the semantically hard one: an unattributed
+    click can only be EMITTED (with NULL purchase columns) once the
+    state watermark proves no matching purchase can still arrive, so
+    emission is watermark-driven, not data-driven.
+
+    Replay: older half, newer half, then two FLUSH files whose
+    sentinel rows sit 10 days past max ts (two, because the watermark
+    computed at the end of batch N takes effect in batch N+1 — a
+    single trailing file would leave the last advance unapplied).
+
+    The sentinels are a fake *click* and a fake *purchase* (negative
+    event ids, non-joinable sentinel users): they must look like real
+    rows because Catalyst pushes the event-type filters BELOW the
+    ``withWatermark`` operator and into the parquet scan, where
+    row-group stats PRUNE a file containing only non-matching rows —
+    a ``__flush__``-typed sentinel never reaches the watermark node
+    at all and the books never close (measured: watermark pinned at
+    max_ts - 2h, the final unmatched click unemitted). For the same
+    reason the sentinels are removed BATCH-side, after the memory
+    sink — a streaming-side ``click_id >= 0`` filter would push
+    through the outer join into the left scan and re-prune the
+    sentinel file. This is the production pattern for bounded
+    backfills of outer-join streams: close the books by advancing
+    event time through the SAME filtered path the data takes, never
+    by dropping state. NULL-ts clicks are excluded on both sides
+    (mirrored in the oracle): an outer row with no event time has no
+    horizon and would pin state forever.
+    """
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    tag = f"spark_graft_stream_b51l_{os.getpid()}"
+    d = os.path.join(tempfile.gettempdir(), tag)
+    split_events_files(
+        spark,
+        sf_dir,
+        d,
+        predicates=[
+            (F.col("ts") < F.lit(mid_ts)) | F.col("ts").isNull(),
+            F.col("ts") >= F.lit(mid_ts),
+        ],
+    )
+    import datetime as _dt
+
+    flush_ts = max_ts + _dt.timedelta(days=10)
+    flush = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "click", 0.0, None),
+            (-2, flush_ts, -2, "purchase", 0.0, None),
+        ],
+        EVENTS,
+    )
+    write_events_file(flush, d, 2)
+    write_events_file(flush, d, 3)
+
+    def side(alias_id: str, etype: str, uid: str, tscol: str):
+        return (
+            replay_files_stream(spark, d, EVENTS)
+            .filter(F.col("ts").isNotNull())
+            .withWatermark("ts", "2 hours")
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(alias_id),
+                F.col("user_id").alias(uid),
+                F.col("ts").alias(tscol),
+            )
+        )
+
+    clicks = side("click_id", "click", "user_id", "click_ts_t")
+    purchases = side("purchase_id", "purchase", "p_user_id", "purchase_ts_t")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts_t") >= F.col("click_ts_t"))
+        & (
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "user_id",
+        F.date_format("click_ts_t", _SPARK_FMT_US).alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
+    )
+    # Sentinel removal is deliberately BATCH-side (memory-sink table):
+    # see the docstring — a streaming-side filter would be pushed into
+    # the scan and defeat the flush.
+    return run_to_memory(joined, "b51l_out", "append").filter(
+        F.col("click_id") >= 0
+    )

@@ -289,3 +289,32 @@ def test_curation_gate_dedup_state_spans_batches(spark, sf_dir, tmp_path):
     assert 0 < n_out < n_gated  # dedup collapsed at least one group
     state = q.lastProgress["stateOperators"][0]
     assert state["numRowsTotal"] == n_out  # one state row per fingerprint
+
+
+def test_left_outer_join_flush_emits_final_unmatched_click(spark, sf_dir):
+    """The failure this pins: the outer join's flush sentinel must pass
+    the event-type filters, because Catalyst pushes them below the
+    watermark node into the scan, where row-group stats prune a
+    sentinel-only file — with a non-matching sentinel the watermark
+    never passes the LAST click's horizon and that click is silently
+    never emitted. Proof: the max-ts click (which nothing can match)
+    appears with NULL purchase columns, and no sentinel leaks out."""
+    from openweathermapapi_etl_spark.catalog import load_table
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    out = QUERIES["b51_stream_stream_left_join"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r.click_id >= 0 for r in rows)  # sentinels removed
+    ev = load_table(spark, sf_dir, "events")
+    last_click = (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts").desc())
+        .first()
+    )
+    got = [r for r in rows if r.click_id == last_click.event_id]
+    assert len(got) == 1 and got[0].purchase_id is None
+    # and every click is present exactly >= once (left-join totality)
+    n_clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).count()
+    assert len({r.click_id for r in rows}) == n_clicks
