@@ -86,10 +86,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table: {name}")
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select(*[f.name for f in TESTDATA_TABLES["events"].fields])
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            ).select(*[f.name for f in TESTDATA_TABLES["events"].fields])
+        elif ts_type == "timestamp_ntz":
+            # Microsecond-precision testdata (isAdjustedToUTC=false)
+            # infers TIMESTAMP_NTZ under Spark 4; normalize to
+            # TimestampType so every downstream plan sees ONE type
+            # (NTZ rejects CAST(ts AS DOUBLE), and the streaming
+            # replay schema is TimestampType). The session TZ is
+            # pinned UTC, so the wall-clock values are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return _parallelize_scan(spark, df, path, name)
 
 
