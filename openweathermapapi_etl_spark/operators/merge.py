@@ -364,3 +364,75 @@ def scd2_apply(
     )
     new_slice = j.select(F.explode(emitted).alias("r")).select("r.*")
     return closed.select(*out_cols).unionByName(new_slice)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """CDC change-set between two keyed snapshots of the same table:
+    one row per inserted / deleted / changed key, unchanged keys
+    dropped.
+
+    The reference refreshes its warehouse by replacing state wholesale
+    every run (`INSERT ... ON CONFLICT` over the full staging batch,
+    /root/reference/dags/weather-etl.py:150-166); diffing two refresh
+    snapshots is how a consumer recovers *what changed* — the standard
+    change-data-capture primitive a 100 TB lakehouse derives its
+    incremental downstream feeds from.
+
+    Shape: ONE full-outer shuffle join on ``keys`` (both sides
+    hash-partitioned; with bucketed snapshot tables it is
+    zero-exchange), then row-local null-safe comparison — ``<=>`` so a
+    legitimate NULL→value or value→NULL transition counts as a change
+    rather than vanishing. Presence is detected with injected literal
+    flags, never by key-null-ness, so NULL-keyed rows can't masquerade
+    as inserts/deletes.
+
+    Output schema: coalesced keys, ``change_col`` ∈
+    {'insert','update','delete'}, then ``old_<c>`` / ``new_<c>`` for
+    every tracked column.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in tracked],
+        F.lit(True).alias("_old_present"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in tracked],
+        F.lit(True).alias("_new_present"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, on=cond, how="full_outer")
+
+    changed = None
+    for c in tracked:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = d if changed is None else changed | d
+
+    out = (
+        j.withColumn(
+            change_col,
+            F.when(F.col("_old_present").isNull(), F.lit("insert"))
+            .when(F.col("_new_present").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update")),
+        )
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in keys
+            ],
+            change_col,
+            *[F.col(f"old_{c}") for c in tracked],
+            *[F.col(f"new_{c}") for c in tracked],
+        )
+    )
+    return out

@@ -1,0 +1,80 @@
+"""Distributed total-order rank / sharding — the scale-safe spelling
+of ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+A global window with no PARTITION BY collapses the whole input into a
+single task (Spark even warns: "No Partition Defined for Window
+operation"), which is the canonical 100 TB anti-pattern: one reducer
+sorts everything. The distributed construction used by every external
+sorter (and by Spark's own ``sortBy`` writers) is:
+
+1. ``repartitionByRange`` on the order keys — range-sampled
+   boundaries put each partition on a contiguous, disjoint key range
+   (equal keys land in one partition), every partition sorts locally
+   in parallel;
+2. per-partition row counts — a tiny control-plane aggregate
+   (``num_partitions`` rows) collected to the driver;
+3. rank = cumulative offset of the partition + row_number *within*
+   the partition (a window partitioned by ``spark_partition_id()``,
+   so it never serializes).
+
+The result is bit-identical to the single-task window whenever the
+order keys form a total order (pass a tie-breaking key suffix if the
+primary key has duplicates — otherwise ranks within a tie are
+partition-placement-dependent, same as any ROW_NUMBER over ties).
+
+Reference basis: the reference's ad-hoc PGAdmin SQL surface
+(/root/reference/README.md:62-78) includes window functions over the
+weather table; Postgres evaluates ROW_NUMBER on one backend, which is
+exactly what this construction avoids at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column | str],
+    rank_name: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global ROW_NUMBER over ``order_by`` without a
+    single-reducer window.
+
+    ``order_by`` must be a total order (unique key tuple) for a
+    deterministic result. Cost: one range shuffle + one tiny
+    control-plane aggregate; the per-partition window and the offset
+    join are both shuffle-free (the offset side is
+    ``num_partitions`` rows, always broadcast).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *cols
+    ).withColumn("_pid", F.spark_partition_id())
+
+    # Local rank: window partitioned by _pid — every partition ranks
+    # independently, no serialization point.
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_local_rn", F.row_number().over(w))
+
+    # Offsets: #rows in all partitions strictly before this one.
+    # num_partitions rows — a bounded control-plane read, not data.
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(rank_name, (F.col("_offset") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

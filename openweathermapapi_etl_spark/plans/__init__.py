@@ -98,15 +98,20 @@ _R4_WINDOW = [
 ]
 
 # Generated: python tools/changed_queries.py 0bc33e7 (round-4 final
-# commit), then the 15 queries NEW in round 5 moved to the front —
-# never driver-checked outranks changed-but-previously-green. 107 of
-# 112 registered queries are in the closure (95 direct: this round
-# touched relational.py, streaming_q.py, tier_c.py, merge_q.py and
-# added curation.py; 12 transitive); the 50-slot window keeps the new
-# + highest-risk direct head, and the overflow ranks stalest-first for
+# commit), then the queries NEW in round 5 moved to the front —
+# never driver-checked outranks changed-but-previously-green. The
+# round-5 diff touched relational.py, streaming_q.py, tier_c.py,
+# merge_q.py and added curation.py, so nearly every registered query
+# is in the transitive closure; the 50-slot window keeps the new +
+# highest-risk direct head, and the overflow ranks stalest-first for
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "m3_snapshot_diff",  # NEW this round
+    "b16_histogram",  # NEW this round
+    "b26_global_rank",  # NEW this round
+    "c04_unigram_logprob",  # NEW this round
+    "c07_outlier_filter",  # NEW this round
     "b51_stream_stream_left_join",  # NEW this round
     "c09_decontaminate",  # NEW this round
     "b42_batch_sessionize",  # NEW this round

@@ -30,7 +30,7 @@ from ..operators.text import (
 )
 from .registry import register
 from .tier_c import _O_HASH, _lsh_oracle
-from .util import t
+from .util import davg, o_davg, t
 
 # ---------------------------------------------------------------------------
 # C6 — near-dup cluster resolution (connected components)
@@ -693,4 +693,99 @@ def c09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return contamination_flags(
         d, "text", "doc_id", is_eval=F.col("doc_id") % 53 == 0, n=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — unigram LM quality score; C7 continued — outlier filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok2 GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(LENGTH(CAST(v.cnt AS VARCHAR)) - 1 AS BIGINT) AS logq
+      FROM tok2 t JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {o_davg("logq")}         AS mean_log10_freq
+    FROM scored GROUP BY doc_id
+    """,
+)
+def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4i: unigram language-model quality score — the CCNet-style
+    "does this document look like the corpus" filter: tokenize, look
+    every token up in the corpus unigram table, average the log
+    frequencies per document (low mean ⇒ rare-token soup ⇒ candidate
+    junk). The log is quantized to decades — ``floor(log10 cnt)`` via
+    digit count, an integer — because ln()/log10() differ in the last
+    ulp between libm and the JVM (same dodge as c04_tfidf_topterms);
+    production swaps in true ln() where cross-engine bit-parity isn't
+    a constraint, the plan is identical. Shape: explode → token-keyed
+    vocab agg → token-keyed lookup join → doc-keyed avg. The vocab
+    join key is zipf-skewed; at 100 TB prune the vocab to top-K +
+    OOV default and BROADCAST it (a corpus LM table is small after
+    pruning), turning the skewed shuffle into a map-side lookup."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    scored = tok.join(vocab, "token").select(
+        "doc_id",
+        (F.length(F.col("cnt").cast("string")) - 1).cast("long").alias("logq"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), davg("logq", "mean_log10_freq")
+    )
+
+
+@register(
+    "c07_outlier_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.25) AS p25,
+             quantile_cont(n_chars, 0.75) AS p75
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN stats s USING (lang)
+    WHERE d.n_chars >= s.p25 - 0.5 * (s.p75 - s.p25)
+      AND d.n_chars <= s.p75 + 0.5 * (s.p75 - s.p25)
+    """,
+)
+def c07_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7g: per-group IQR outlier filter — drop documents whose length
+    is outside [p25 − k·IQR, p75 + k·IQR] *for their language* —
+    the robust-statistics version of a min/max length cut (a fixed cut
+    mis-filters languages with different length distributions; k is
+    Tukey's 1.5 in production — 0.5 here so the tight synthetic length
+    distribution actually exercises the drop branch at every SF). Two
+    passes: tiny per-lang exact-percentile agg (`percentile` and
+    DuckDB's `quantile_cont` share the p·(n−1) interpolation formula,
+    verified bit-identical in b16_percentile_agg), broadcast back,
+    row-local range test. At 100 TB the exact percentile becomes
+    approx_percentile (mergeable sketch, B18 pattern) and the rest of
+    the plan is unchanged — filters this selective belong BEFORE the
+    expensive dedup/LM stages in the funnel (c07_filter_funnel)."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("p25") - 0.5 * iqr)
+            & (F.col("n_chars") <= F.col("p75") + 0.5 * iqr)
+        )
+        .select("doc_id", "lang", "n_chars")
     )

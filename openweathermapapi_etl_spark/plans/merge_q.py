@@ -269,3 +269,74 @@ def m2_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to_s"),
         F.col("is_current").cast("int").alias("is_current_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 — snapshot diff (change-data-capture between two refreshes)
+# ---------------------------------------------------------------------------
+
+M3_ORACLE = """
+WITH snap_old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 3
+),
+snap_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END              AS change_type,
+       o.o_orderstatus                     AS old_o_orderstatus,
+       o.o_totalprice                      AS old_o_totalprice,
+       n.o_orderstatus                     AS new_o_orderstatus,
+       n.o_totalprice                      AS new_o_totalprice
+FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+   OR (o.o_totalprice  IS DISTINCT FROM n.o_totalprice)
+"""
+
+
+@register("m3_snapshot_diff", oracle=M3_ORACLE)
+def m3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: change-data-capture between two table snapshots
+    (operators/merge.py::snapshot_diff) — the inverse of M1's upsert:
+    given the states before and after a refresh, emit the
+    insert/update/delete change rows a downstream incremental consumer
+    would replay. Two deterministic snapshots are derived from
+    ``orders``: keys ≡3 (mod 10) are missing from the old snapshot
+    (→ inserts), keys ≡7 are missing from the new (→ deletes), keys ≡1
+    change status and price (→ updates); everything else is unchanged
+    and must NOT appear. One full-outer shuffle join + row-local
+    null-safe comparison; at scale, bucket both snapshots on the key
+    for a zero-exchange diff, or restrict to changed partitions first
+    (the M1p pattern)."""
+    from ..operators.merge import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_old = orders.filter(F.col("o_orderkey") % 10 != 3)
+    snap_new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 1, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 10 == 1, F.col("o_totalprice") + 100.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        snap_old,
+        snap_new,
+        keys=["o_orderkey"],
+        tracked=["o_orderstatus", "o_totalprice"],
+    )

@@ -1388,3 +1388,68 @@ def b10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderdate_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# B16d / B26b — equi-width histogram, distributed total-order rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT), 10)
+             AS bucket,
+           COUNT(*) AS n,
+           {o_dsum("l_extendedprice")} AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def b16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16d: equi-width histogram — fixed-width price buckets with a
+    capped overflow bucket (the profiling pass behind every data-skew /
+    distribution report, SURVEY.md §2.4). Bucketing is a row-local
+    expression, so the plan is ONE partial+final hash agg on ~11 keys:
+    virtually all reduction happens map-side and the shuffle carries a
+    few dozen rows per partition regardless of input size — the shape
+    you want for a 100 TB profile scan. Fixed bounds (not min/max) keep
+    it single-pass; pair with a first min/max pass when bounds are
+    unknown."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 10000.0), F.lit(10)
+    ).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dsum("l_extendedprice", "total_price")
+    )
+
+
+@register(
+    "b26_global_rank",
+    oracle="""
+    SELECT o_orderkey, rnk,
+           CAST(FLOOR((rnk - 1) / 1000) AS BIGINT) AS shard
+    FROM (SELECT o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk
+          FROM orders)
+    """,
+)
+def b26_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26b: global ROW_NUMBER + shard assignment WITHOUT the
+    single-reducer window (operators/rank.py::global_rank): range
+    repartition → per-partition local ranks in parallel → tiny
+    per-partition-count offset join. Bit-identical to the naive global
+    window (the oracle) because the order key is unique, but every
+    stage is distributed — the way a 100 TB corpus gets written as
+    globally sorted, fixed-size shards. Shard id = floor((rank-1)/1000)
+    comes out as a row-local expression on top."""
+    from ..operators.rank import global_rank
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = global_rank(orders, ["o_orderkey"], rank_name="rnk")
+    return ranked.select(
+        "o_orderkey",
+        "rnk",
+        F.floor((F.col("rnk") - 1) / 1000).cast("long").alias("shard"),
+    )

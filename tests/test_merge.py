@@ -384,3 +384,55 @@ def test_compact_partitioned_keeps_partition_dirs(spark, tmp_path):
         n = len([f for f in os.listdir(os.path.join(vdir, p)) if f.endswith(".parquet")])
         assert n == 1
     assert table.read(spark).count() == 400
+
+
+# ---------------------------------------------------------------------------
+# M3 — snapshot_diff (CDC change set)
+# ---------------------------------------------------------------------------
+
+
+def _diff_rows(spark, old_rows, new_rows):
+    from openweathermapapi_etl_spark.operators.merge import snapshot_diff
+
+    schema = "k int, v string, amt double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = snapshot_diff(old, new, keys=["k"], tracked=["v", "amt"])
+    return {r["k"]: r.asDict() for r in out.collect()}
+
+
+def test_snapshot_diff_classifies_all_three_changes(spark):
+    got = _diff_rows(
+        spark,
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0)],
+    )
+    assert set(got) == {1, 3, 4}          # 2 unchanged → absent
+    assert got[1]["change_type"] == "delete"
+    assert got[3]["change_type"] == "update"
+    assert got[3]["old_amt"] == 3.0 and got[3]["new_amt"] == 9.0
+    assert got[4]["change_type"] == "insert"
+    assert got[4]["old_v"] is None and got[4]["new_v"] == "d"
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    # NULL→value and value→NULL on a tracked column must both surface
+    # as updates (null-safe compare), and NULL==NULL must NOT.
+    got = _diff_rows(
+        spark,
+        [(1, None, 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        [(1, "x", 1.0), (2, None, 2.0), (3, None, 3.0)],
+    )
+    assert got[1]["change_type"] == "update"
+    assert got[2]["change_type"] == "update"
+    assert 3 not in got                   # NULL == NULL → unchanged
+
+
+def test_snapshot_diff_null_key_is_matched_not_insert_delete(spark):
+    # Presence comes from injected flags, not key null-ness: a
+    # NULL-keyed row on both sides with equal values is UNCHANGED, and
+    # with different values is an UPDATE — never an insert+delete pair.
+    got = _diff_rows(spark, [(None, "a", 1.0)], [(None, "a", 1.0)])
+    assert got == {}
+    got = _diff_rows(spark, [(None, "a", 1.0)], [(None, "a", 5.0)])
+    assert got[None]["change_type"] == "update"

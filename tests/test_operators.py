@@ -310,3 +310,54 @@ if _HAVE_HYP:
             for r in lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2).collect()
         }
         assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# global_rank (distributed total-order rank)
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_single_reducer_window(spark):
+    from pyspark.sql import Window
+
+    from openweathermapapi_etl_spark.operators.rank import global_rank
+
+    # Adversarial input: keys arrive shuffled across many partitions.
+    df = (
+        spark.range(0, 5000)
+        .withColumn("key", (F.col("id") * 2654435761) % 100003)
+        .repartition(16)
+        .select("key")
+        .distinct()
+    )
+    got = {
+        r["key"]: r["rnk"]
+        for r in global_rank(df, ["key"], rank_name="rnk").collect()
+    }
+    want = {
+        r["key"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("key"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_is_dense_and_respects_num_partitions(spark):
+    from openweathermapapi_etl_spark.operators.rank import global_rank
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "key")
+    out = global_rank(df, ["key"], rank_name="rnk", num_partitions=7)
+    ranks = sorted(r["rnk"] for r in out.collect())
+    assert ranks == list(range(1, 1001))
+
+
+def test_global_rank_plan_has_no_single_partition_window(spark):
+    """The point of the operator: the window must be partitioned (by
+    the internal _pid), never a global 'Window [... ORDER BY ...]' over
+    one partition — Spark plans the naive form as Exchange SinglePartition."""
+    from openweathermapapi_etl_spark.operators.rank import global_rank
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "key")
+    plan = global_rank(df, ["key"], rank_name="rnk")._jdf.queryExecution().toString()
+    assert "SinglePartition" not in plan
