@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "c04_repetition_stats",
     "m2_scd2_merge",
     "c03_kmeans_iter",
+    # Round-5 additions: CDC snapshot diff (full-outer change
+    # detection) and the distributed total-order rank — both new
+    # operator families whose shuffle patterns deserve regression
+    # tracking.
+    "m3_snapshot_diff",
+    "b26_global_rank",
 ]
 
 #: The previous round's headline set (BENCH_r04.json), so totals can be

@@ -78,3 +78,53 @@ def global_rank(
         .withColumn(rank_name, (F.col("_offset") + F.col("_local_rn")).cast("long"))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive running total of ``value_col`` in
+    ``order_by`` order — ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — without the single-reducer global window.
+
+    Same skeleton as :func:`global_rank`: range repartition (each
+    partition owns a contiguous key range), per-partition local
+    running sums in parallel, then a ``num_partitions``-row
+    control-plane pass turns per-partition totals into starting
+    offsets, broadcast back. ``order_by`` must be a total order for a
+    deterministic result. This is the workhorse behind quota-style
+    selection (take documents until a token budget is hit), shard
+    byte-offset assignment, and cumulative-distribution reports.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *cols
+    ).withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["_pid"], r["s"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in totals:
+        offsets[pid] = acc
+        acc += s or 0
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_cum")).cast("long"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

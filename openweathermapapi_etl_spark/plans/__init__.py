@@ -107,6 +107,8 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b05_jdbc_partitioned_read",  # NEW this round
+    "c07_token_budget_sample",  # NEW this round
     "m3_snapshot_diff",  # NEW this round
     "b16_histogram",  # NEW this round
     "b26_global_rank",  # NEW this round

@@ -789,3 +789,51 @@ def c07_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "c07_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_O_HASH.format(s="'budget:' || CAST(doc_id AS VARCHAR)")}
+               % 1000000007 AS hkey
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    """,
+)
+def c07_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7h: fill a fixed TOKEN budget (12k here) with documents in
+    deterministic hash order — the "give me exactly N tokens of this
+    source" selection every training-mix builder runs (doc-count
+    quotas over-/under-shoot because document lengths vary). The
+    running total uses operators/rank.py::prefix_sum — range
+    repartition + parallel local cumsums + a partition-count offset
+    join — NOT a global window, which would serialize the corpus
+    through one task at 100 TB. Hash order (salt 'budget') makes the
+    sample stable across runs and uncorrelated with any data column;
+    the inclusive cumsum keeps the straddling document out (budget is
+    a hard cap)."""
+    from ..operators.rank import prefix_sum
+    from ..operators.sampling import split_bucket
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        split_bucket(F.col("doc_id"), "budget", 1_000_000_007).alias("hkey"),
+    )
+    cum = prefix_sum(
+        toks, ["hkey", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    return cum.filter(F.col("cum_tokens") <= 12_000).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )

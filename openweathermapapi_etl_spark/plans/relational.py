@@ -1453,3 +1453,46 @@ def b26_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.floor((F.col("rnk") - 1) / 1000).cast("long").alias("shard"),
     )
+
+
+@register(
+    "b05_jdbc_partitioned_read",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def b05_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5b: PARALLEL JDBC ingest — partitionColumn/bounds/numPartitions
+    split the read into range-predicate tasks (here 4), each its own
+    connection; without them a JDBC read is ONE task no matter the
+    cluster size — the classic JDBC-at-scale trap (sources/io.py
+    docstring, now exercised). The filter lands in every partition's
+    WHERE alongside the range predicate (JDBC pushdown). Bounds come
+    from the key domain; stride skew follows key skew — for skewed
+    keys, partition on a derived uniform column (MOD(hash), rownum).
+    Parallelism is pinned by tests/test_plan_shapes.py."""
+    from ..sources import read_jdbc, write_jdbc
+
+    url = (
+        "jdbc:derby:"
+        + os.path.join(tempfile.gettempdir(), f"spark_graft_b05p_{os.getpid()}")
+        + ";create=true"
+    )
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    write_jdbc(cust, url, "CUST_PART", mode="overwrite", **driver)
+    lo, hi = 1, cust.agg(F.max("c_custkey")).collect()[0][0]
+    out = read_jdbc(
+        spark,
+        url,
+        "CUST_PART",
+        partitionColumn="c_custkey",
+        lowerBound=str(lo),
+        upperBound=str(hi),
+        numPartitions="4",
+        **driver,
+    )
+    return out.filter(F.col("c_acctbal") > 0)

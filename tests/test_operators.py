@@ -361,3 +361,28 @@ def test_global_rank_plan_has_no_single_partition_window(spark):
     df = spark.range(0, 10000).withColumnRenamed("id", "key")
     plan = global_rank(df, ["key"], rank_name="rnk")._jdf.queryExecution().toString()
     assert "SinglePartition" not in plan
+
+
+def test_prefix_sum_matches_single_reducer_window(spark):
+    from pyspark.sql import Window
+
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    df = (
+        spark.range(0, 3000)
+        .withColumn("key", (F.col("id") * 48271) % 9973)
+        .withColumn("v", (F.col("id") % 7) + 1)
+        .repartition(16)
+        .select("key", "v")
+        .dropDuplicates(["key"])
+    )
+    got = {
+        r["key"]: r["cum"]
+        for r in prefix_sum(df, ["key"], "v", out_col="cum").collect()
+    }
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["key"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -212,3 +212,11 @@ def test_decontaminate_broadcasts_eval_no_self_pair(spark, sf):
     assert "CartesianProduct" not in tree
     bound = 5 if sf.endswith("0.01") else 7  # measured 4 / 6
     assert tree.count("Exchange") <= bound
+
+
+def test_jdbc_partitioned_read_is_parallel(spark):
+    """B5b's point: partitionColumn bounds must split the JDBC scan
+    into numPartitions range tasks (an unpartitioned JDBC read is one
+    task regardless of cluster size)."""
+    df = QUERIES["b05_jdbc_partitioned_read"](spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == 4
