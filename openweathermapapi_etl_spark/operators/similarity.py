@@ -434,3 +434,70 @@ def kmeans_update(
             F.count("*").alias("n_members"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """k-NN GRAPH over the corpus: every vector's top-k neighbors
+    among candidates sharing its hyperplane bucket, plus a ``mutual``
+    flag (is the reverse edge also in the neighbor's top-k?) — the
+    input structure for SemDeDup-style embedding dedup and graph
+    clustering, where mutual edges are the high-confidence ones.
+
+    Unlike :func:`cosine_topk_lsh` (few queries, broadcast), here the
+    query side IS the corpus: a self-equi-join on the bucket id — one
+    shuffle keyed on ~2^n_planes buckets; raise ``n_planes`` with
+    corpus size to keep per-bucket candidate counts flat (bucket
+    population halves per plane). The mutual flag is a self-join of
+    the k-edge list on the reversed key — the edge list is k·|V| rows,
+    far smaller than the candidate set.
+    """
+    from pyspark.sql import Window as W
+
+    planes = make_planes(dim, n_planes)
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("n"),
+        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    lhs = b.select(
+        F.col("id").alias("src"), F.col("v").alias("sv"),
+        F.col("n").alias("sn"), "bucket",
+    )
+    rhs = b.select(
+        F.col("id").alias("dst"), F.col("v").alias("dv"),
+        F.col("n").alias("dn"), "bucket",
+    )
+    scored = (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_pre(F.col("sv"), F.col("dv"), F.col("sn"), F.col("dn")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(True).alias("_rev"),
+    )
+    return knn.join(rev, on=["src", "dst"], how="left").select(
+        "src", "dst", "cos_sim", "rank",
+        F.coalesce(F.col("_rev"), F.lit(False)).alias("mutual"),
+    )

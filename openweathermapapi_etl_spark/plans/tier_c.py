@@ -29,6 +29,7 @@ from ..operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs,
+    knn_graph,
     make_planes,
 )
 from ..operators.text import (
@@ -316,10 +317,13 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(q, e, k=5)
 
 
-def _lsh_topk_oracle(k: int = 5, dim: int = 64, n_planes: int = 4) -> str:
+def _lsh_topk_oracle(
+    k: int = 5, dim: int = 64, n_planes: int = 4, qmod: int | None = 50
+) -> str:
     """The hyperplanes are a deterministic LCG (no RNG state), so they
     inline as SQL literals — which upgrades the LSH ANN from a
-    rows-only check to a full value-hash oracle."""
+    rows-only check to a full value-hash oracle. ``qmod=None`` makes
+    EVERY vector a query (the k-NN-graph case)."""
     planes = make_planes(dim, n_planes)
 
     def dot_lit(plane: list[float]) -> str:
@@ -350,7 +354,7 @@ def _lsh_topk_oracle(k: int = 5, dim: int = 64, n_planes: int = 4) -> str:
       JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
       JOIN norms nq ON nq.vec_id = q.vec_id
       JOIN norms nc ON nc.vec_id = c.vec_id
-      WHERE q.vec_id % 50 = 0) r
+      {f"WHERE q.vec_id % {qmod} = 0" if qmod else ""}) r
     WHERE rank <= {k}
     """
 
@@ -699,3 +703,31 @@ def c05_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", *[F.element_at("features", i + 1).alias(f"h{i}") for i in range(8)]
     )
+
+
+def _knn_graph_oracle(k: int = 3, n_planes: int = 6) -> str:
+    base = _lsh_topk_oracle(k=k, n_planes=n_planes, qmod=None).strip()
+    return f"""
+    WITH knn AS ({base})
+    SELECT k1.query_id    AS src,
+           k1.neighbor_id AS dst,
+           k1.cos_sim, k1.rank,
+           (k2.query_id IS NOT NULL) AS mutual
+    FROM knn k1
+    LEFT JOIN knn k2 ON k2.query_id = k1.neighbor_id
+                    AND k2.neighbor_id = k1.query_id
+    """
+
+
+@register("c03_knn_graph", oracle=_knn_graph_oracle())
+def c03_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3d: LSH-bucketed k-NN GRAPH over the whole embedding corpus
+    (operators/similarity.py::knn_graph) — every vector's top-3
+    in-bucket neighbors with a mutual-edge flag; the structure
+    SemDeDup-style embedding dedup and graph clustering consume.
+    Self-equi-join on 2^6 hyperplane buckets (raise n_planes with
+    corpus size), then a tiny reversed-edge self-join of the k·|V|
+    edge list for mutuality. Deterministic planes → value-hash oracle,
+    like the other LSH flavors."""
+    e = t(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=3, dim=64, n_planes=6)
