@@ -796,3 +796,54 @@ def b51_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "b51l_out", "append").filter(
         F.col("click_id") >= 0
     )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "b40_tumbling_window_rocksdb",
+    oracle=f"""
+    SELECT strftime(make_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 * 1000000),
+                    '{_FMT_S}') AS window_start,
+           event_type, COUNT(*) AS n, {o_dsum('value')} AS total
+    FROM {_EV} ev GROUP BY 1, 2
+    """,
+)
+def b40_tumbling_window_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40b: the SAME tumbling-window aggregation as b40, run on the
+    RocksDB state store provider — the spill-to-disk state backend a
+    100 TB stateful job actually uses (the default HDFSBackedStateStore
+    keeps every key's state in executor heap; RocksDB keeps working set
+    in memory, the rest on local SSD, with incremental checkpoint
+    upload). Identical results by construction — same oracle as b40,
+    so the hash match proves the backend swap is semantics-free; a
+    pytest pins that RocksDB was really engaged (rocksdb* metrics in
+    stateOperators.customMetrics). The provider conf is restored after
+    the run so co-resident queries keep their backend."""
+    prep(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        d = _replay_dir(spark, sf_dir, "b40r")
+        stream = replay_files_stream(spark, d, EVENTS)
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+            .agg(F.count("*").alias("n"), dsum("value", "total"))
+            .select(
+                F.date_format("window.start", _SPARK_FMT_S).alias("window_start"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+        return run_to_memory(agg, "b40r_out", "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -318,3 +318,44 @@ def test_left_outer_join_flush_emits_final_unmatched_click(spark, sf_dir):
         (F.col("event_type") == "click") & F.col("ts").isNotNull()
     ).count()
     assert len({r.click_id for r in rows}) == n_clicks
+
+
+def test_rocksdb_state_store_is_engaged_and_conf_restored(spark, sf_dir):
+    """B40b's two contracts: (1) the RocksDB provider really backs the
+    stateful operator (rocksdb* custom metrics appear in the progress
+    log — an ignored/misspelled providerClass would silently fall back
+    to the default heap store and the oracle would still match);
+    (2) the session conf is restored after the query, so co-resident
+    queries keep their backend."""
+    from openweathermapapi_etl_spark.plans.streaming_q import (
+        _ROCKSDB_PROVIDER,
+        _replay_dir,
+    )
+    from openweathermapapi_etl_spark.schemas import EVENTS as EV_SCHEMA
+    from openweathermapapi_etl_spark.streaming.jobs import run_to_memory_query
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        d = _replay_dir(spark, sf_dir, "rocks_pin")
+        stream = replay_files_stream(spark, d, EV_SCHEMA)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        df, q = run_to_memory_query(agg, "rocks_pin_out", "complete")
+        assert df.count() > 0
+        metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # The registered query manages the conf itself — run it end-to-end
+    # and check restoration.
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    QUERIES["b40_tumbling_window_rocksdb"](spark, sf_dir).count()
+    assert spark.conf.get(key, None) == before
