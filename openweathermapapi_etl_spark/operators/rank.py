@@ -13,9 +13,11 @@ sorter (and by Spark's own ``sortBy`` writers) is:
    in parallel;
 2. per-partition row counts — a tiny control-plane aggregate
    (``num_partitions`` rows) collected to the driver;
-3. rank = cumulative offset of the partition + row_number *within*
-   the partition (a window partitioned by ``spark_partition_id()``,
-   so it never serializes).
+3. rank = cumulative offset of the partition + the local rank
+   *within* the partition — computed exchange-free from
+   ``monotonically_increasing_id`` after ``sortWithinPartitions``
+   (see the in-function comment), so it never serializes and never
+   re-shuffles.
 
 The result is bit-identical to the single-task window whenever the
 order keys form a total order (pass a tie-breaking key suffix if the
@@ -44,20 +46,36 @@ def global_rank(
     single-reducer window.
 
     ``order_by`` must be a total order (unique key tuple) for a
-    deterministic result. Cost: one range shuffle + one tiny
-    control-plane aggregate; the per-partition window and the offset
-    join are both shuffle-free (the offset side is
-    ``num_partitions`` rows, always broadcast).
+    deterministic result. Cost: ONE range shuffle of the data + one
+    tiny control-plane aggregate; the local rank and the offset join
+    are both exchange-free (the offset side is ``num_partitions``
+    rows, always broadcast).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ranged = df.repartitionByRange(
         *( [num_partitions] if num_partitions else [] ), *cols
     ).withColumn("_pid", F.spark_partition_id())
 
-    # Local rank: window partitioned by _pid — every partition ranks
-    # independently, no serialization point.
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    local = ranged.withColumn("_local_rn", F.row_number().over(w))
+    # Local rank WITHOUT a second exchange: a Window.partitionBy(_pid)
+    # would be correct but Catalyst cannot see that rows are already
+    # pid-partitioned, so it plans Exchange(hashpartitioning(_pid)) —
+    # a second full shuffle of the data. Instead: sortWithinPartitions
+    # (sort, no movement) + monotonically_increasing_id, whose
+    # documented layout is (partition id << 33) + consecutive
+    # record number in scan order — so id − (pid << 33) + 1 IS the
+    # 1-based local rank in key order. Limit: 2^33 rows per partition
+    # (≈8.6 B), far above any sane partition sizing; bit-equality with
+    # the naive global window is unit-tested.
+    local = (
+        ranged.sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_local_rn",
+            F.col("_mid")
+            - F.shiftleft(F.col("_pid").cast("long"), 33)
+            + F.lit(1),
+        )
+    )
 
     # Offsets: #rows in all partitions strictly before this one.
     # num_partitions rows — a bounded control-plane read, not data.
@@ -76,7 +94,7 @@ def global_rank(
     return (
         local.join(F.broadcast(off_df), on="_pid")
         .withColumn(rank_name, (F.col("_offset") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_offset")
+        .drop("_pid", "_local_rn", "_offset", "_mid")
     )
 
 

@@ -352,15 +352,28 @@ def test_global_rank_is_dense_and_respects_num_partitions(spark):
     assert ranks == list(range(1, 1001))
 
 
-def test_global_rank_plan_has_no_single_partition_window(spark):
-    """The point of the operator: the window must be partitioned (by
-    the internal _pid), never a global 'Window [... ORDER BY ...]' over
-    one partition — Spark plans the naive form as Exchange SinglePartition."""
+def test_global_rank_plan_is_one_data_exchange(spark):
+    """The point of the operator, pinned: (1) never a SinglePartition
+    exchange (the naive global window's shape); (2) exactly ONE data
+    shuffle — the range repartition. The local rank must NOT cost a
+    second Exchange(hashpartitioning(_pid)) (the Window.partitionBy
+    formulation does), and the offset join must broadcast."""
+    import contextlib
+    import io
+    import re
+
     from openweathermapapi_etl_spark.operators.rank import global_rank
 
     df = spark.range(0, 10000).withColumnRenamed("id", "key")
-    plan = global_rank(df, ["key"], rank_name="rnk")._jdf.queryExecution().toString()
-    assert "SinglePartition" not in plan
+    out = global_rank(df, ["key"], rank_name="rnk")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    # \bExchange\b does not match BroadcastExchange (word boundary).
+    assert len(re.findall(r"\bExchange\b", tree)) <= 1
+    assert "BroadcastExchange" in tree
 
 
 def test_prefix_sum_matches_single_reducer_window(spark):
