@@ -256,3 +256,73 @@ def test_failed_fetch_aborts_whole_batch(spark, tmp_path):
     assert exc is not None  # the batch failed loudly (not A15 silence)
     # ...and atomically: no version was ever committed.
     assert VersionedParquetTable(root).current_version() is None
+
+
+# ---------------------------------------------------------------------------
+# A1 as a Spark-4 Python DataSource (streaming/http_datasource.py)
+# ---------------------------------------------------------------------------
+
+
+def _ds_stream(spark, canned: dict, cities: str):
+    import json as _json
+
+    from openweathermapapi_etl_spark.streaming.http_datasource import (
+        WeatherHTTPDataSource,
+    )
+
+    spark.dataSource.register(WeatherHTTPDataSource)
+    return (
+        spark.readStream.format("weather_http")
+        .option("cities", cities)
+        .option("canned", _json.dumps(canned))
+        .load()
+    )
+
+
+def test_http_datasource_emits_one_row_per_city_per_tick(spark):
+    import json as _json
+    import time
+
+    canned = {c: [dict(DOC, name=c)] * 60 for c in ("CityA", "CityB")}
+    stream = _ds_stream(spark, canned, "CityA,CityB")
+    batches: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(batches) < 2:
+        time.sleep(0.5)
+    assert q.exception() is None
+    q.stop()
+    q.awaitTermination()
+    assert len(batches) >= 2
+    first = sorted((r["city"], _json.loads(r["raw"])["name"]) for r in batches[0])
+    assert first == [("CityA", "CityA"), ("CityB", "CityB")]
+
+
+def test_http_datasource_failed_fetch_aborts_batch(spark):
+    import time
+
+    # CityBoom has NO canned responses: its fetch raises inside the
+    # sweep, before any row is returned — the batch must abort with
+    # ZERO rows committed (A7 atomicity through the DataSource API).
+    canned = {"CityA": [dict(DOC, name="CityA")] * 5}
+    stream = _ds_stream(spark, canned, "CityA,CityBoom")
+    batches: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and q.exception() is None:
+        time.sleep(0.5)
+    exc = q.exception()
+    assert exc is not None and "CityBoom" in str(exc)
+    assert batches == []  # nothing committed
