@@ -405,6 +405,12 @@ def b50_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned by key; at 100 TB the constraint is state-store
     size per executor → add a timeout (GroupStateTimeout) to expire
     idle keys.
+
+    Spark 4's successor API (``transformWithStateInPandas``: typed
+    state handles, timers, RocksDB-backed) expresses the same operator
+    but its state-server protocol needs protobuf, which this container
+    lacks — verified unavailable round 5; this applyInPandasWithState
+    spelling is the covered surface.
     """
     import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
 

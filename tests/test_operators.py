@@ -399,3 +399,17 @@ def test_prefix_sum_matches_single_reducer_window(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_events_ts_loads_as_timestamp_regardless_of_parquet_flavor(spark, sf_dir):
+    """The driver regenerates testdata between rounds and has shipped
+    events.ts as TIMESTAMP(NANOS) (round ≤4) and as micros
+    TIMESTAMP_NTZ (round 5). load_table normalizes BOTH to
+    TimestampType — NTZ would reject CAST(ts AS DOUBLE) in the
+    replay-split queries and diverge from the streaming schema."""
+    from pyspark.sql.types import TimestampType
+
+    from openweathermapapi_etl_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
