@@ -107,6 +107,7 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b14_binned_range_join",  # NEW this round
     "b40_tumbling_window_rocksdb",  # NEW this round
     "c03_knn_graph",  # NEW this round
     "b05_jdbc_partitioned_read",  # NEW this round
