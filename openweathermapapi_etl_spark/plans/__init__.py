@@ -107,6 +107,9 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "c04_unigram_logprob_topk",  # NEW this round
+    "b22_fk_orphans",  # NEW this round
+    "b02_json_corrupt_scan",  # NEW this round
     "b14_binned_range_join",  # NEW this round
     "b40_tumbling_window_rocksdb",  # NEW this round
     "c03_knn_graph",  # NEW this round

@@ -837,3 +837,62 @@ def c07_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= 12_000).select(
         "doc_id", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "c04_unigram_logprob_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok2 GROUP BY token),
+    topk AS (SELECT token, cnt FROM vocab
+             ORDER BY cnt DESC, token LIMIT 200),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(LENGTH(CAST(v.cnt AS VARCHAR)) - 1, 0) AS BIGINT)
+               AS logq,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok2 t LEFT JOIN topk v USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)   AS n_tokens,
+           CAST(SUM(oov) AS BIGINT)   AS n_oov,
+           {o_davg("logq")}           AS mean_log10_freq
+    FROM scored GROUP BY doc_id
+    """,
+)
+def c04_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4i-scale: the PRUNED-VOCAB spelling c04_unigram_logprob's
+    docstring prescribes, implemented: keep only the top-200 tokens by
+    corpus frequency (deterministic (cnt DESC, token) cutoff),
+    BROADCAST them, and score out-of-vocabulary tokens with the OOV
+    default (count 1 → quantized log 0), reporting the OOV count per
+    doc alongside. The zipf-skewed token-keyed lookup shuffle becomes
+    a map-side broadcast hash join — the shape that survives a 100 TB
+    corpus, where the full vocab join cannot broadcast but the pruned
+    LM table always can."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    topk = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+    )
+    scored = tok.join(F.broadcast(topk), "token", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.length(F.col("cnt").cast("string")) - 1, F.lit(0)
+        )
+        .cast("long")
+        .alias("logq"),
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        davg("logq", "mean_log10_freq"),
+    )

@@ -1561,3 +1561,106 @@ def b14_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1.event_id").alias("event_id"),
         F.col("e1.event_type").alias("event_type"),
     ).agg(F.count("f_event_id").alias("n_following"))
+
+
+@register(
+    "b22_fk_orphans",
+    oracle="""
+    SELECT COUNT(*) AS n_lineitems,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans,
+           COUNT(CASE WHEN o.o_orderkey IS NULL AND l.l_orderkey % 3 = 0
+                      THEN 1 END) AS n_orphans_mod3
+    FROM (SELECT l_orderkey FROM lineitem
+          UNION ALL
+          SELECT -l_orderkey FROM lineitem WHERE l_orderkey % 1000 = 1) l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def b22_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22b: referential-integrity audit — count fact rows whose
+    foreign key has no dimension match (the companion to B22's PK
+    uniqueness; together they're the constraint checks Postgres gave
+    the reference for free and a lakehouse must assert itself,
+    SURVEY.md §1.3). The testdata is referentially intact, so orphans
+    are INJECTED deterministically (negated keys for l_orderkey ≡ 1
+    mod 1000) to prove the detector actually fires. Shape: left join
+    fact→dim + conditional counts; at scale the dim key set
+    broadcast-prunes (or use a LEFT ANTI join to materialize the
+    orphan rows themselves rather than counts)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    injected = li.unionByName(
+        li.filter(F.col("l_orderkey") % 1000 == 1).select(
+            (-F.col("l_orderkey")).alias("l_orderkey")
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    j = injected.join(o, injected["l_orderkey"] == o["o_orderkey"], "left")
+    return j.agg(
+        F.count("*").alias("n_lineitems"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_orphans"),
+        F.count(
+            F.when(
+                F.col("o_orderkey").isNull() & (F.col("l_orderkey") % 3 == 0), 1
+            )
+        ).alias("n_orphans_mod3"),
+    )
+
+
+@register(
+    "b02_json_corrupt_scan",
+    oracle="""
+    SELECT COUNT(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS n_valid,
+           COUNT(CASE WHEN doc_id % 10 =  0 THEN 1 END) AS n_corrupt,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 10 <> 0
+                                  THEN doc_id END), 0) AS BIGINT)
+             AS sum_valid_ids
+    FROM documents
+    """,
+)
+def b02_json_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2c: malformed-input tolerance — PERMISSIVE JSON scan routing
+    unparseable lines into ``_corrupt_record`` instead of failing the
+    job. A 100 TB raw-JSON ingest ALWAYS contains garbage lines;
+    FAILFAST (one bad line kills the scan) and DROPMALFORMED (silent
+    data loss) are both wrong for a bronze layer — you want the batch
+    to land AND the damage quantified. The fixture is built
+    deterministically from ``documents``: every doc_id ≡ 0 (mod 10)
+    writes an unparseable line, the rest valid JSON; the query lands
+    valid rows and counts both populations (plus a checksum over the
+    valid ids proving parsed rows are intact). The cache() is the
+    documented Spark requirement for queries touching the internal
+    corrupt-record column."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("{broken json line "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit("}")
+            )
+        )
+        .alias("value")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_b02cj_{os.getpid()}")
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .cache()
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("doc_id"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_valid_ids"),
+    )
