@@ -1664,3 +1664,55 @@ def b02_json_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_valid_ids"),
     )
+
+
+@register(
+    "b18_hll_mergeable_rollup",
+    oracle="""
+    WITH ev AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(COUNT(DISTINCT day)     AS BIGINT) AS n_days,
+           TRUE AS est_ok
+    FROM ev GROUP BY event_type
+    """,
+)
+def b18_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18b: MERGEABLE distinct-count sketches — ``hll_sketch_agg``
+    per (event_type, day), then ``hll_union_agg`` rolls the daily
+    sketches up to per-type totals WITHOUT touching the raw data
+    again. This is the incremental pattern approx_count_distinct (B18)
+    alone can't give you: at 100 TB you sketch each new day once,
+    store ~KB per group, and re-derive any coarser rollup (weekly,
+    all-time) by merging — no rescan. Like the t-digest in
+    b16_approx_percentile, sketch bits are engine-specific, so the
+    oracle is the sketch's CONTRACT: the merged estimate must land
+    within the configured HLL error envelope of the exact distinct
+    count (lgConfigK=12 → ~1.6% standard error; the check allows 5σ),
+    emitted as a per-group ``est_ok`` the oracle requires TRUE."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "user_id", F.col("ts").cast("date").alias("day"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    tol = 5 * 0.016  # 5 sigma at lgConfigK=12
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_days",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * tol, F.lit(1.0))
+        ).alias("est_ok"),
+    )
