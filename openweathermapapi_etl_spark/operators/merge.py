@@ -396,6 +396,15 @@ def snapshot_diff(
     {'insert','update','delete'}, then ``old_<c>`` / ``new_<c>`` for
     every tracked column.
     """
+    if not keys:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if not tracked:
+        raise ValueError(
+            "snapshot_diff needs at least one tracked column — with no "
+            "compared columns every matched key would classify as "
+            "unchanged and the diff could only ever contain "
+            "inserts/deletes; pass the columns whose changes matter"
+        )
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in tracked],

@@ -436,3 +436,15 @@ def test_snapshot_diff_null_key_is_matched_not_insert_delete(spark):
     assert got == {}
     got = _diff_rows(spark, [(None, "a", 1.0)], [(None, "a", 5.0)])
     assert got[None]["change_type"] == "update"
+
+
+def test_snapshot_diff_requires_keys_and_tracked(spark):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with _pytest.raises(ValueError, match="key column"):
+        snapshot_diff(df, df, keys=[], tracked=["v"])
+    with _pytest.raises(ValueError, match="tracked column"):
+        snapshot_diff(df, df, keys=["k"], tracked=[])
