@@ -340,3 +340,65 @@ def m3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
         tracked=["o_orderstatus", "o_totalprice"],
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 — incremental aggregate maintenance (delta-merge, no rescan)
+# ---------------------------------------------------------------------------
+
+M4_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("m4_incremental_agg", oracle=M4_ORACLE)
+def m4_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: incremental maintenance of a materialized per-customer
+    aggregate — the pattern that turns a 100 TB nightly recompute into
+    a delta-sized merge: keep the materialized agg table, aggregate
+    ONLY the newly arrived partition, and combine with a keyed
+    full-outer merge of partial states (counts and decimal sums are
+    additive, so base ⊕ delta ≡ recompute — which is exactly what the
+    oracle checks by aggregating the whole table directly). The split
+    here is by order date (pre/post 1997-01-01), mirroring a
+    date-partitioned fact where ONLY the new date partition is read.
+    Non-additive aggregates (exact distinct) need mergeable sketch
+    state instead — that path is b18_hll_mergeable_rollup."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("tp"),
+        )
+
+    base = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = base.withColumnRenamed("n_orders", "n_b").withColumnRenamed(
+        "tp", "tp_b"
+    ).join(
+        delta.withColumnRenamed("n_orders", "n_d").withColumnRenamed(
+            "tp", "tp_d"
+        ),
+        "o_custkey",
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return merged.select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            + F.coalesce(F.col("n_d"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("tp_b"), zero) + F.coalesce(F.col("tp_d"), zero)
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
