@@ -896,3 +896,87 @@ def c04_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("long").alias("n_oov"),
         davg("logq", "mean_log10_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — PageRank over the near-dup graph (iterative numeric)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled power iteration as chained CTEs; each round sums
+    per-edge contributions through DECIMAL(38,6) so accumulation order
+    is irrelevant (the util.py float-determinism policy, applied to an
+    iterative algorithm — every iteration's output doubles are then
+    bit-identical inputs to the next)."""
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    parts = [
+        f"WITH RECURSIVE pairs AS ({pairs_sql}),",
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+               FROM edges GROUP BY src),
+    pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM outdeg)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    pr{i} AS (
+      SELECT e.dst AS node,
+             0.15 + 0.85 * CAST(SUM(CAST(p.pr / o.d AS DECIMAL(38,6)))
+                                AS DOUBLE) AS pr
+      FROM edges e
+      JOIN pr{i-1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst)""")
+    parts.append(
+        f"\nSELECT node AS doc_id, pr AS pagerank FROM pr{n_iter}"
+    )
+    return "".join(parts)
+
+
+@register("c06_pagerank", oracle=_pagerank_oracle())
+def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6c: 3-iteration PageRank over the symmetrized LSH candidate
+    graph — the centrality signal dedup pipelines use to pick the
+    canonical document of a cluster (most-connected survivor) and the
+    second iterative graph algorithm beside the components resolver.
+    Each round is one edge⋈rank join + a dst-keyed agg (same shuffle
+    shape as c06_dedup_clusters' rounds, lineage truncated per round);
+    per-edge contributions sum through DECIMAL(38,6) so every
+    iteration's doubles — and therefore the whole fixed-point prefix —
+    are bit-identical to the unrolled-CTE oracle. Fixed iteration
+    count (not convergence-tested) keeps plan depth bounded; rank
+    spread at 3 iters already separates hubs from leaves."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                (F.col("pr") / F.col("d")).cast("decimal(38,6)").alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(
+                (0.15 + 0.85 * F.sum("c").cast("double")).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
