@@ -220,3 +220,35 @@ def test_jdbc_partitioned_read_is_parallel(spark):
     task regardless of cluster size)."""
     df = QUERIES["b05_jdbc_partitioned_read"](spark, "/root/testdata/sf0.001")
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf):
+    """B14b's purpose: the bin turns the interval predicate into an
+    equi-join key — the plan must be a hash-partitioned equi-join
+    (BHJ/SMJ/SHJ), never a nested-loop or cartesian evaluating the
+    range across whole key groups."""
+    _, tree = plan_of(spark, "b14_binned_range_join", sf)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", tree)
+
+
+def test_snapshot_diff_plan_is_single_equi_join(spark, sf):
+    """M3: one full-outer equi-join, row-local change classification —
+    no second join, no cartesian."""
+    _, tree = plan_of(spark, "m3_snapshot_diff", sf)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    joins = re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", tree
+    )
+    assert len(joins) == 1
+
+
+def test_incremental_agg_has_partial_aggregation(spark, sf):
+    """M4: both the base and delta aggregates must partial-aggregate
+    map-side (HashAggregate pairs), and the state merge is one
+    full-outer equi-join."""
+    _, tree = plan_of(spark, "m4_incremental_agg", sf)
+    assert "CartesianProduct" not in tree
+    assert tree.count("HashAggregate") >= 4  # partial+final × base+delta
