@@ -980,3 +980,66 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
+
+
+@register(
+    "c02_edit_distance_verify",
+    oracle="""
+    WITH pairs AS ({pairs}),
+    j AS (
+      SELECT p.id_a, p.id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+             CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS BIGINT)
+               AS max_len
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b)
+    SELECT id_a, id_b, edit_dist,
+           1.0 - CAST(edit_dist AS DOUBLE) / max_len AS edit_sim,
+           (edit_dist * 10 <= max_len) AS is_dup
+    FROM j
+    """.format(pairs=_lsh_oracle(max_bucket=10_000).strip()),
+)
+def c02_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2f: edit-distance VERIFICATION of LSH candidate pairs — the
+    exact-but-expensive last stage of the dedup funnel, run only on
+    the banded candidates (Levenshtein is O(len²) per pair; pointing
+    it at all pairs is the classic blowup — blocking first is what
+    makes it affordable, same discipline as c02_ngram_jaccard).
+    Integer DP metric → bit-identical across engines, so unlike the
+    cosine paths this verifier needs no float discipline at all.
+    Shape: candidate pairs → two broadcast-able id-keyed joins to
+    fetch texts → row-local DP; dup verdict at ≥90% similarity
+    (edit_dist ≤ max_len/10, integer arithmetic)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    j = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("long")
+            .alias("max_len"),
+        )
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "edit_dist",
+        (1.0 - F.col("edit_dist").cast("double") / F.col("max_len")).alias(
+            "edit_sim"
+        ),
+        (F.col("edit_dist") * 10 <= F.col("max_len")).alias("is_dup"),
+    )
