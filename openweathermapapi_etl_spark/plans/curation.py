@@ -1043,3 +1043,45 @@ def c02_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("edit_dist") * 10 <= F.col("max_len")).alias("is_dup"),
     )
+
+
+@register(
+    "c07_time_split",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderdate <  DATE '1996-01-01' THEN 'train'
+                  WHEN o_orderdate <  DATE '1997-06-01' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM orders)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                   AS n,
+           strftime(MIN(o_orderdate), '%Y-%m-%d')     AS first_day,
+           strftime(MAX(o_orderdate), '%Y-%m-%d')     AS last_day
+    FROM s GROUP BY split
+    """,
+)
+def c07_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7i: TEMPORAL train/val/test split — cut by event time, not
+    hash: for forecasting-style tasks a hash split (C7a) leaks the
+    future into training, so the eval sets must be strictly LATER
+    than everything trained on. Row-local date comparison at scan
+    speed (zero shuffle for the assignment; on a date-partitioned
+    table the split IS partition pruning). The query emits per-split
+    counts plus each split's first/last day — the min/max bounds prove
+    the splits are chronologically disjoint, which is the property
+    this split exists for."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d1 = F.lit("1996-01-01").cast("date")
+    d2 = F.lit("1997-06-01").cast("date")
+    s = o.withColumn(
+        "split",
+        F.when(F.col("o_orderdate") < d1, "train")
+        .when(F.col("o_orderdate") < d2, "val")
+        .otherwise("test"),
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )
