@@ -107,6 +107,7 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b04_zorder_layout",  # NEW this round
     "c07_time_split",  # NEW this round
     "c02_edit_distance_verify",  # NEW this round
     "c06_pagerank",  # NEW this round

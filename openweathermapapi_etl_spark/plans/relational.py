@@ -1716,3 +1716,58 @@ def b18_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("n_exact") * tol, F.lit(1.0))
         ).alias("est_ok"),
     )
+
+
+
+@register(
+    "b04_zorder_layout",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256
+                  AS BIGINT) AS y
+      FROM orders),
+    z AS (SELECT o_orderkey, x, y,
+                 (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS zval
+          FROM pts)
+    SELECT zval >> 12 AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def b04_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4d: Z-ORDER (Morton-curve) multi-dimensional clustering — the
+    lakehouse layout trick for predicates on TWO columns at once:
+    interleave the bits of (customer bucket, order-day bucket) and
+    assign rows to files by z-value prefix. A contiguous z prefix is
+    an axis-ALIGNED TILE: with 8+8-bit keys, the top-4-bit prefix
+    confines BOTH x and y to 64-wide bands (span ≤ 63 out of 255),
+    so a scan filtering on either column prunes ~3/4 of files via
+    min/max stats — where single-column range layout (B26b) prunes
+    only its own column. The query emits per-tile min/max spans: the
+    oracle hash-checks the interleave AND the bound that makes
+    skipping work. Row-local bit math, one 16-key agg — scan speed;
+    the write-side is repartition on the z prefix + per-file stats,
+    which parquet collects automatically."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % 256
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    zval = (F.shiftleft(F.shiftright(F.col('x'), 0).bitwiseAND(F.lit(1)), 0) + F.shiftleft(F.shiftright(F.col('y'), 0).bitwiseAND(F.lit(1)), 1) + F.shiftleft(F.shiftright(F.col('x'), 1).bitwiseAND(F.lit(1)), 2) + F.shiftleft(F.shiftright(F.col('y'), 1).bitwiseAND(F.lit(1)), 3) + F.shiftleft(F.shiftright(F.col('x'), 2).bitwiseAND(F.lit(1)), 4) + F.shiftleft(F.shiftright(F.col('y'), 2).bitwiseAND(F.lit(1)), 5) + F.shiftleft(F.shiftright(F.col('x'), 3).bitwiseAND(F.lit(1)), 6) + F.shiftleft(F.shiftright(F.col('y'), 3).bitwiseAND(F.lit(1)), 7) + F.shiftleft(F.shiftright(F.col('x'), 4).bitwiseAND(F.lit(1)), 8) + F.shiftleft(F.shiftright(F.col('y'), 4).bitwiseAND(F.lit(1)), 9) + F.shiftleft(F.shiftright(F.col('x'), 5).bitwiseAND(F.lit(1)), 10) + F.shiftleft(F.shiftright(F.col('y'), 5).bitwiseAND(F.lit(1)), 11) + F.shiftleft(F.shiftright(F.col('x'), 6).bitwiseAND(F.lit(1)), 12) + F.shiftleft(F.shiftright(F.col('y'), 6).bitwiseAND(F.lit(1)), 13) + F.shiftleft(F.shiftright(F.col('x'), 7).bitwiseAND(F.lit(1)), 14) + F.shiftleft(F.shiftright(F.col('y'), 7).bitwiseAND(F.lit(1)), 15))
+    z = o.withColumn("zval", zval)
+    return z.groupBy(F.shiftright("zval", 12).alias("tile")).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )

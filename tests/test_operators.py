@@ -413,3 +413,16 @@ def test_events_ts_loads_as_timestamp_regardless_of_parquet_flavor(spark, sf_dir
 
     df = load_table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
+
+
+def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
+    """B4d's skipping property, asserted: every z-prefix tile confines
+    BOTH x and y to 64-wide bands (span <= 63 of 255) — single-column
+    range layout can only ever bound its own column."""
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    rows = QUERIES["b04_zorder_layout"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 63
+        assert r["y_max"] - r["y_min"] <= 63
