@@ -448,3 +448,40 @@ def test_snapshot_diff_requires_keys_and_tracked(spark):
         snapshot_diff(df, df, keys=[], tracked=["v"])
     with _pytest.raises(ValueError, match="tracked column"):
         snapshot_diff(df, df, keys=["k"], tracked=[])
+
+
+if _HAVE_HYPOTHESIS:
+    _snap_row = st.tuples(
+        st.integers(min_value=0, max_value=6),                   # key
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),       # v
+        st.one_of(st.none(), st.integers(0, 3)),                 # amt
+    )
+    _snap = st.lists(_snap_row, max_size=8, unique_by=lambda r: r[0])
+
+    @given(old=_snap, new=_snap)
+    @settings(max_examples=10, deadline=None)
+    def test_snapshot_diff_matches_python_model(spark, old, new):
+        """snapshot_diff over arbitrary keyed snapshots (NULLs
+        included) must equal the dict-diff model: keys only in new →
+        insert, only in old → delete, value-tuple changed → update,
+        identical → absent."""
+        from openweathermapapi_etl_spark.operators.merge import snapshot_diff
+
+        schema = "k int, v string, amt int"
+        o = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+        n = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(o, n, keys=["k"], tracked=["v", "amt"]).collect()
+        }
+        om = {r[0]: r[1:] for r in old}
+        nm = {r[0]: r[1:] for r in new}
+        want = {}
+        for k in set(om) | set(nm):
+            if k not in om:
+                want[k] = "insert"
+            elif k not in nm:
+                want[k] = "delete"
+            elif om[k] != nm[k]:
+                want[k] = "update"
+        assert got == want

@@ -426,3 +426,61 @@ def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
     for r in rows:
         assert r["x_max"] - r["x_min"] <= 63
         assert r["y_max"] - r["y_min"] <= 63
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP_OPS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP_OPS = False
+
+
+if _HAVE_HYP_OPS:
+
+    @given(
+        vals=st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(1, 9)),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        nparts=st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_rank_and_prefix_sum_match_python_model(spark, vals, nparts):
+        """global_rank and prefix_sum over arbitrary key/value sets and
+        partition counts must equal sorted-list rank / itertools
+        cumsum — including single-partition and more-partitions-than-
+        rows edges."""
+        import itertools
+
+        from openweathermapapi_etl_spark.operators.rank import (
+            global_rank,
+            prefix_sum,
+        )
+
+        df = spark.createDataFrame(vals, "key long, v long").repartition(3)
+        ranked = {
+            r["key"]: r["rnk"]
+            for r in global_rank(
+                df, ["key"], rank_name="rnk", num_partitions=nparts
+            ).collect()
+        }
+        ordered = sorted(vals)
+        assert ranked == {k: i + 1 for i, (k, _) in enumerate(ordered)}
+
+        cums = {
+            r["key"]: r["cum"]
+            for r in prefix_sum(
+                df, ["key"], "v", out_col="cum", num_partitions=nparts
+            ).collect()
+        }
+        want = dict(
+            zip(
+                [k for k, _ in ordered],
+                itertools.accumulate(v for _, v in ordered),
+            )
+        )
+        assert cums == want
