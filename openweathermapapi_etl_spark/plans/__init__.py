@@ -107,6 +107,8 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b46_map_in_arrow",  # NEW this round
+    "b47_cogrouped_map",  # NEW this round
     "b04_zorder_layout",  # NEW this round
     "c07_time_split",  # NEW this round
     "c02_edit_distance_verify",  # NEW this round

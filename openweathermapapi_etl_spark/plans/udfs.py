@@ -158,3 +158,105 @@ def b49_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_sum("c_custkey", "c_nationkey").alias("weighted"),
         group_count("c_custkey").alias("n"),
     )
+
+
+@register(
+    "b46_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def b46_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46b: ``mapInArrow`` — the lowest-overhead Python hot path:
+    raw pyarrow RecordBatches in and out, no pandas materialization
+    (pandas UDFs pay Arrow→pandas→Arrow per batch; for
+    numeric-columnar work pyarrow.compute on the batch skips both
+    copies). Row-level IEEE arithmetic, so the SQL oracle
+    hash-matches. Use when the per-batch work is vectorizable but
+    must stay in Python (custom libs); prefer built-in expressions
+    (the oracle's own form) when they exist — this query is the
+    API surface demo, not a recommendation to leave codegen."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_price(batches):
+        for b in batches:
+            price = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), price],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        net_price,
+        "l_orderkey long, l_linenumber int, net_price double",
+    )
+
+
+@register(
+    "b47_cogrouped_map",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(l.l_orderkey) AS BIGINT)          AS n_lineitems
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey % 10 = 0
+    GROUP BY o.o_custkey
+    """,
+)
+def b47_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47b: COGROUPED map — ``groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas``: both tables' rows for one key arrive as two
+    pandas frames in one call — the escape hatch for per-key logic
+    spanning TWO inputs (custom as-of matching, per-entity
+    reconciliation) that a join + grouped-map can't express without
+    materializing the join. One co-partitioned shuffle of each side,
+    state bounded by the largest single key group. Integer counts →
+    exact oracle; the pandas merge is the oracle's LEFT JOIN."""
+
+    def reconcile(orders_pdf, items_pdf):
+        if not len(orders_pdf):  # key present only on the item side
+            return pd.DataFrame(
+                {"o_custkey": [], "n_orders": [], "n_lineitems": []}
+            )
+        n_orders = orders_pdf["o_orderkey"].nunique()
+        n_items = int(
+            items_pdf["l_orderkey"].isin(orders_pdf["o_orderkey"]).sum()
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(orders_pdf["o_custkey"].iloc[0])],
+                "n_orders": [int(n_orders)],
+                "n_lineitems": [n_items],
+            }
+        )
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_custkey", "o_orderkey")
+    )
+    # Key map re-loaded separately: deriving it from `o` would be a
+    # self-join (ambiguous-column analysis error).
+    key_map = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+        .distinct()
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_k = o.groupBy("o_custkey")
+    li_k = li.join(key_map, "l_orderkey").groupBy("o_custkey")
+    return o_k.cogroup(li_k).applyInPandas(
+        reconcile, "o_custkey long, n_orders long, n_lineitems long"
+    )
