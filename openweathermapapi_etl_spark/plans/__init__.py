@@ -107,6 +107,7 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "c05_chunk_binary",  # NEW this round
     "b46_map_in_arrow",  # NEW this round
     "b47_cogrouped_map",  # NEW this round
     "b04_zorder_layout",  # NEW this round

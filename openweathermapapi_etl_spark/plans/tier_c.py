@@ -731,3 +731,61 @@ def c03_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the other LSH flavors."""
     e = t(spark, sf_dir, "embeddings")
     return knn_graph(e, k=3, dim=64, n_planes=6)
+
+
+@register(
+    "c05_chunk_binary",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                    CAST((octet_length(encode(text)) - 1) // 60 AS BIGINT)))
+               AS chunk_idx
+      FROM documents)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           base64(encode(substring(text, CAST(chunk_idx * 60 + 1 AS BIGINT),
+                                   100)))                       AS chunk_b64,
+           CAST(octet_length(encode(substring(text,
+                 CAST(chunk_idx * 60 + 1 AS BIGINT), 100))) AS BIGINT)
+             AS chunk_len
+    FROM c
+    """,
+)
+def c05_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5f: overlapping fixed-size chunking of an opaque binary payload
+    — the windowing pass that precedes any audio/video model (30s
+    Whisper windows, clip sampling): 100-byte chunks every 60 bytes
+    (40-byte overlap so no boundary content is lost). Pure
+    BinaryType slicing — explode a chunk-index sequence, substring
+    the payload — no Python, scan speed, output rows ≈ bytes/hop.
+    The Spark side slices BYTES; the oracle mirrors it on the text
+    the payload was built from, valid because this corpus is ASCII
+    (byte == char) — real media bytes keep the Spark side unchanged
+    and drop only the oracle twin (rows-only, like c02_minhash_fast)."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id")
+    hop, chunk = 60, 100
+    chunks = wrapped.select(
+        "doc_id",
+        F.col("payload"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("payload") - 1) / hop).cast("long"),
+            )
+        ).alias("chunk_idx"),
+    )
+    sliced = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(f"substring(payload, CAST(chunk_idx * {hop} + 1 AS INT), {chunk})").alias(
+            "chunk"
+        ),
+    )
+    return sliced.select(
+        "doc_id",
+        "chunk_idx",
+        F.regexp_replace(F.base64("chunk"), r"[\r\n]", "").alias("chunk_b64"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
