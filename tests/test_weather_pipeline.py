@@ -326,3 +326,50 @@ def test_http_datasource_failed_fetch_aborts_batch(spark):
     exc = q.exception()
     assert exc is not None and "CityBoom" in str(exc)
     assert batches == []  # nothing committed
+
+
+def test_http_datasource_drives_full_pipeline_e2e(spark, tmp_path):
+    """A1b end-to-end: the custom DataSource stream → parse raw JSON
+    (WEATHER_RAW) → A3-A6 transform → A10 dedup → M1 merge into the
+    versioned table — the whole reference DAG with the Spark-4-native
+    source mounted at the front. Two ticks of identical canned docs
+    must land exactly one row per city (idempotent merge), proving the
+    DataSource flavor composes with the same downstream as the
+    foreachBatch source."""
+    import json as _json
+    import time
+
+    cities = ("Rotterdam", "Amsterdam")
+    canned = {
+        c: [dict(DOC, name=c)] * 60 for c in cities
+    }
+    stream = _ds_stream(spark, canned, ",".join(cities))
+    table = VersionedParquetTable(str(tmp_path / "weather"))
+    keys = ["City_Name", "Time"]
+
+    from openweathermapapi_etl_spark.operators.merge import keyed_upsert
+
+    def land(batch_df, _bid):
+        rows = [r["raw"] for r in batch_df.collect()]
+        raw = spark.read.schema(WEATHER_RAW).json(
+            spark.sparkContext.parallelize(rows)
+        )
+        tidy = transform_raw(raw).dropDuplicates()
+        cur = table.read(spark) if table.current_version() else None
+        merged = keyed_upsert(cur, tidy, keys=keys) if cur is not None else tidy
+        table.overwrite(merged)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and (table.current_version() or 0) < 2:
+        time.sleep(0.5)
+    assert q.exception() is None
+    q.stop()
+    q.awaitTermination()
+    out = table.read(spark).collect()
+    assert {r.City_Name for r in out} == set(cities)
+    assert len(out) == 2  # identical ticks merged idempotently
