@@ -107,6 +107,8 @@ _R4_WINDOW = [
 # the round-6 rotation. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b24_funnel_conversion",  # NEW this round
+    "b24_cohort_retention",  # NEW this round
     "c05_chunk_binary",  # NEW this round
     "b46_map_in_arrow",  # NEW this round
     "b47_cogrouped_map",  # NEW this round

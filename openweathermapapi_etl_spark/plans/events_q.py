@@ -100,3 +100,117 @@ def b16_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine shrinks the shuffle to distinct keys) + a
     key-cardinality top-k; the full table never moves."""
     return key_skew_profile(t(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+
+
+@register(
+    "b24_funnel_conversion",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, ts FROM {_EV} ev
+               WHERE ts IS NOT NULL),
+    stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)   AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)  AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM e GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             (t_view IS NOT NULL)                       AS s1,
+             (t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_click >= t_view)                    AS s2,
+             (t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_click >= t_view AND t_buy IS NOT NULL
+              AND t_buy >= t_click)                     AS s3
+      FROM stage)
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_users,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM flags
+    """,
+)
+def b24_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24b: ordered-funnel conversion (view → click → purchase) —
+    the staple events-analytics query of the reference's ad-hoc SQL
+    surface (SURVEY.md §3.3), expressed scale-first: ONE user-keyed
+    aggregation computing each stage's earliest timestamp
+    (conditional MIN — no per-stage self-joins, which at 100 TB
+    would be three shuffles of the full event log instead of one),
+    then row-local ordering checks and a global conditional count.
+    First-touch semantics: a stage counts only if it happened at or
+    after the previous stage's first occurrence."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_buy").isNotNull() & (F.col("t_buy") >= F.col("t_click"))
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s1.cast("long")).alias("viewed"),
+        F.sum(s2.cast("long")).alias("clicked_after_view"),
+        F.sum(s3.cast("long")).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "b24_cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts FROM {_EV} ev WHERE ts IS NOT NULL),
+    weeks AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM e),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week
+               FROM weeks GROUP BY user_id),
+    activity AS (SELECT DISTINCT w.user_id, c.cohort_week,
+                        w.week - c.cohort_week AS offset_w
+                 FROM weeks w JOIN cohort c USING (user_id))
+    SELECT cohort_week, offset_w,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, offset_w
+    """,
+)
+def b24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24c: cohort retention — users grouped by first-activity week,
+    counted per weeks-since-cohort offset; the other staple of the
+    ad-hoc analytics surface. Shape: epoch-week bucketing (row-local),
+    one user-keyed MIN for the cohort, a user-keyed distinct on
+    (user, offset), and a small final agg — every shuffle is keyed on
+    user_id, so the whole query is ONE logical repartition reused
+    (Catalyst keeps the hash partitioning across the min-join-distinct
+    chain). Epoch-aligned weeks keep both engines' bucketing exact."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 604800)).cast("long").alias("week"),
+        )
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_w"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "offset_w").agg(
+        F.count("*").alias("n_active")
+    )
