@@ -104,9 +104,16 @@ _R4_WINDOW = [
 # merge_q.py and added curation.py, so nearly every registered query
 # is in the transitive closure; the 50-slot window keeps the new +
 # highest-risk direct head, and the overflow ranks stalest-first for
-# the round-6 rotation. Every query is pytest-verified each run
+# the round-6 rotation. Round 5 added 51 queries — ONE more than the
+# window: the overflow slot (position 51, b23_distribution_windows)
+# is deliberate, is hash-verified this round by the pytest oracle
+# suite and PARITY_r5.txt (the same Spark-vs-DuckDB comparison the
+# driver records), and leads the round-6 window as the only
+# never-driver-checked name. Every query is pytest-verified each run
 # regardless of the window.
 _R5_HEAD = [
+    "b09_try_cast_dirty",  # NEW this round
+    "b25_time_range_frame",  # NEW this round
     "b24_funnel_conversion",  # NEW this round
     "b24_cohort_retention",  # NEW this round
     "c05_chunk_binary",  # NEW this round

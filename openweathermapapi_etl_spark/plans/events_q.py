@@ -214,3 +214,48 @@ def b24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "offset_w").agg(
         F.count("*").alias("n_active")
     )
+
+
+@register(
+    "b25_time_range_frame",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, ts, value FROM {_EV} ev
+               WHERE ts IS NOT NULL)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def b25_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25b: event-TIME range frame — per user, how many of their
+    events happened in the hour ENDING at each event (RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW): the per-row sliding
+    window B25's fixed-row frames can't express (rows ≠ time). Spark
+    spells the interval bound in the frame's native unit — range
+    windows over timestamps take seconds — and DuckDB takes the
+    INTERVAL literal; both define the frame as values within
+    [ts − 1h, ts], ties included. One user-keyed shuffle + in-window
+    sort, the B23-B25 discipline (never a global order)."""
+    from pyspark.sql import Window as W
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    # Order by MICROSECONDS, not cast-to-seconds: second truncation
+    # would shift the frame boundary by up to 1s vs the oracle's
+    # full-precision INTERVAL arithmetic (off-by-one inclusion at
+    # exact-hour gaps).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+    )

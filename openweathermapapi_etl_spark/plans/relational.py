@@ -1771,3 +1771,45 @@ def b04_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+@register(
+    "b09_try_cast_dirty",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'x' || CAST(doc_id AS VARCHAR)
+                  ELSE CAST(doc_id * 3 AS VARCHAR) END AS raw_num
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           CAST(COUNT(TRY_CAST(raw_num AS BIGINT)) AS BIGINT) AS n_parsed,
+           CAST(COALESCE(SUM(TRY_CAST(raw_num AS BIGINT)), 0) AS BIGINT)
+             AS parsed_sum
+    FROM dirty
+    """,
+)
+def b09_try_cast_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9b: error-tolerant casting — ``try_cast`` turns unparseable
+    input into NULL instead of failing the job. This session runs ANSI
+    mode (pinned for oracle parity: bad casts RAISE, matching DuckDB),
+    so try_* functions are how dirty columns coexist with strict
+    semantics — the B2c corrupt-record story at the expression level.
+    The fixture derives deterministic dirt from documents (every 7th
+    id is non-numeric); the query lands, counts parse failures, and
+    checksums the parsed values. Row-local, scan speed."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    dirty = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+        )
+        .otherwise((F.col("doc_id") * 3).cast("string"))
+        .alias("raw_num")
+    )
+    parsed = dirty.select(F.expr("TRY_CAST(raw_num AS BIGINT)").alias("v"))
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_parsed"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("parsed_sum"),
+    )
