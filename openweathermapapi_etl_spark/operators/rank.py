@@ -32,7 +32,7 @@ exactly what this construction avoids at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,18 @@ def global_rank(
         )
     )
 
+    # Pin `local` before the control-plane read: the counts collect and
+    # the returned plan are two separate jobs, and correctness needs
+    # both to see the SAME partition contents. Plain lineage replays
+    # repartitionByRange's boundary sampling and
+    # monotonically_increasing_id on recompute (e.g. lost-executor
+    # retry of a nondeterministic upstream), which could shift rows so
+    # the collected offsets no longer match. localCheckpoint
+    # materializes the partitions to executor storage and truncates
+    # lineage — both jobs read the identical stored blocks, or fail
+    # loudly if they're lost (never silently re-derive).
+    local = local.localCheckpoint(eager=True)
+
     # Offsets: #rows in all partitions strictly before this one.
     # num_partitions rows — a bounded control-plane read, not data.
     counts = sorted(
@@ -113,21 +125,56 @@ def prefix_sum(
     partition owns a contiguous key range), per-partition local
     running sums in parallel, then a ``num_partitions``-row
     control-plane pass turns per-partition totals into starting
-    offsets, broadcast back. ``order_by`` must be a total order for a
-    deterministic result. This is the workhorse behind quota-style
-    selection (take documents until a token budget is hit), shard
-    byte-offset assignment, and cumulative-distribution reports.
+    offsets, broadcast back. The local pass is exchange-free like
+    global_rank's: a ``Window.partitionBy("_pid")`` would be correct
+    but Catalyst can't see rows are already pid-partitioned and plans
+    ``Exchange(hashpartitioning(_pid))`` — a second full shuffle. A
+    running SUM can't fall out of ``monotonically_increasing_id`` the
+    way a rank does, so the local pass is ``sortWithinPartitions`` +
+    one streaming Arrow ``mapInPandas`` cumsum per partition (no
+    movement, vectorized; the Arrow round-trip is the price of
+    skipping a full shuffle of the data). ``order_by`` must be a total
+    order for a deterministic result. This is the workhorse behind
+    quota-style selection (take documents until a token budget is
+    hit), shard byte-offset assignment, and cumulative-distribution
+    reports.
     """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = df.repartitionByRange(
-        *([num_partitions] if num_partitions else []), *cols
-    ).withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged = (
+        df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(*cols)
     )
-    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+
+    integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
+    cum_type = LongType() if integral else DoubleType()
+    out_schema = StructType(list(ranged.schema.fields) + [StructField("_local_cum", cum_type)])
+
+    def _cumsum(batches):
+        # One call per partition; batches arrive in sortWithinPartitions
+        # order, so carrying the accumulator across batches yields the
+        # partition-local running total in a single streaming pass.
+        # SQL SUM-over-frame null rule: the running value at a row is
+        # null only while every value so far in the partition is null.
+        acc = 0
+        seen_nonnull = 0
+        for pdf in batches:
+            v = pdf[value_col]
+            nonnull = v.notna().cumsum() + seen_nonnull
+            c = v.fillna(0).cumsum() + acc
+            if integral:
+                c = c.astype("int64")
+            pdf = pdf.assign(_local_cum=c.where(nonnull > 0))
+            if len(v):
+                acc = c.iloc[-1]
+                seen_nonnull = int(nonnull.iloc[-1])
+            yield pdf
+
+    local = ranged.mapInPandas(_cumsum, out_schema)
+    # Pin before the two-job split, same rationale as global_rank.
+    local = local.localCheckpoint(eager=True)
     totals = sorted(
         (r["_pid"], r["s"])
         for r in local.groupBy("_pid")
