@@ -1,0 +1,72 @@
+"""Small-file compaction planning — the lakehouse OPTIMIZE primitive.
+
+A 100 TB table accumulates small files (streaming micro-batches, m1
+upserts, late partitions); read throughput dies on per-file overhead
+long before on bytes. Compaction groups existing files into
+target-sized output bins; the PLAN (file → bin) is itself a query over
+the file inventory, and at cluster scale the inventory is millions of
+rows — a driver-side greedy loop does not survive. This module plans
+distributed:
+
+1. order the inventory by (partition, file) — a total order, so the
+   plan is deterministic and co-locates files of the same partition
+   into the same bins (compaction never merges across partitions of a
+   partitioned table unless asked);
+2. exclusive running total of bytes via :func:`~.rank.prefix_sum` —
+   ONE range shuffle of the (tiny, metadata-sized) inventory, local
+   cumsum exchange-free;
+3. ``bin_id = exclusive_cum DIV target`` — row-local integer
+   arithmetic. Every bin's contents are contiguous in the order, and
+   every bin except the last holds ≥ target bytes' worth of input the
+   moment it closes (first-fit-in-order, the same policy as Delta /
+   Iceberg's bin-packing OPTIMIZE).
+
+The executor that *performs* the compaction then groups by ``bin_id``
+(files of a bin are range-adjacent, so the shuffle is near-local) and
+streams each bin's files into one writer.
+
+Reference basis: the reference appends one 12-row batch per 5-minute
+run into Postgres (dags/weather-etl.py:134-143) — the file-count
+pathology is what its single-node row store never has to face and a
+parquet lake hits immediately at the same cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rank import prefix_sum
+
+
+def compaction_plan(
+    files: DataFrame,
+    order_by: list[Column | str],
+    bytes_col: str,
+    target_bytes: int,
+    bin_name: str = "bin_id",
+) -> DataFrame:
+    """Assign every file a compaction ``bin_id`` such that bins are
+    contiguous in ``order_by`` and close as soon as they reach
+    ``target_bytes`` input bytes.
+
+    ``order_by`` must be a total order over the inventory (e.g.
+    ``[partition, path]``). Adds ``bin_id`` and keeps the running
+    exclusive byte offset as ``bin_offset`` (the file's start position
+    in the concatenated stream — useful for progress accounting).
+    Integer arithmetic throughout: byte counts are exact longs, the
+    division is SQL ``DIV``, so the plan is bit-stable across engines
+    and runs.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    with_cum = prefix_sum(files, order_by, bytes_col, out_col="_incl_bytes")
+    excl = (F.col("_incl_bytes") - F.col(bytes_col)).cast("long")
+    return (
+        with_cum.withColumn("bin_offset", excl)
+        .withColumn(
+            bin_name,
+            F.expr(f"bin_offset DIV CAST({target_bytes} AS BIGINT)").cast("long"),
+        )
+        .drop("_incl_bytes")
+    )

@@ -41,6 +41,7 @@ def global_rank(
     order_by: list[Column | str],
     rank_name: str = "rnk",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Append a 1-based global ROW_NUMBER over ``order_by`` without a
     single-reducer window.
@@ -86,8 +87,10 @@ def global_rank(
     # the collected offsets no longer match. localCheckpoint
     # materializes the partitions to executor storage and truncates
     # lineage — both jobs read the identical stored blocks, or fail
-    # loudly if they're lost (never silently re-derive).
-    local = local.localCheckpoint(eager=True)
+    # loudly if they're lost (never silently re-derive). ``pin=False``
+    # (tests only) skips it so plan-shape tests can see the full tree.
+    if pin:
+        local = local.localCheckpoint(eager=True)
 
     # Offsets: #rows in all partitions strictly before this one.
     # num_partitions rows — a bounded control-plane read, not data.
@@ -116,6 +119,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Append the inclusive running total of ``value_col`` in
     ``order_by`` order — ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
@@ -174,22 +178,31 @@ def prefix_sum(
 
     local = ranged.mapInPandas(_cumsum, out_schema)
     # Pin before the two-job split, same rationale as global_rank.
-    local = local.localCheckpoint(eager=True)
+    if pin:
+        local = local.localCheckpoint(eager=True)
     totals = sorted(
         (r["_pid"], r["s"])
         for r in local.groupBy("_pid")
         .agg(F.sum(value_col).alias("s"))
         .collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = {}, 0 if integral else 0.0
     for pid, s in totals:
         offsets[pid] = acc
         acc += s or 0
+    # Offsets carry the value type: casting a double running total to
+    # long would silently truncate. (For doubles the offset is a sum of
+    # per-partition totals, a different addition order than the strict
+    # sequential window — identical for integers/exact doubles, ~1e-16
+    # tail otherwise; the oracle-checked queries use integral values.)
+    off_type = "long" if integral else "double"
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        [(pid, off) for pid, off in offsets.items()], f"_pid int, _offset {off_type}"
     )
     return (
         local.join(F.broadcast(off_df), on="_pid")
-        .withColumn(out_col, (F.col("_offset") + F.col("_local_cum")).cast("long"))
+        .withColumn(
+            out_col, (F.col("_offset") + F.col("_local_cum")).cast(off_type)
+        )
         .drop("_pid", "_local_cum", "_offset")
     )

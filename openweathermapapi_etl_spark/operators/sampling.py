@@ -147,3 +147,48 @@ def sequence_pack(
         offset,
         F.floor((running - F.col(n_tokens_col)) / budget).alias("pack_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    salt: str = "wsample",
+    priority_name: str = "_priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: take ``n``
+    rows where a row's inclusion probability is proportional to its
+    weight — the curation move behind "sample more from high-quality
+    sources" when a full mixture_expand pass is too big.
+
+    The Efraimidis–Spirakis A-ES scheme, derandomized: each row gets
+    priority ``u^(1/w)`` for ``u`` uniform in (0,1); the n largest
+    priorities are a weighted sample. Here ``u`` comes from the salted
+    portable hash of the key (→ reproducible on any cluster layout,
+    same property as hash_split), compared in log form
+    ``ln(u)/w`` (monotone in ``u^(1/w)``, avoids underflow at large
+    weights). Rows with non-positive weight are excluded, matching
+    w→0 inclusion probability 0.
+
+    Selection is ``ORDER BY priority DESC, key LIMIT n`` — Spark plans
+    TakeOrderedAndProject (per-partition top-n heaps, then n rows to
+    one reducer), so the shuffle carries ``n × partitions`` rows, not
+    the corpus: scale-safe at any corpus size for sane ``n``.
+    """
+    key = F.col(key_col)
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    # u in (0,1): (hash+1) / (P+1) — hash in [0, P), both bounds open.
+    p = 1_000_000_007
+    u = (
+        split_bucket(key, salt, n_buckets=p).cast("double") + F.lit(1.0)
+    ) / F.lit(float(p + 1))
+    pri = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn(priority_name, pri)
+        .orderBy(F.col(priority_name).desc(), key.asc())
+        .limit(n)
+    )

@@ -501,3 +501,88 @@ def knn_graph(
         "src", "dst", "cos_sim", "rank",
         F.coalesce(F.col("_rev"), F.lit(False)).alias("mutual"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Product-quantization encoding: split every vector into ``m``
+    subvectors of ``dim/m`` components and replace each subvector with
+    the id of its nearest codebook centroid — the compression step of
+    IVF-PQ ANN indexes (a 64-dim float vector becomes ``m`` small
+    codes; distance tables against the codebook then approximate full
+    distances at a fraction of the memory traffic).
+
+    The codebook here is the deterministic "init" codebook — the ``k``
+    lowest-id vectors' own subvectors, code = rank in id order — which
+    keeps the whole operator SQL-oracle-expressible; production trains
+    it with :func:`kmeans_update` per subspace and feeds it back in
+    (identical assignment plan either way).
+
+    Returns (id, pq_codes array<int> length m, distortion double = sum
+    of the m squared L2 subdistances).
+
+    Plan shape: the codebook is ``k × m`` rows — always broadcast; the
+    corpus side posexplodes into ``m`` subvector rows, broadcast-joins
+    the codebook's ``k`` candidates per subspace, and argmins with one
+    keyed aggregation on (id, subspace). Shuffle volume after map-side
+    combine is ``rows × m`` small tuples — never the vectors times
+    ``k``. Subdistances are sequential double folds over the subvector
+    (IEEE-exact, same array order in DuckDB's list_reduce → bit-equal,
+    see :func:`dot_fold`); the per-vector distortion folds the ``m``
+    subdistances in subspace order, so it is order-pinned too.
+    """
+    from pyspark.sql import Window as W
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    def subvecs(vec: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(vec, j * F.lit(sub) + 1, sub),
+        )
+
+    # Codebook: k lowest-id vectors, code = 0-based rank in id order.
+    # k rows — the single-task window is a k-row sort, not a data sort.
+    seeds = df.orderBy(id_col).limit(k)
+    codebook = (
+        seeds.withColumn(
+            "code", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
+        )
+        .select("code", F.posexplode(subvecs(F.col(vec_col))).alias("j", "cent"))
+    )
+
+    corpus = df.select(
+        F.col(id_col), F.posexplode(subvecs(F.col(vec_col))).alias("j", "subvec")
+    )
+    sqdiffs = F.zip_with(
+        F.col("subvec"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.aggregate(sqdiffs, F.lit(0.0), lambda acc, t: acc + t)
+    scored = corpus.join(F.broadcast(codebook), on="j").withColumn("dist", dist)
+    best = scored.groupBy(id_col, "j").agg(
+        F.min(F.struct("dist", "code")).alias("best")
+    )
+    per_vec = best.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", F.col("best.code").alias("code"),
+                                    F.col("best.dist").alias("dist")))
+        ).alias("a")
+    )
+    return per_vec.select(
+        id_col,
+        F.transform("a", lambda x: x["code"]).alias("pq_codes"),
+        F.aggregate(
+            F.transform("a", lambda x: x["dist"]), F.lit(0.0), lambda s, d: s + d
+        ).alias("distortion"),
+    )

@@ -263,3 +263,34 @@ def contamination_flags(
             (F.col("n_hits").cast("double") / F.col("n_grams")).alias("hit_frac"),
         )
     )
+
+
+def token_chunks(tok: Column, chunk_size: int, stride: int) -> Column:
+    """Sliding-window token chunks with overlap — the RAG/pretraining
+    chunking step (split a long document into ``chunk_size``-token
+    windows every ``stride`` tokens, ``chunk_size - stride`` tokens of
+    overlap so no boundary context is lost).
+
+    Returns ``array<struct<chunk_no int, toks array<string>>>`` —
+    chunk ``i`` covers 1-based token positions ``[1 + i*stride, 1 +
+    i*stride + chunk_size)``; a start position is emitted while it is
+    ≤ the token count, so trailing partial chunks are kept (standard
+    sliding-window semantics) and an empty token array yields no
+    chunks. Row-local array arithmetic (sequence/transform/slice) —
+    zero shuffle, scan-speed over 100 TB of text; the caller explodes.
+
+    DuckDB twin: ``generate_series(1, len(tk), stride)`` + list
+    slicing — chunk_no derived arithmetically from the start position,
+    so neither engine needs an ordinality construct.
+    """
+    starts = F.when(
+        F.size(tok) > 0,
+        F.sequence(F.lit(1), F.size(tok), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.slice(tok, s, chunk_size).alias("toks"),
+        ),
+    )

@@ -17,6 +17,7 @@ from . import weather_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
+from . import training_q  # noqa: E402,F401
 
 # The correctness driver records rows for the FIRST 50 registered names
 # only (observed in rounds 1-4: CORRECTNESS_r0{1,2,3,4}.json each held

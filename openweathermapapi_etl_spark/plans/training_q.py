@@ -1,0 +1,227 @@
+"""Round-6 training-pipeline operators: time-series gap fill, overlap
+chunking, product quantization, weighted sampling, and compaction
+planning.
+
+Each is a stage a 100 TB curation/serving pipeline runs between the
+primitives in tier_c/curation and the training or query job; each is
+hash-checked against a DuckDB oracle. Float policy: per-row folds are
+sequential (bit-identical across engines, see operators/similarity.py
+dot_fold); aggregated doubles go through the DECIMAL(38,6) trick
+(plans/util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compaction import compaction_plan
+from ..operators.sampling import weighted_sample
+from ..operators.similarity import pq_encode
+from ..operators.text import token_chunks, tokens
+from ..operators.timeseries import gap_fill_ffill
+from .registry import register
+from .tier_c import _O_HASH
+from .util import dsum, o_dsum, t
+
+# ---------------------------------------------------------------------------
+# B24 continued — date-spine gap fill + forward fill (events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_gap_fill_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {o_dsum('value')} AS observed
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+               FROM daily GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                 CAST(d1 AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS day
+              FROM bounds),
+    j AS (SELECT s.user_id, s.day, d.observed
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
+           last_value(observed IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS filled,
+           observed IS NULL AS is_gap
+    FROM j
+    """,
+)
+def b24_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24d: regularize the event log to a per-user DAILY grid and
+    forward-fill the last observed daily total into gap days
+    (operators/timeseries.py) — the repair for the reference's
+    failed-run gaps (a 5-min cron slot with no row,
+    /root/reference/dags/weather-etl.py:46,58) generalized to any key.
+    The spine is generated executor-side (bounds agg + sequence +
+    explode — never a stored calendar), the fill is a keyed window."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dsum("value", "observed"))
+    out = gap_fill_ffill(daily, "user_id", "day", "observed")
+    # Dates surface as ISO strings (date objects round-trip as pandas
+    # Timestamps on the oracle side and break the value compare).
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — sliding-window token chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "c04_chunk_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    st AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk), {_STRIDE}))
+             AS start
+           FROM tk WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS INT) AS chunk_no,
+           CAST(len(tk[start : start + {_CHUNK - 1}]) AS INT) AS n_tokens,
+           array_to_string(tk[start : start + {_CHUNK - 1}], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def c04_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4h: sliding-window token chunks, {_CHUNK} tokens every
+    {_STRIDE} ({_CHUNK - _STRIDE} overlap) — the RAG/pretraining
+    chunking step (operators/text.py::token_chunks). Row-local array
+    arithmetic + explode: zero shuffle, scan speed; trailing partial
+    chunks kept (standard sliding-window semantics)."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(token_chunks(tokens("text"), _CHUNK, _STRIDE)).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — product-quantization encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_pq_encode",
+    oracle="""
+    WITH s0 AS (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 16),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS code, embedding
+              FROM s0),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cb AS (SELECT code, j, embedding[j*16+1 : j*16+16] AS cent
+           FROM seeds, js),
+    corp AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS subvec
+             FROM embeddings, js),
+    scored AS (SELECT vec_id, c.j AS j, code,
+        list_reduce(list_transform(list_zip(subvec, cent),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y) AS dist
+      FROM corp c JOIN cb ON c.j = cb.j),
+    best AS (SELECT vec_id, j, dist, code,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, code) AS rn
+             FROM scored)
+    SELECT vec_id, list(code ORDER BY j) AS pq_codes,
+           list_reduce(list(dist ORDER BY j), (x, y) -> x + y) AS distortion
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def c03_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3f: product-quantization encoding — every 64-dim vector becomes
+    4 codebook codes + its quantization distortion
+    (operators/similarity.py::pq_encode; deterministic 16-seed init
+    codebook so the oracle is SQL-expressible — production trains it
+    with kmeans_update per subspace). Broadcast codebook, one keyed
+    argmin agg: shuffle volume is rows × m small tuples at any scale.
+    Sanity pinned by construction: the 16 seed vectors encode to their
+    own code with distortion 0."""
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=16)
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — deterministic weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             ln(({_O_HASH.format(s="'wsample:' || CAST(doc_id AS VARCHAR)")}
+                 + 1.0) / 1000000008.0)
+               / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM pri ORDER BY p DESC, doc_id LIMIT 120
+    """,
+)
+def c07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7i: weighted sampling without replacement, inclusion odds ∝
+    n_chars — derandomized Efraimidis–Spirakis via the salted portable
+    hash (operators/sampling.py::weighted_sample), so the sample is
+    reproducible on any cluster layout. Selection is a top-n
+    (TakeOrderedAndProject): per-partition heaps, the shuffle carries
+    n×partitions rows, never the corpus."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", n=120, salt="wsample").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 — small-file compaction planning (lakehouse OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+_TARGET = 4096
+
+
+@register(
+    "m5_compaction_plan",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS bytes
+               FROM documents),
+    c AS (SELECT doc_id, source, bytes,
+                 CAST(SUM(bytes) OVER (ORDER BY source, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - bytes
+                      AS BIGINT) AS bin_offset
+          FROM f)
+    SELECT doc_id, source, bytes, bin_offset,
+           CAST(bin_offset // {_TARGET} AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def m5_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: distributed small-file compaction planning
+    (operators/compaction.py) — bin-pack the file inventory (stand-in:
+    documents as files, n_chars as bytes) into {_TARGET}-byte output
+    bins, contiguous in (partition, file) order. The running offset is
+    operators/rank.py::prefix_sum — one range shuffle + exchange-free
+    local cumsum — so the plan survives a million-file inventory where
+    a driver-side greedy loop dies. Exact integer arithmetic: the plan
+    is bit-stable across engines and runs."""
+    files = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("bytes")
+    )
+    return compaction_plan(
+        files, ["source", "doc_id"], "bytes", target_bytes=_TARGET
+    )

@@ -364,8 +364,10 @@ def test_global_rank_plan_is_one_data_exchange(spark):
 
     from openweathermapapi_etl_spark.operators.rank import global_rank
 
+    # pin=False: localCheckpoint truncates lineage, which would hide
+    # the shuffle shape this test exists to pin.
     df = spark.range(0, 10000).withColumnRenamed("id", "key")
-    out = global_rank(df, ["key"], rank_name="rnk")
+    out = global_rank(df, ["key"], rank_name="rnk", pin=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")

@@ -1,0 +1,271 @@
+"""Unit tests for the round-6 training-pipeline operators: token
+chunking, gap fill, PQ encoding, weighted sampling, compaction
+planning — plus the exchange-free prefix_sum plan shape.
+
+The registered queries built on these are additionally hash-checked
+against their DuckDB oracles by tests/test_queries_oracle.py; these
+tests pin the operator semantics on handcrafted inputs where the
+expected answer is computable by eye (SURVEY.md §5 test strategy).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# token_chunks (sliding-window chunking with overlap)
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, text, size, stride):
+    from openweathermapapi_etl_spark.operators.text import token_chunks, tokens
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return [
+        (c["chunk_no"], list(c["toks"]))
+        for c in df.select(
+            F.explode(token_chunks(tokens("text"), size, stride)).alias("c")
+        ).collect()[0:999]
+        for c in [c["c"]]
+    ]
+
+
+def test_token_chunks_overlap_and_tail(spark):
+    # 7 tokens, size 4, stride 3 → starts 1, 4, 7: full, full, partial.
+    got = _chunks(spark, "a b c d e f g", size=4, stride=3)
+    assert got == [
+        (0, ["a", "b", "c", "d"]),
+        (1, ["d", "e", "f", "g"]),  # 1 token of overlap (size - stride)
+        (2, ["g"]),  # trailing partial chunk kept
+    ]
+
+
+def test_token_chunks_short_doc_single_chunk(spark):
+    assert _chunks(spark, "a b", size=4, stride=3) == [(0, ["a", "b"])]
+
+
+def test_token_chunks_covers_every_token(spark):
+    # Every token position appears in at least one chunk.
+    text = " ".join(f"t{i}" for i in range(100))
+    got = _chunks(spark, text, size=32, stride=24)
+    seen = {tok for _, toks in got for tok in toks}
+    assert seen == {f"t{i}" for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_ffill (date spine + forward fill)
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_ffill_fills_gaps_per_key(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import gap_fill_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01", 10.0),
+            ("u1", "2024-01-04", 40.0),  # 2-day gap before this
+            ("u2", "2024-01-02", 5.0),
+        ],
+        "k string, d string, v double",
+    ).select("k", F.to_date("d").alias("d"), "v")
+    out = {
+        (r["k"], str(r["day"])): (r["observed"], r["filled"], r["is_gap"])
+        for r in gap_fill_ffill(df, "k", "d", "v").collect()
+    }
+    assert out == {
+        ("u1", "2024-01-01"): (10.0, 10.0, False),
+        ("u1", "2024-01-02"): (None, 10.0, True),
+        ("u1", "2024-01-03"): (None, 10.0, True),
+        ("u1", "2024-01-04"): (40.0, 40.0, False),
+        ("u2", "2024-01-02"): (5.0, 5.0, False),  # single-day span: no gaps
+    }
+
+
+# ---------------------------------------------------------------------------
+# pq_encode (product quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_seeds_self_code_zero_distortion(spark):
+    from openweathermapapi_etl_spark.operators.similarity import pq_encode
+
+    rows = [(i, [float(i * 8 + d) for d in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (list(r["pq_codes"]), r["distortion"])
+        for r in pq_encode(df, "vec_id", "embedding", dim=8, m=2, k=4).collect()
+    }
+    assert len(out) == 6
+    # The 4 seed vectors quantize to their own code with 0 distortion.
+    for i in range(4):
+        assert out[i] == ([i, i], 0.0)
+    # Non-seeds: codes in range, nearest seed is the largest (id 3),
+    # distortion strictly positive.
+    for i in (4, 5):
+        codes, dist = out[i]
+        assert codes == [3, 3] and dist > 0
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (derandomized A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    from openweathermapapi_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 10 + 1).alias("w")
+    )
+    a = sorted(r["k"] for r in weighted_sample(df, "k", "w", n=50).collect())
+    b = sorted(
+        r["k"]
+        for r in weighted_sample(df.repartition(13), "k", "w", n=50).collect()
+    )
+    assert len(a) == 50
+    assert a == b  # stable across cluster layouts
+
+
+def test_weighted_sample_huge_weight_always_included(spark):
+    from openweathermapapi_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 123, 1e12).otherwise(1.0).alias("w"),
+    )
+    got = {r["k"] for r in weighted_sample(df, "k", "w", n=10).collect()}
+    assert 123 in got
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from openweathermapapi_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 15, 0.0).otherwise(1.0).alias("w"),
+    )
+    got = {r["k"] for r in weighted_sample(df, "k", "w", n=20).collect()}
+    assert got == set(range(15, 20))
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from openweathermapapi_etl_spark.operators.sampling import weighted_sample
+
+    # Half the keys weigh 100x the other half: the heavy half should
+    # dominate a 100-of-1000 sample by a wide, deterministic margin.
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("w"),
+    )
+    got = [r["k"] for r in weighted_sample(df, "k", "w", n=100).collect()]
+    heavy = sum(1 for k in got if k < 500)
+    assert heavy >= 90
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan (bin packing via prefix_sum)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_bins_contiguous_and_sized(spark):
+    from openweathermapapi_etl_spark.operators.compaction import compaction_plan
+
+    target = 1000
+    df = spark.range(0, 300).select(
+        F.col("id").alias("path"),
+        ((F.col("id") * 7919) % 400 + 1).alias("bytes"),
+    )
+    rows = sorted(
+        (
+            (r["path"], r["bytes"], r["bin_offset"], r["bin_id"])
+            for r in compaction_plan(df, ["path"], "bytes", target).collect()
+        )
+    )
+    # Offsets are the exclusive running total in path order.
+    acc = 0
+    for path, nbytes, off, bin_id in rows:
+        assert off == acc
+        assert bin_id == off // target
+        acc += nbytes
+    # Bin ids are nondecreasing and contiguous in file order.
+    bins = [b for *_x, b in rows]
+    assert bins == sorted(bins)
+    assert set(bins) == set(range(max(bins) + 1))
+    # Every bin except the last spans its target boundary: the bin's
+    # last file ends at or past (bin_id + 1) * target.
+    import collections
+
+    end = collections.defaultdict(int)
+    for _p, nbytes, off, b in rows:
+        end[b] = max(end[b], off + nbytes)
+    for b in range(max(bins)):
+        assert end[b] >= (b + 1) * target
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.compaction import compaction_plan
+
+    df = spark.range(0, 3).select(F.col("id").alias("p"), F.lit(1).alias("bytes"))
+    with pytest.raises(ValueError):
+        compaction_plan(df, ["p"], "bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# prefix_sum plan shape (round-6 advisor finding: the local pass must
+# not cost a second Exchange)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_sum_plan_is_one_data_exchange(spark):
+    """Same pinned shape as global_rank's: no SinglePartition window,
+    exactly ONE data shuffle (the range repartition) — the local
+    cumsum must be mapInPandas over the ranged partitions, NOT an
+    Exchange(hashpartitioning(_pid)) — and a broadcast offset join.
+    pin=False so localCheckpoint doesn't truncate the inspected tree."""
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("v")
+    )
+    out = prefix_sum(df, ["key"], "v", out_col="cum", pin=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert len(re.findall(r"\bExchange\b", tree)) <= 1
+    assert "hashpartitioning(_pid" not in buf.getvalue()
+    assert "MapInPandas" in tree
+    assert "BroadcastExchange" in tree
+
+
+def test_prefix_sum_doubles_and_nulls(spark):
+    """Double values take the float path; null handling matches the
+    SQL window rule (null only until the first non-null in order)."""
+    from pyspark.sql import Window
+
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.5), (3, None), (4, 2.25), (5, 4.0)],
+        "key int, v double",
+    ).repartition(3)
+    got = {
+        r["key"]: r["cum"]
+        for r in prefix_sum(df, ["key"], "v", out_col="cum").collect()
+    }
+    w = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["key"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
