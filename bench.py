@@ -70,9 +70,16 @@ BENCH_QUERIES = [
     # tracking.
     "m3_snapshot_diff",
     "b26_global_rank",
+    # Round-6 additions: the exchange-free prefix-sum rewrite's heaviest
+    # user (compaction planning), the date-spine gap fill (generated
+    # spine + keyed fill window), and the PQ encoder (broadcast codebook
+    # + keyed argmin) — each a new shuffle pattern worth tracking.
+    "m5_compaction_plan",
+    "b24_gap_fill_ffill",
+    "c03_pq_encode",
 ]
 
-#: The previous round's headline set (BENCH_r04.json), so totals can be
+#: The previous round's headline set (BENCH_r05.json), so totals can be
 #: compared like-for-like round-over-round: the headline total grows
 #: whenever queries are ADDED, which otherwise reads as a regression
 #: until decomposed (round-4 verdict task 7).
@@ -101,6 +108,14 @@ PREV_ROUND_QUERIES = [
     "m1_keyed_upsert",
     "b44_foreachbatch_upsert",
     "a10_weather_pipeline_e2e",
+    "c05_feature_extract",
+    "c05_frame_sample",
+    "c06_dedup_clusters",
+    "c04_repetition_stats",
+    "m2_scd2_merge",
+    "c03_kmeans_iter",
+    "m3_snapshot_diff",
+    "b26_global_rank",
 ]
 
 

@@ -45,6 +45,7 @@ def compaction_plan(
     bytes_col: str,
     target_bytes: int,
     bin_name: str = "bin_id",
+    pin: bool = True,
 ) -> DataFrame:
     """Assign every file a compaction ``bin_id`` such that bins are
     contiguous in ``order_by`` and close as soon as they reach
@@ -60,7 +61,9 @@ def compaction_plan(
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
-    with_cum = prefix_sum(files, order_by, bytes_col, out_col="_incl_bytes")
+    with_cum = prefix_sum(
+        files, order_by, bytes_col, out_col="_incl_bytes", pin=pin
+    )
     excl = (F.col("_incl_bytes") - F.col(bytes_col)).cast("long")
     return (
         with_cum.withColumn("bin_offset", excl)

@@ -831,8 +831,11 @@ def c07_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         split_bucket(F.col("doc_id"), "budget", 1_000_000_007).alias("hkey"),
     )
+    # pin=False: deterministic parquet lineage — recompute reproduces
+    # identical partitions, so the pin (and its full-dataset storage
+    # cost) is reserved for nondeterministic upstreams (see rank.py).
     cum = prefix_sum(
-        toks, ["hkey", "doc_id"], "n_tokens", out_col="cum_tokens"
+        toks, ["hkey", "doc_id"], "n_tokens", out_col="cum_tokens", pin=False
     )
     return cum.filter(F.col("cum_tokens") <= 12_000).select(
         "doc_id", "n_tokens", "cum_tokens"

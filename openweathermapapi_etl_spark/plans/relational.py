@@ -1448,7 +1448,13 @@ def b26_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_rank
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
-    ranked = global_rank(orders, ["o_orderkey"], rank_name="rnk")
+    # pin=False: the lineage is a deterministic parquet scan, so a
+    # lost-executor recompute reproduces identical partitions
+    # (RangePartitioner samples with a fixed per-partition seed) — the
+    # same unpinned two-job construction as Spark's own zipWithIndex.
+    # Pinning would store the whole dataset in executor storage, a
+    # cost reserved for nondeterministic upstreams (see rank.py).
+    ranked = global_rank(orders, ["o_orderkey"], rank_name="rnk", pin=False)
     return ranked.select(
         "o_orderkey",
         "rnk",

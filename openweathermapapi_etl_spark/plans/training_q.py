@@ -222,6 +222,8 @@ def m5_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("bytes")
     )
+    # pin=False: deterministic parquet lineage (see rank.py — the pin
+    # and its storage cost are for nondeterministic upstreams).
     return compaction_plan(
-        files, ["source", "doc_id"], "bytes", target_bytes=_TARGET
+        files, ["source", "doc_id"], "bytes", target_bytes=_TARGET, pin=False
     )
