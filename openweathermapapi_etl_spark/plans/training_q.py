@@ -93,7 +93,7 @@ _CHUNK, _STRIDE = 32, 24
     """,
 )
 def c04_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4h: sliding-window token chunks, {_CHUNK} tokens every
+    """C4j: sliding-window token chunks, {_CHUNK} tokens every
     {_STRIDE} ({_CHUNK - _STRIDE} overlap) — the RAG/pretraining
     chunking step (operators/text.py::token_chunks). Row-local array
     arithmetic + explode: zero shuffle, scan speed; trailing partial
@@ -176,7 +176,7 @@ def c03_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7i: weighted sampling without replacement, inclusion odds ∝
+    """C7j: weighted sampling without replacement, inclusion odds ∝
     n_chars — derandomized Efraimidis–Spirakis via the salted portable
     hash (operators/sampling.py::weighted_sample), so the sample is
     reproducible on any cluster layout. Selection is a top-n
