@@ -503,6 +503,35 @@ def knn_graph(
     )
 
 
+def _pq_subvecs(vec: Column, dim: int, m: int) -> Column:
+    """Split ``vec`` into the array of its m contiguous subvectors."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * F.lit(sub) + 1, sub),
+    )
+
+
+def pq_codebook(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int, k: int
+) -> DataFrame:
+    """The deterministic PQ "init" codebook: the k lowest-id vectors'
+    subvectors, code = 0-based rank in id order — k×m rows total (the
+    single-task window is a k-row sort, not a data sort). Production
+    trains per-subspace centroids with :func:`kmeans_update` instead;
+    every consumer (encode, ADC search) takes the same shape."""
+    from pyspark.sql import Window as W
+
+    seeds = df.orderBy(id_col).limit(k)
+    return seeds.withColumn(
+        "code", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
+    ).select(
+        "code", F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "cent")
+    )
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -537,30 +566,10 @@ def pq_encode(
     see :func:`dot_fold`); the per-vector distortion folds the ``m``
     subdistances in subspace order, so it is order-pinned too.
     """
-    from pyspark.sql import Window as W
-
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-
-    def subvecs(vec: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.slice(vec, j * F.lit(sub) + 1, sub),
-        )
-
-    # Codebook: k lowest-id vectors, code = 0-based rank in id order.
-    # k rows — the single-task window is a k-row sort, not a data sort.
-    seeds = df.orderBy(id_col).limit(k)
-    codebook = (
-        seeds.withColumn(
-            "code", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
-        )
-        .select("code", F.posexplode(subvecs(F.col(vec_col))).alias("j", "cent"))
-    )
-
+    codebook = pq_codebook(df, id_col, vec_col, dim, m, k)
     corpus = df.select(
-        F.col(id_col), F.posexplode(subvecs(F.col(vec_col))).alias("j", "subvec")
+        F.col(id_col),
+        F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "subvec"),
     )
     sqdiffs = F.zip_with(
         F.col("subvec"),
@@ -585,4 +594,72 @@ def pq_encode(
         F.aggregate(
             F.transform("a", lambda x: x["dist"]), F.lit(0.0), lambda s, d: s + d
         ).alias("distortion"),
+    )
+
+
+def adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    topk: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — how a
+    PQ index is actually QUERIED: the query stays full-precision, the
+    corpus is its codes, and the approximate distance is a sum of m
+    table lookups instead of a dim-component scan. Memory traffic per
+    candidate drops from dim floats to m bytes — the whole point of PQ
+    at corpus scale.
+
+    Plan: (1) corpus → :func:`pq_encode` codes, posexploded to
+    (id, j, code); (2) distance table = queries × codebook, a
+    |Q|·m·k_codes-row frame — always tiny, always broadcast; (3) ONE
+    broadcast join on (j, code) fans each corpus code out to its |Q|
+    lookups, then a keyed (qid, id) agg folds the m subdistances in
+    subspace order (order-pinned, bit-equal to the oracle's
+    list_reduce); (4) per-query top-k window (ties → smaller id).
+    The only exchange over corpus-sized data is the final (qid, id)
+    agg — rows × m small tuples after map-side combine.
+
+    Returns (qid, id, approx_dist, rank), rank 1..topk per qid.
+    """
+    from pyspark.sql import Window as W
+
+    codes = pq_encode(df, id_col, vec_col, dim, m, k_codes).select(
+        F.col(id_col).alias("cid"), F.posexplode("pq_codes").alias("j", "code")
+    )
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "qsub"),
+    )
+    codebook = pq_codebook(df, id_col, vec_col, dim, m, k_codes)
+    sqdiffs = F.zip_with(
+        F.col("qsub"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dtable = (
+        queries.join(F.broadcast(codebook), on="j")
+        .withColumn("d", F.aggregate(sqdiffs, F.lit(0.0), lambda a, t: a + t))
+        .select("qid", "j", "code", "d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), on=["j", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("a"))
+        .select(
+            "qid",
+            F.col("cid").alias(id_col),
+            F.aggregate(
+                F.transform("a", lambda x: x["d"]), F.lit(0.0), lambda s, d: s + d
+            ).alias("approx_dist"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
     )

@@ -92,3 +92,107 @@ def gap_fill_ffill(
         joined.withColumn(filled_name, F.last("observed", ignorenulls=True).over(w))
         .withColumn("is_gap", F.col("observed").isNull())
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average of an irregular series — each
+    observation weighted by how long it was "current" (until the next
+    observation), the standard aggregate for unevenly sampled sensors
+    (a value that held for an hour counts 60× one that held a minute —
+    the plain AVG the reference's PGAdmin examples run over the weather
+    table silently over-weights bursts).
+
+    Exactness: the DECIMAL(38,6) trick is NOT enough here — a
+    value×microseconds product exceeds 2^53, where the two engines'
+    double→decimal casts round differently (observed 1-ulp twa drift).
+    Instead everything is EXACT INTEGERS inside the sum: values
+    quantized to 1/100 (``round(v*100)`` — the data is 2-decimal, so
+    never at a rounding tie), weights floored to whole milliseconds;
+    per-key sums stay < 2^53, so the final double division sees
+    bit-identical operands on any engine and any aggregation order.
+    Quantization error ≤ 0.005 on values, 1 ms on weights — both far
+    below sensor noise; sub-ms holding times weigh 0. The last
+    observation per key has no successor and is excluded (its holding
+    time is unknown — open interval).
+
+    One keyed window (lead) + one keyed agg, both on ``key_col``:
+    Catalyst reuses the single hash exchange for both.
+
+    Returns (key, n_intervals, total_ms, twa).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    dt_ms = ((F.lead(us).over(w) - us) / F.lit(1000)).cast("long")
+    qv = F.round(F.col(value_col) * 100).cast("long")
+    weighted = (
+        df.withColumn("_dt_ms", dt_ms)
+        .filter(F.col("_dt_ms").isNotNull())
+        .withColumn("_qv", qv)
+    )
+    return weighted.groupBy(key_col).agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("_dt_ms").alias("total_ms"),
+        (
+            F.sum(F.col("_qv") * F.col("_dt_ms")).cast("double")
+            / (F.lit(100.0) * F.sum("_dt_ms").cast("double"))
+        ).alias("twa"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window_rows: int = 10,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag observations whose value
+    deviates more than ``threshold`` standard deviations from the
+    trailing ``window_rows``-observation window (inclusive of the
+    current row) — the streaming-friendly outlier rule every metrics
+    pipeline runs over event series.
+
+    Only rows whose window is FULL are scored (a part-filled window's
+    variance is noise). Frame sums use DECIMAL(38,6), so mean/variance
+    are order-independent and the flag is bit-stable across engines;
+    variance via the sum-of-squares identity stays row-local on top of
+    the two frame sums. One keyed window — parallel across keys.
+
+    Returns the flagged rows: (key, tiebreak, value, z).
+    """
+    dec = "decimal(38,6)"
+    n = window_rows
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    cnt = F.count(value_col).over(w)
+    s1 = F.sum(v.cast(dec)).over(w).cast("double")
+    s2 = F.sum((v * v).cast(dec)).over(w).cast("double")
+    mean = s1 / cnt
+    # Sample variance; cancellation can drive it epsilon-negative, so
+    # clamp through the same greatest() both engines evaluate.
+    var = F.greatest((s2 - cnt * mean * mean) / (cnt - 1), F.lit(0.0))
+    z = (v - mean) / F.sqrt(var)
+    return (
+        df.withColumn("_cnt", cnt)
+        .withColumn("_z", z)
+        .filter((F.col("_cnt") == n) & (F.abs(F.col("_z")) > threshold))
+        .select(
+            key_col,
+            tiebreak_col,
+            F.col(value_col).alias("value"),
+            F.col("_z").alias("z"),
+        )
+    )

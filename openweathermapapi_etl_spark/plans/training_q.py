@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 
 from ..operators.compaction import compaction_plan
 from ..operators.sampling import weighted_sample
-from ..operators.similarity import pq_encode
+from ..operators.similarity import adc_topk, pq_encode
 from ..operators.text import token_chunks, tokens
-from ..operators.timeseries import gap_fill_ffill
+from ..operators.timeseries import gap_fill_ffill, rolling_zscore, time_weighted_avg
 from .registry import register
 from .tier_c import _O_HASH
 from .util import dsum, o_dsum, t
@@ -226,4 +226,200 @@ def m5_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and its storage cost are for nondeterministic upstreams).
     return compaction_plan(
         files, ["source", "doc_id"], "bytes", target_bytes=_TARGET, pin=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — ADC top-k search over the PQ index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_pq_adc_topk",
+    oracle="""
+    WITH s0 AS (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 16),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS code, embedding
+              FROM s0),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cb AS (SELECT code, j, embedding[j*16+1 : j*16+16] AS cent
+           FROM seeds, js),
+    corp AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS subvec
+             FROM embeddings, js),
+    enc AS (SELECT vec_id, c.j AS j, code,
+        list_reduce(list_transform(list_zip(subvec, cent),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y) AS dist
+      FROM corp c JOIN cb ON c.j = cb.j),
+    codes AS (SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, code) AS rn
+        FROM enc) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, j, embedding[j*16+1 : j*16+16] AS qsub
+          FROM embeddings, js WHERE vec_id % 100 = 0),
+    dt AS (SELECT qid, q.j AS j, code,
+        list_reduce(list_transform(list_zip(qsub, cent),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y) AS d
+      FROM q JOIN cb ON q.j = cb.j),
+    sc AS (SELECT qid, codes.vec_id AS vec_id,
+                  list_reduce(list(d ORDER BY codes.j), (x, y) -> x + y)
+                    AS approx_dist
+           FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.code
+           GROUP BY qid, codes.vec_id)
+    SELECT qid, vec_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+        SELECT qid, vec_id, approx_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY approx_dist, vec_id) AS rank
+        FROM sc) WHERE rank <= 10
+    """,
+)
+def c03_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3g: asymmetric-distance (ADC) top-10 search over the PQ index
+    (operators/similarity.py::adc_topk) — queries stay full-precision,
+    the corpus is m codes, approximate distance = m table lookups. The
+    distance table (|Q|·m·k rows) broadcasts; the only corpus-sized
+    exchange is the (qid, id) agg of m-row groups. Query set: every
+    100th vector id."""
+    emb = t(spark, sf_dir, "embeddings")
+    qids = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect()]
+    out = adc_topk(emb, qids, "vec_id", "embedding", dim=64, m=4,
+                   k_codes=16, topk=10)
+    return out.select("qid", "vec_id", "approx_dist", "rank")
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — time-weighted average (irregular series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_time_weighted_avg",
+    oracle="""
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                      event_id, value FROM events),
+    l AS (SELECT user_id, value,
+                 (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                   - epoch_us(ts)) // 1000 AS dt_ms
+          FROM e),
+    f AS (SELECT user_id, dt_ms,
+                 CAST(round(value * 100) AS BIGINT) AS qv
+          FROM l WHERE dt_ms IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_ms) AS BIGINT) AS total_ms,
+           CAST(SUM(qv * dt_ms) AS DOUBLE)
+             / (100.0 * CAST(SUM(dt_ms) AS DOUBLE)) AS twa
+    FROM f GROUP BY user_id
+    """,
+)
+def b24_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24e: time-weighted average per user over the irregular event
+    series (operators/timeseries.py::time_weighted_avg) — each value
+    weighted by its holding time, the aggregate a plain AVG silently
+    gets wrong on bursty series. One keyed window (lead) + one keyed
+    agg on the same key; exact-integer quantized sums (cent values ×
+    whole-ms weights, all < 2^53) because value×µs products overflow
+    the decimal trick's cross-engine exactness."""
+    ev = t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — rolling z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_anomaly_zscore",
+    oracle="""
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                      event_id, value FROM events),
+    wf AS (SELECT user_id, event_id, value,
+        COUNT(value) OVER w AS cnt,
+        CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,6))) OVER w
+             AS DOUBLE) AS s1,
+        CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                      AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    z AS (SELECT user_id, event_id, value,
+                 (value - s1 / cnt)
+                   / sqrt(greatest((s2 - cnt * (s1/cnt) * (s1/cnt))
+                                     / (cnt - 1), 0.0)) AS z
+          FROM wf WHERE cnt = 10)
+    SELECT user_id, event_id, value, z FROM z WHERE abs(z) > 2.0
+    """,
+)
+def b24_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24f: rolling z-score anomaly detection — flag events deviating
+    >2σ from the trailing 10-observation window
+    (operators/timeseries.py::rolling_zscore). Decimal frame sums make
+    mean/variance order-independent, so the flag set is bit-stable;
+    one keyed window, parallel across users."""
+    ev = t(spark, sf_dir, "events")
+    return rolling_zscore(ev, "user_id", "ts", "value", "event_id",
+                          window_rows=10, threshold=2.0)
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — curriculum phase assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_curriculum_phases",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+                  FROM documents),
+    q AS (SELECT doc_id,
+           (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                        BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN len(list_filter(tk,
+                       x -> x IN ('the','and','of','to','a'))) > 0
+                   THEN 0.2 ELSE 0.0 END) AS quality
+          FROM toks),
+    r AS (SELECT doc_id, quality,
+                 row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+                 COUNT(*) OVER () AS total
+          FROM q)
+    SELECT doc_id, quality, CAST(rnk AS BIGINT) AS rnk,
+           CAST((rnk - 1) * 4 // total AS BIGINT) AS phase
+    FROM r
+    """,
+)
+def c07_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7k: curriculum phase assignment — rank the corpus by quality
+    (best first) and cut it into 4 equal phases, highest-quality phase
+    0 trains first. The global order comes from
+    operators/rank.py::global_rank (range shuffle + offsets — no
+    single-reducer window at corpus scale); the total for the phase
+    cut is a 1-row agg broadcast, never a collect."""
+    from ..operators.rank import global_rank
+    from ..operators.text import quality_score, tokens as _tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text"), _tokens("text")).alias("quality")
+    )
+    ranked = global_rank(
+        docs, [F.col("quality").desc(), F.col("doc_id")], rank_name="rnk",
+        pin=False,  # deterministic parquet lineage (see rank.py)
+    )
+    total = docs.agg(F.count("*").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            "rnk",
+            F.expr("(rnk - 1) * 4 DIV _total").cast("long").alias("phase"),
+        )
     )

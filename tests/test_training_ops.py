@@ -269,3 +269,100 @@ def test_prefix_sum_doubles_and_nulls(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import time_weighted_avg
+
+    # value 10 held for 9s, value 20 held for 1s → TWA = (10*9+20*1)/10 = 11.
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 1, 10.0),
+            ("k", "2024-01-01 00:00:09", 2, 20.0),
+            ("k", "2024-01-01 00:00:10", 3, 99.0),  # last: excluded
+        ],
+        "k string, ts string, eid int, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    [r] = time_weighted_avg(df, "k", "ts", "v", "eid").collect()
+    assert r["n_intervals"] == 2
+    assert r["total_ms"] == 10_000
+    assert r["twa"] == 11.0
+
+
+def test_time_weighted_avg_single_event_key_drops(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1, 5.0)],
+        "k string, ts string, eid int, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    assert time_weighted_avg(df, "k", "ts", "v", "eid").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import rolling_zscore
+
+    # 19 calm points (alternating 9/11), one spike at the end.
+    rows = [
+        ("k", f"2024-01-01 00:{i:02d}:00", i, 9.0 if i % 2 else 11.0)
+        for i in range(19)
+    ] + [("k", "2024-01-01 00:19:00", 19, 100.0)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, eid int, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    got = rolling_zscore(df, "k", "ts", "v", "eid", window_rows=10, threshold=2.0)
+    flagged = [(r["eid"], r["value"]) for r in got.collect()]
+    assert flagged == [(19, 100.0)]
+    [z] = [r["z"] for r in got.collect()]
+    assert z > 2.0
+
+
+def test_rolling_zscore_needs_full_window(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import rolling_zscore
+
+    # A spike at row 5: window not full yet -> never scored.
+    rows = [
+        ("k", f"2024-01-01 00:0{i}:00", i, 10.0 if i != 5 else 500.0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, eid int, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    assert (
+        rolling_zscore(df, "k", "ts", "v", "eid", window_rows=10).count() == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# adc_topk
+# ---------------------------------------------------------------------------
+
+
+def test_adc_topk_seed_query_ranks_itself_first(spark):
+    from openweathermapapi_etl_spark.operators.similarity import adc_topk
+
+    # Well-separated vectors: each seed's nearest PQ reconstruction is
+    # its own code, so a seed query must rank itself at distance 0.
+    rows = [(i, [float(i * 100 + d) for d in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = adc_topk(df, [0, 2], "vec_id", "embedding", dim=8, m=2, k_codes=4,
+                   topk=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["approx_dist"])
+        )
+    for qid in (0, 2):
+        ranked = sorted(by_q[qid])
+        assert ranked[0][1] == qid and ranked[0][2] == 0.0
+        assert len(ranked) == 3
