@@ -43,160 +43,120 @@ from . import training_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 4's driver window (== CORRECTNESS_r04.json keys): the most
-# recently driver-verified → rotate to the BACK this round.
-_R4_WINDOW = [
-    "c02_lsh_candidates_capped",
-    "b43_streaming_dedup_watermarked_evicting",
-    "c02_lsh_candidates",
-    "b10_salted_join",
-    "a10_weather_pipeline_e2e",
-    "flagship_q3",
-    "b01_parquet_scan",
-    "b04_parquet_sink_roundtrip",
-    "b06_select_expr",
-    "b10_inner_join",
-    "b15_asof_join",
-    "b16_groupby_agg",
-    "b23_ranking_windows",
-    "b35_explode",
-    "b36_map_funcs",
-    "b37_json_funcs",
-    "b45_scalar_udf",
-    "b46_pandas_udf",
-    "b47_grouped_map",
-    "b48_udtf_explode",
-    "b49_pandas_udaf",
-    "c01_exact_dedup",
-    "c02_minhash_signatures",
-    "c02_simhash",
-    "c02_ngram_jaccard",
-    "c02_embedding_neardup",
-    "c03_cosine_topk",
-    "c03_cosine_topk_lsh",
-    "c04_token_stats",
-    "c04_langid",
-    "c04_quality_score",
-    "c04_fingerprint",
-    "c05_binary_roundtrip",
-    "c05_decode_mapinpandas",
-    "c02_minhash_fast",
-    "c05_resize",
-    "c05_frame_sample",
-    "c05_feature_extract",
-    "a03_weather_transform",
-    "b38_stream_microbatch_count",
-    "b39_watermark_late_drop",
-    "b40_tumbling_window",
-    "b41_sliding_window",
-    "b42_session_window",
-    "b43_streaming_dedup",
-    "b50_stateful_running_agg",
-    "b51_stream_stream_join",
-    "b52_stream_static_join",
-    "b43_streaming_dedup_watermarked",
-    "b51_stream_stream_join_watermarked",
+# Round 5's driver window (== CORRECTNESS_r05.json keys): the most
+# recently driver-verified -> rotate to the BACK this round.
+_R5_WINDOW = [
+    "b09_try_cast_dirty",
+    "b25_time_range_frame",
+    "b24_funnel_conversion",
+    "b24_cohort_retention",
+    "c05_chunk_binary",
+    "b46_map_in_arrow",
+    "b47_cogrouped_map",
+    "b04_zorder_layout",
+    "c07_time_split",
+    "c02_edit_distance_verify",
+    "c06_pagerank",
+    "m4_incremental_agg",
+    "b18_hll_mergeable_rollup",
+    "c04_unigram_logprob_topk",
+    "b22_fk_orphans",
+    "b02_json_corrupt_scan",
+    "b14_binned_range_join",
+    "b40_tumbling_window_rocksdb",
+    "c03_knn_graph",
+    "b05_jdbc_partitioned_read",
+    "c07_token_budget_sample",
+    "m3_snapshot_diff",
+    "b16_histogram",
+    "b26_global_rank",
+    "c04_unigram_logprob",
+    "c07_outlier_filter",
+    "b51_stream_stream_left_join",
+    "c09_decontaminate",
+    "b42_batch_sessionize",
+    "b16_key_skew_profile",
+    "b01_schema_evolution",
+    "b04_partitioned_sink_prune",
+    "c07_group_split",
+    "c06_dedup_clusters",
+    "c04_repetition_stats",
+    "c04_pii_redact",
+    "c04_vocab_topk",
+    "c07_hash_split",
+    "c07_stratified_sample",
+    "c07_mixture_expand",
+    "c03_label_centroids",
+    "m2_scd2_merge",
+    "c06_dedup_corpus",
+    "c03_kmeans_iter",
+    "c07_filter_funnel",
+    "b04_orc_sink_roundtrip",
+    "b02_text_sink_roundtrip",
+    "c08_stream_curation_gate",
+    "c07_sequence_pack",
+    "c04_tfidf_topterms",
 ]
 
-# Generated: python tools/changed_queries.py 0bc33e7 (round-4 final
-# commit), then the queries NEW in round 5 moved to the front —
-# never driver-checked outranks changed-but-previously-green. The
-# round-5 diff touched relational.py, streaming_q.py, tier_c.py,
-# merge_q.py and added curation.py, so nearly every registered query
-# is in the transitive closure; the 50-slot window keeps the new +
-# highest-risk direct head, and the overflow ranks stalest-first for
-# the round-6 rotation. Round 5 added 51 queries — ONE more than the
-# window: the overflow slot (position 51, b23_distribution_windows)
-# is deliberate, is hash-verified this round by the pytest oracle
-# suite and PARITY_r5.txt (the same Spark-vs-DuckDB comparison the
-# driver records), and leads the round-6 window as the only
-# never-driver-checked name. Every query is pytest-verified each run
-# regardless of the window.
-_R5_HEAD = [
-    "b09_try_cast_dirty",  # NEW this round
-    "b25_time_range_frame",  # NEW this round
-    "b24_funnel_conversion",  # NEW this round
-    "b24_cohort_retention",  # NEW this round
-    "c05_chunk_binary",  # NEW this round
-    "b46_map_in_arrow",  # NEW this round
-    "b47_cogrouped_map",  # NEW this round
-    "b04_zorder_layout",  # NEW this round
-    "c07_time_split",  # NEW this round
-    "c02_edit_distance_verify",  # NEW this round
-    "c06_pagerank",  # NEW this round
-    "m4_incremental_agg",  # NEW this round
-    "b18_hll_mergeable_rollup",  # NEW this round
-    "c04_unigram_logprob_topk",  # NEW this round
-    "b22_fk_orphans",  # NEW this round
-    "b02_json_corrupt_scan",  # NEW this round
-    "b14_binned_range_join",  # NEW this round
-    "b40_tumbling_window_rocksdb",  # NEW this round
-    "c03_knn_graph",  # NEW this round
-    "b05_jdbc_partitioned_read",  # NEW this round
-    "c07_token_budget_sample",  # NEW this round
-    "m3_snapshot_diff",  # NEW this round
-    "b16_histogram",  # NEW this round
-    "b26_global_rank",  # NEW this round
-    "c04_unigram_logprob",  # NEW this round
-    "c07_outlier_filter",  # NEW this round
-    "b51_stream_stream_left_join",  # NEW this round
-    "c09_decontaminate",  # NEW this round
-    "b42_batch_sessionize",  # NEW this round
-    "b16_key_skew_profile",  # NEW this round
-    "b01_schema_evolution",  # NEW this round
-    "b04_partitioned_sink_prune",  # NEW this round
-    "c07_group_split",  # NEW this round
-    "c06_dedup_clusters",  # NEW this round
-    "c04_repetition_stats",  # NEW this round
-    "c04_pii_redact",  # NEW this round
-    "c04_vocab_topk",  # NEW this round
-    "c07_hash_split",  # NEW this round
-    "c07_stratified_sample",  # NEW this round
-    "c07_mixture_expand",  # NEW this round
-    "c03_label_centroids",  # NEW this round
-    "m2_scd2_merge",  # NEW this round
-    "c06_dedup_corpus",  # NEW this round
-    "c03_kmeans_iter",  # NEW this round
-    "c07_filter_funnel",  # NEW this round
-    "b04_orc_sink_roundtrip",  # NEW this round
-    "b02_text_sink_roundtrip",  # NEW this round
-    "c08_stream_curation_gate",  # NEW this round
-    "c07_sequence_pack",  # NEW this round
-    "c04_tfidf_topterms",  # NEW this round
-    "b23_distribution_windows",  # NEW this round
-    "c02_lsh_candidates_capped",  # tier_c
-    "b43_streaming_dedup_watermarked_evicting",  # streaming_q
-    "c02_lsh_candidates",  # tier_c
-    "c01_exact_dedup",  # tier_c
-    "c02_minhash_signatures",  # tier_c
-    "c02_simhash",  # tier_c
-    "c02_ngram_jaccard",  # tier_c
-    "c02_embedding_neardup",  # tier_c
-    "c03_cosine_topk",  # tier_c
-    "c03_cosine_topk_lsh",  # tier_c
-    "c04_token_stats",  # tier_c
-    "c04_langid",  # tier_c
-    "c04_quality_score",  # tier_c
-    "c04_fingerprint",  # tier_c
-    "c05_binary_roundtrip",  # tier_c
-    "c05_decode_mapinpandas",  # tier_c
-    "c02_minhash_fast",  # tier_c
-    "c05_resize",  # tier_c
-    "c05_frame_sample",  # tier_c
-    "c05_feature_extract",  # tier_c
-    "b38_stream_microbatch_count",  # streaming_q
-    "b39_watermark_late_drop",  # streaming_q
-    "b40_tumbling_window",  # streaming_q
-    "b41_sliding_window",  # streaming_q
-    "b42_session_window",  # streaming_q
-    "b43_streaming_dedup",  # streaming_q
-    "b50_stateful_running_agg",  # streaming_q
-    "b51_stream_stream_join",  # streaming_q
-    "b52_stream_static_join",  # streaming_q
-    "b43_streaming_dedup_watermarked",  # streaming_q
-    "b51_stream_stream_join_watermarked",  # streaming_q
-    "c03_cosine_topk_ivf",  # tier_c
-    "b44_foreachbatch_upsert",  # streaming_q
+# Generated: python tools/changed_queries.py d1ce653 (round-5 final
+# commit), then the 9 queries NEW in round 6 moved to the front —
+# never-driver-checked outranks changed-but-previously-green. The
+# round-6 diff touched relational.py and curation.py directly (the
+# rank.py pin rework's call sites) and appended to text/sampling/
+# similarity (operator modules most of tier_c/curation transits), so
+# the transitive closure is 127 of 157 queries; the 50-slot window
+# keeps the new + direct head (every query whose code actually
+# changed — b26_global_rank, c07_token_budget_sample, the relational
+# and curation modules — is inside it), and the overflow ranks
+# stalest-first for the round-7 rotation. Every query is additionally
+# pytest-oracle-verified each run and PARITY_r6.txt re-checks all of
+# them, independent of the window.
+_R6_HEAD = [
+    "b24_gap_fill_ffill",  # NEW this round (training_q)
+    "c04_chunk_overlap",  # NEW this round (training_q)
+    "c03_pq_encode",  # NEW this round (training_q)
+    "c07_weighted_sample",  # NEW this round (training_q)
+    "m5_compaction_plan",  # NEW this round (training_q)
+    "c03_pq_adc_topk",  # NEW this round (training_q)
+    "b24_time_weighted_avg",  # NEW this round (training_q)
+    "b24_anomaly_zscore",  # NEW this round (training_q)
+    "c07_curriculum_phases",  # NEW this round (training_q)
+    "b09_try_cast_dirty",  # relational
+    "b04_zorder_layout",  # relational
+    "c07_time_split",  # curation
+    "c02_edit_distance_verify",  # curation
+    "c06_pagerank",  # curation
+    "b18_hll_mergeable_rollup",  # relational
+    "c04_unigram_logprob_topk",  # curation
+    "b22_fk_orphans",  # relational
+    "b02_json_corrupt_scan",  # relational
+    "b14_binned_range_join",  # relational
+    "b05_jdbc_partitioned_read",  # relational
+    "c07_token_budget_sample",  # curation
+    "b16_histogram",  # relational
+    "b26_global_rank",  # relational
+    "c04_unigram_logprob",  # curation
+    "c07_outlier_filter",  # curation
+    "c09_decontaminate",  # curation
+    "b01_schema_evolution",  # relational
+    "b04_partitioned_sink_prune",  # relational
+    "c07_group_split",  # curation
+    "c06_dedup_clusters",  # curation
+    "c04_repetition_stats",  # curation
+    "c04_pii_redact",  # curation
+    "c04_vocab_topk",  # curation
+    "c07_hash_split",  # curation
+    "c07_stratified_sample",  # curation
+    "c07_mixture_expand",  # curation
+    "c03_label_centroids",  # curation
+    "c06_dedup_corpus",  # curation
+    "c03_kmeans_iter",  # curation
+    "c07_filter_funnel",  # curation
+    "b04_orc_sink_roundtrip",  # relational
+    "b02_text_sink_roundtrip",  # relational
+    "c07_sequence_pack",  # curation
+    "c04_tfidf_topterms",  # curation
+    "b23_distribution_windows",  # relational
     "b10_salted_join",  # relational
     "flagship_q3",  # relational
     "b01_parquet_scan",  # relational
@@ -241,21 +201,44 @@ _R5_HEAD = [
     "b12_correlated_scalar_subquery",  # relational
     "b05_jdbc_roundtrip",  # relational
     "b10_bucketed_colocated_join",  # relational
-    "m1_keyed_upsert",  # merge_q
-    "m1_versioned_upsert_idempotent",  # merge_q
-    "m1_partitioned_upsert",  # merge_q
-    "b02_json_scan",  # scalar_funcs -> io
-    "b03_csv_scan",  # scalar_funcs -> io
-    "b32_string_funcs",  # scalar_funcs -> io
-    "b32_string_split",  # scalar_funcs -> io
-    "b33_datetime_funcs",  # scalar_funcs -> io
-    "b34_math_funcs",  # scalar_funcs -> io
-    "b35_array_funcs",  # scalar_funcs -> io
-    "a10_weather_pipeline_e2e",  # weather_q -> merge
-    "b35_explode",  # scalar_funcs -> io
-    "b36_map_funcs",  # scalar_funcs -> io
-    "b37_json_funcs",  # scalar_funcs -> io
-    "a03_weather_transform",  # weather_q -> merge
+    "c05_chunk_binary",  # tier_c -> similarity
+    "b40_tumbling_window_rocksdb",  # streaming_q -> curation
+    "c03_knn_graph",  # tier_c -> similarity
+    "b51_stream_stream_left_join",  # streaming_q -> curation
+    "c08_stream_curation_gate",  # streaming_q -> curation
+    "c02_lsh_candidates_capped",  # tier_c -> similarity
+    "b43_streaming_dedup_watermarked_evicting",  # streaming_q -> curation
+    "c02_lsh_candidates",  # tier_c -> similarity
+    "c01_exact_dedup",  # tier_c -> similarity
+    "c02_minhash_signatures",  # tier_c -> similarity
+    "c02_simhash",  # tier_c -> similarity
+    "c02_ngram_jaccard",  # tier_c -> similarity
+    "c02_embedding_neardup",  # tier_c -> similarity
+    "c03_cosine_topk",  # tier_c -> similarity
+    "c03_cosine_topk_lsh",  # tier_c -> similarity
+    "c04_token_stats",  # tier_c -> similarity
+    "c04_langid",  # tier_c -> similarity
+    "c04_quality_score",  # tier_c -> similarity
+    "c04_fingerprint",  # tier_c -> similarity
+    "c05_binary_roundtrip",  # tier_c -> similarity
+    "c05_decode_mapinpandas",  # tier_c -> similarity
+    "c02_minhash_fast",  # tier_c -> similarity
+    "c05_resize",  # tier_c -> similarity
+    "c05_frame_sample",  # tier_c -> similarity
+    "c05_feature_extract",  # tier_c -> similarity
+    "b38_stream_microbatch_count",  # streaming_q -> curation
+    "b39_watermark_late_drop",  # streaming_q -> curation
+    "b40_tumbling_window",  # streaming_q -> curation
+    "b41_sliding_window",  # streaming_q -> curation
+    "b42_session_window",  # streaming_q -> curation
+    "b43_streaming_dedup",  # streaming_q -> curation
+    "b50_stateful_running_agg",  # streaming_q -> curation
+    "b51_stream_stream_join",  # streaming_q -> curation
+    "b52_stream_static_join",  # streaming_q -> curation
+    "b43_streaming_dedup_watermarked",  # streaming_q -> curation
+    "b51_stream_stream_join_watermarked",  # streaming_q -> curation
+    "c03_cosine_topk_ivf",  # tier_c -> similarity
+    "b44_foreachbatch_upsert",  # streaming_q -> curation
 ]
 
 
@@ -263,20 +246,19 @@ def _reorder() -> None:
     # A typo'd / renamed / not-yet-implemented name in a priority list
     # must fail LOUDLY, not silently shrink the window (round-2 advisor:
     # three reserved-but-unimplemented names silently filtered out).
-    stale = (set(_R5_HEAD) | set(_R4_WINDOW)) - set(QUERIES)
+    stale = (set(_R6_HEAD) | set(_R5_WINDOW)) - set(QUERIES)
     if stale:
         raise AssertionError(f"priority lists name unknown queries: {sorted(stale)}")
-    head = list(_R5_HEAD)
-    in_head, in_prev = set(head), set(_R4_WINDOW)
-    # Oldest driver check first: everything round 4's window excluded.
+    head = list(_R6_HEAD)
+    in_head, in_prev = set(head), set(_R5_WINDOW)
+    # Oldest driver check first: everything round 5's window excluded.
     rotated = [n for n in QUERIES if n not in in_prev and n not in in_head]
-    tail = [n for n in _R4_WINDOW if n not in in_head]
+    tail = [n for n in _R5_WINDOW if n not in in_head]
     ordered = head + rotated + tail
     q_snap, o_snap = dict(QUERIES), dict(ORACLES)
     QUERIES.clear()
     QUERIES.update({n: q_snap[n] for n in ordered})
     ORACLES.clear()
     ORACLES.update({n: o_snap[n] for n in ordered if n in o_snap})
-
 
 _reorder()

@@ -54,27 +54,34 @@ def test_driver_window_rotates_to_stalest_checked():
     names only. The window ROTATES each round; since round 5 the head
     is DERIVED (tools/changed_queries.py: git diff → module → reverse
     transitive import closure → registered queries) instead of
-    hand-curated, with direct changes ordered before transitive ones.
-    This round the closure (77 affected) overflows the 50-slot window,
-    so the invariant is: the derived head leads in order (the window is
-    entirely affected names, truncating only the lower-risk transitive
-    tail), the overflow ranks immediately after the window (stalest for
-    the next rotation), and round 4's window rotates to the back."""
-    from openweathermapapi_etl_spark.plans import _R4_WINDOW, _R5_HEAD
+    hand-curated, with this round's NEW queries promoted to the very
+    front (never-driver-checked outranks changed-but-green). This
+    round the closure (127 affected) overflows the 50-slot window, so
+    the invariant is: the derived head leads in order (the window is
+    entirely new + affected names, truncating only the lower-risk
+    transitive tail), the overflow ranks immediately after the window
+    (stalest for the next rotation), and round 5's window rotates to
+    the back."""
+    from openweathermapapi_etl_spark.plans import _R5_WINDOW, _R6_HEAD
 
     names = list(QUERIES)
-    assert names[: len(_R5_HEAD)] == _R5_HEAD, "affected queries must lead"
+    assert names[: len(_R6_HEAD)] == _R6_HEAD, "affected queries must lead"
     # The previous round's window rotates to the back (minus names
     # promoted into the head).
-    tail = [n for n in _R4_WINDOW if n not in set(_R5_HEAD)]
-    assert names[-len(tail):] == tail, "round-4 window must rotate to the back"
+    tail = [n for n in _R5_WINDOW if n not in set(_R6_HEAD)]
+    assert names[-len(tail):] == tail, "round-5 window must rotate to the back"
     # Everything in between is the stale remainder; nothing lost.
-    middle = names[len(_R5_HEAD):-len(tail)]
-    assert set(middle) == set(QUERIES) - set(_R5_HEAD) - set(tail)
+    middle = names[len(_R6_HEAD):-len(tail)]
+    assert set(middle) == set(QUERIES) - set(_R6_HEAD) - set(tail)
     # Every name the 50-slot window sheds this round is either covered
-    # by round 4's window (checked last round) or ranked ahead of all
-    # round-4-checked names for the next rotation — no query is both
+    # by round 5's window (checked last round) or ranked ahead of all
+    # round-5-checked names for the next rotation — no query is both
     # dropped from the window AND deprioritized behind fresher names.
     window = set(names[:50])
-    for n in set(QUERIES) - window - set(_R4_WINDOW):
+    for n in set(QUERIES) - window - set(_R5_WINDOW):
         assert names.index(n) < len(names) - len(tail), n
+    # The queries whose operator code materially changed this round
+    # (the rank.py pin rework) sit INSIDE the driver window.
+    for n in ("b26_global_rank", "c07_token_budget_sample",
+              "m5_compaction_plan"):
+        assert names.index(n) < 50, n
