@@ -34,10 +34,22 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join; matched right values appear as ``__asof_<col>``
-    (NULL when no right row precedes the left row)."""
-    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__payload")
+    (NULL when no right row precedes the left row).
+
+    ``tolerance_us`` bounds staleness (pandas ``merge_asof(tolerance=)``
+    semantics): a preceding right row older than the bound does NOT
+    match — point-in-time feature joins use this to refuse stale
+    features rather than silently serve them. Row-local post-mask on
+    the carried right timestamp; plan shape identical to the unbounded
+    join (the window still fills forward — only the unpack nulls out
+    expired matches).
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__rt"), *[F.col(c) for c in value_cols]
+    ).alias("__payload")
 
     right_tagged = right.select(
         F.col(on),
@@ -64,9 +76,19 @@ def asof_join(
     filled = left_tagged.unionByName(right_tagged).withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance_us is None:
+        fresh = F.lit(True)
+    else:
+        fresh = (
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(F.col("__match.__rt"))
+        ) <= F.lit(tolerance_us)
     out = filled.filter(F.col("__side") == 1).select(
         on,
         *[c for c in left.columns if c != on],
-        *[F.col(f"__match.{c}").alias(f"__asof_{c}") for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"__match.{c}")).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
     )
     return out

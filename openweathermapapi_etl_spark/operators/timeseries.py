@@ -196,3 +196,49 @@ def rolling_zscore(
             F.col("_z").alias("z"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.3,
+    window_rows: int = 10,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average: smoothed value
+    = Σ wₖ·v₍ₜ₋ₖ₎ / Σ wₖ over the trailing ``window_rows``
+    observations, wₖ = (1-alpha)^k — the standard metrics smoother,
+    truncated to a fixed window so it is expressible as one keyed
+    window pass (the infinite-history recursive form needs stateful
+    streaming; B50 covers that shape).
+
+    Bit-reproducibility without decimals: the weights are *literal
+    constants* baked into the expression (both engines parse the same
+    decimal literal to the same double), and the weighted sum is a
+    FIXED left-to-right expression tree of row-local IEEE ops — no
+    aggregation order to vary. Rows with a part-filled window (or any
+    null among the trailing values) get a null ``ewma``, mirroring the
+    SQL twin exactly.
+
+    One keyed window; ``window_rows`` lag expressions share the single
+    window spec, so Spark evaluates them in one pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    weights = [(1.0 - alpha) ** k for k in range(window_rows)]
+    v = F.col(value_col).cast("double")
+    terms = [F.lit(weights[0]) * v] + [
+        F.lit(wk) * F.lag(v, k).over(w)
+        for k, wk in enumerate(weights[1:], start=1)
+    ]
+    num = terms[0]
+    for term in terms[1:]:
+        num = num + term
+    den = sum(weights)  # same literal fold order as the SQL twin
+    return df.select(
+        key_col,
+        tiebreak_col,
+        F.col(value_col).alias("value"),
+        (num / F.lit(den)).alias("ewma"),
+    ).filter(F.col("ewma").isNotNull())

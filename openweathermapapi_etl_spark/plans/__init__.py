@@ -99,18 +99,20 @@ _R5_WINDOW = [
 ]
 
 # Generated: python tools/changed_queries.py d1ce653 (round-5 final
-# commit), then the 9 queries NEW in round 6 moved to the front —
-# never-driver-checked outranks changed-but-previously-green. The
-# round-6 diff touched relational.py and curation.py directly (the
-# rank.py pin rework's call sites) and appended to text/sampling/
-# similarity (operator modules most of tier_c/curation transits), so
-# the transitive closure is 127 of 157 queries; the 50-slot window
-# keeps the new + direct head (every query whose code actually
-# changed — b26_global_rank, c07_token_budget_sample, the relational
-# and curation modules — is inside it), and the overflow ranks
-# stalest-first for the round-7 rotation. Every query is additionally
-# pytest-oracle-verified each run and PARITY_r6.txt re-checks all of
-# them, independent of the window.
+# commit), then the 13 queries NEW in round 6 moved to the front —
+# never-driver-checked outranks changed-but-previously-green — and
+# b15_asof_join promoted next to them (its operator, asof.py, gained
+# the tolerance payload rework). The round-6 diff touched
+# relational.py and curation.py directly (the rank.py pin rework's
+# call sites) and appended to text/sampling/similarity/timeseries
+# (operator modules most of tier_c/curation transits), so the
+# transitive closure is 131 of 161 queries; the 50-slot window keeps
+# the new + direct head (every query whose code actually changed —
+# b15_asof_join, b26_global_rank, c07_token_budget_sample, the
+# relational and curation modules — is inside it), and the overflow
+# ranks stalest-first for the round-7 rotation. Every query is
+# additionally pytest-oracle-verified each run and PARITY_r6.txt
+# re-checks all of them, independent of the window.
 _R6_HEAD = [
     "b24_gap_fill_ffill",  # NEW this round (training_q)
     "c04_chunk_overlap",  # NEW this round (training_q)
@@ -121,6 +123,11 @@ _R6_HEAD = [
     "b24_time_weighted_avg",  # NEW this round (training_q)
     "b24_anomaly_zscore",  # NEW this round (training_q)
     "c07_curriculum_phases",  # NEW this round (training_q)
+    "b15_asof_tolerance",  # NEW this round (training_q)
+    "b24_ewma_smooth",  # NEW this round (training_q)
+    "c07_source_quota",  # NEW this round (training_q)
+    "b20_unpivot",  # NEW this round (training_q)
+    "b15_asof_join",  # relational — asof.py payload/tolerance rework
     "b09_try_cast_dirty",  # relational
     "b04_zorder_layout",  # relational
     "c07_time_split",  # curation
@@ -163,7 +170,6 @@ _R6_HEAD = [
     "b04_parquet_sink_roundtrip",  # relational
     "b06_select_expr",  # relational
     "b10_inner_join",  # relational
-    "b15_asof_join",  # relational
     "b16_groupby_agg",  # relational
     "b23_ranking_windows",  # relational
     "b16_approx_percentile",  # relational

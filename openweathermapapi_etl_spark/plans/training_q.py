@@ -19,7 +19,12 @@ from ..operators.compaction import compaction_plan
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import adc_topk, pq_encode
 from ..operators.text import token_chunks, tokens
-from ..operators.timeseries import gap_fill_ffill, rolling_zscore, time_weighted_avg
+from ..operators.timeseries import (
+    ewma_smooth,
+    gap_fill_ffill,
+    rolling_zscore,
+    time_weighted_avg,
+)
 from .registry import register
 from .tier_c import _O_HASH
 from .util import dsum, o_dsum, t
@@ -422,4 +427,186 @@ def c07_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             F.expr("(rnk - 1) * 4 DIV _total").cast("long").alias("phase"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 continued — as-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b15_asof_tolerance",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type, value FROM events),
+         purchases AS (SELECT event_id, user_id, ts FROM ev
+                       WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts, MAX(value) AS value
+                       FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS last_click_ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.value END AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def b15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15b: as-of join with a 1-hour staleness bound
+    (operators/asof.py ``tolerance_us``; pandas merge_asof(tolerance=)
+    semantics) — a point-in-time feature older than the bound is
+    REFUSED, not silently served. Row-local post-mask on the carried
+    right timestamp; plan shape identical to the unbounded as-of."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"], tolerance_us=3_600_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("__asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        F.col("__asof_value").alias("last_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — EWMA smoothing
+# ---------------------------------------------------------------------------
+
+
+def _ewma_oracle(alpha: float = 0.3, n: int = 10) -> str:
+    ws = [(1.0 - alpha) ** k for k in range(n)]
+    terms = [f"{ws[0]!r} * value"] + [
+        f"{w!r} * lag(value, {k}) OVER w" for k, w in enumerate(ws[1:], 1)
+    ]
+    num = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                      event_id, value FROM events),
+    sm AS (SELECT user_id, event_id, value,
+                  ({num}) / {sum(ws)!r} AS ewma
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, value, ewma FROM sm WHERE ewma IS NOT NULL
+    """
+
+
+@register("b24_ewma_smooth", oracle=_ewma_oracle())
+def b24_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24g: truncated EWMA smoother over each user's event series
+    (operators/timeseries.py::ewma_smooth) — weights are literal
+    constants and the weighted sum is a fixed left-to-right expression
+    tree, so the result is bit-identical across engines with no
+    decimal machinery. One keyed window pass; part-filled windows are
+    excluded (null ewma), mirroring the SQL twin."""
+    ev = t(spark, sf_dir, "events")
+    return ewma_smooth(ev, "user_id", "ts", "value", "event_id",
+                       alpha=0.3, window_rows=10)
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — per-source token quota
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_source_quota",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             {_O_HASH.format(s="'quota:' || CAST(doc_id AS VARCHAR)")} AS hkey
+      FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY hkey, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_tokens
+          FROM toks)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 3000
+    """,
+)
+def c07_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7l: per-source token quota — cap every source's contribution at
+    3000 tokens, taking documents in deterministic hash order (the
+    per-GROUP twin of c07_token_budget_sample's global budget; domain
+    caps are how curation stops one crawl domain from dominating the
+    mix). One keyed window — the cumulative sum parallelizes across
+    sources, no global order needed."""
+    from ..operators.sampling import split_bucket
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        split_bucket(F.col("doc_id"), "quota", 1_000_000_007).alias("hkey"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 3000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 continued — UNPIVOT / melt (wide → long)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b20_unpivot",
+    oracle=f"""
+    WITH a AS (SELECT l_returnflag,
+                      {o_dsum('l_quantity')} AS sum_qty,
+                      {o_dsum('l_extendedprice')} AS sum_price,
+                      COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'row_count' AS metric, CAST(cnt AS DOUBLE) AS value
+    FROM a
+    """,
+)
+def b20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20e: UNPIVOT/melt — the wide→long inverse of b20_pivot, via the
+    stack() generator (row-local fan-out, no shuffle beyond the source
+    agg; the long form is what plotting/metric stores ingest). Metrics
+    are unified to DOUBLE, the decimal-summed aggregates keeping
+    cross-engine bit parity."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.count("*").alias("cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+            "'row_count', CAST(cnt AS DOUBLE)) AS (metric, value)"
+        ),
     )

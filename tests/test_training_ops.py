@@ -366,3 +366,76 @@ def test_adc_topk_seed_query_ranks_itself_first(spark):
         ranked = sorted(by_q[qid])
         assert ranked[0][1] == qid and ranked[0][2] == 0.0
         assert len(ranked) == 3
+
+
+# ---------------------------------------------------------------------------
+# asof_join tolerance
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_tolerance_masks_stale_matches(spark):
+    from openweathermapapi_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1), ("k", "2024-01-01 12:00:00", 2)],
+        "k string, ts string, lid int",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 09:30:00", 7.0)], "k string, ts string, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+
+    # Unbounded: both left rows match the 09:30 right row.
+    unbounded = {
+        r["lid"]: r["__asof_v"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert unbounded == {1: 7.0, 2: 7.0}
+
+    # 1-hour tolerance: the 12:00 purchase's match (2.5h stale) is
+    # refused; the 10:00 one (30 min) survives.
+    bounded = {
+        r["lid"]: r["__asof_v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"], tolerance_us=3_600_000_000
+        ).collect()
+    }
+    assert bounded == {1: 7.0, 2: None}
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_model(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import ewma_smooth
+
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    rows = [("k", f"2024-01-01 00:00:{i:02d}", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, eid int, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    n, alpha = 4, 0.5
+    got = {
+        r["eid"]: r["ewma"]
+        for r in ewma_smooth(df, "k", "ts", "v", "eid",
+                             alpha=alpha, window_rows=n).collect()
+    }
+    ws = [(1 - alpha) ** k for k in range(n)]
+    want = {}
+    for i in range(n - 1, len(vals)):
+        num = ws[0] * vals[i]
+        for k in range(1, n):
+            num = num + ws[k] * vals[i - k]
+        want[i] = num / sum(ws)
+    assert got == want  # exact: same literal weights, same fold order
+
+
+def test_ewma_part_filled_window_excluded(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import ewma_smooth
+
+    rows = [("k", f"2024-01-01 00:00:0{i}", i, 1.0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, eid int, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    assert ewma_smooth(df, "k", "ts", "v", "eid", window_rows=5).count() == 0
