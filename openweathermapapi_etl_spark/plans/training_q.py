@@ -610,3 +610,102 @@ def b20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'row_count', CAST(cnt AS DOUBLE)) AS (metric, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — cross-document repeated spans (span-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_repeated_spans",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    st AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, len(tk), {_CHUNK})) AS start
+           FROM tk WHERE len(tk) >= {_CHUNK}),
+    sp AS (SELECT doc_id, CAST((start - 1) // {_CHUNK} AS INT) AS chunk_no,
+                  array_to_string(tk[start : start + {_CHUNK - 1}], ' ') AS span
+           FROM st WHERE len(tk[start : start + {_CHUNK - 1}]) = {_CHUNK}),
+    g AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+          FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT doc_id, chunk_no, md5(sp.span) AS span_hash,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM sp JOIN g USING (span)
+    """,
+)
+def c04_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4k: cross-document repeated spans — every occurrence of a full
+    {_CHUNK}-token span that appears verbatim in more than one
+    document (the span-level exact-duplication signal behind
+    suffix-array dedup à la Lee et al. 2022, blocked to fixed
+    non-overlapping windows so it is one groupBy instead of a suffix
+    array). Composes token_chunks (stride = size → non-overlapping);
+    the span hash keys ONE shuffle, and only full windows count so
+    short tails can't fake duplication."""
+    docs = t(spark, sf_dir, "documents")
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(token_chunks(tokens("text"), _CHUNK, _CHUNK)).alias("c"),
+        )
+        .filter(F.size("c.toks") == _CHUNK)
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.array_join("c.toks", " ").alias("span"),
+        )
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return spans.join(dup, on="span").select(
+        "doc_id", "chunk_no", F.md5("span").alias("span_hash"), "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_mode",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_returnflag, l_quantity),
+    r AS (SELECT l_returnflag, l_quantity, cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, l_quantity) AS rn
+          FROM c)
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def b16_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16f: per-group MODE with a DETERMINISTIC tie rule (highest
+    count, then smallest value) — built as count-then-rank because
+    both engines' native mode() leave ties unspecified, which is
+    exactly the nondeterminism an oracle-checked engine can't ship.
+    Two keyed aggs (the first combines map-side); the rank window runs
+    over group-count rows, not data rows."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )
