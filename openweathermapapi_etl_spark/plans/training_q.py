@@ -639,10 +639,20 @@ def c04_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_CHUNK}-token span that appears verbatim in more than one
     document (the span-level exact-duplication signal behind
     suffix-array dedup à la Lee et al. 2022, blocked to fixed
-    non-overlapping windows so it is one groupBy instead of a suffix
+    non-overlapping windows so it is one shuffle instead of a suffix
     array). Composes token_chunks (stride = size → non-overlapping);
-    the span hash keys ONE shuffle, and only full windows count so
-    short tails can't fake duplication."""
+    only full windows count so short tails can't fake duplication.
+
+    Plan shape: ONE exchange on the span. The distinct-doc count is
+    dense_rank(doc_id) + a full-frame max over the SAME span
+    partitioning (two WindowExecs, spill-safe rows) — NOT
+    groupBy+self-join (which re-shuffles the span table twice; the
+    first formulation measured 4 exchanges vs this one's 1) and NOT
+    collect_set over a window (a boilerplate span repeated in millions
+    of docs would materialize them all in one agg buffer — the LSH
+    max_bucket lesson, SCALE.md dedup §)."""
+    from pyspark.sql import Window as W
+
     docs = t(spark, sf_dir, "documents")
     spans = (
         docs.select(
@@ -656,13 +666,17 @@ def c04_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("c.toks", " ").alias("span"),
         )
     )
-    dup = (
-        spans.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
+    w_rank = W.partitionBy("span").orderBy("doc_id")
+    w_full = W.partitionBy("span").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    return spans.join(dup, on="span").select(
-        "doc_id", "chunk_no", F.md5("span").alias("span_hash"), "n_docs"
+    return (
+        spans.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("n_docs", F.max("_dr").over(w_full).cast("long"))
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "doc_id", "chunk_no", F.md5("span").alias("span_hash"), "n_docs"
+        )
     )
 
 

@@ -252,3 +252,27 @@ def test_incremental_agg_has_partial_aggregation(spark, sf):
     _, tree = plan_of(spark, "m4_incremental_agg", sf)
     assert "CartesianProduct" not in tree
     assert tree.count("HashAggregate") >= 4  # partial+final × base+delta
+
+
+def test_repeated_spans_single_span_exchange_no_join(spark, sf):
+    """c04_repeated_spans must stay the double-window formulation: ONE
+    exchange keyed on the span (plus the catalog's heavy-row scan
+    repartition), two WindowExecs, and NO join — the groupBy+self-join
+    spelling measured 4 exchanges, and a collect_set window would
+    buffer a hot span's doc list in one agg buffer."""
+    s, tree = plan_of(spark, "c04_repeated_spans", sf)
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2
+    assert len(re.findall(r"\bWindow\b", tree)) == 2
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in tree
+    assert "ObjectHashAggregate" not in s  # no collect_set anywhere
+
+
+def test_prefix_sum_consumers_stay_exchange_lean(spark, sf):
+    """m5_compaction_plan (prefix_sum over the file inventory): one
+    range exchange + the broadcast offsets join, never a second data
+    shuffle and never a SinglePartition window."""
+    _, tree = plan_of(spark, "m5_compaction_plan", sf)
+    assert "SinglePartition" not in tree
+    assert len(re.findall(r"\bExchange\b", tree)) <= 1
+    assert "BroadcastExchange" in tree
