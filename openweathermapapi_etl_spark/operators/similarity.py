@@ -663,3 +663,115 @@ def adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = 40,
+    query_mod: int = 50,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index layout (FAISS ``IVFxPQy``):
+    an inverted file routes each query to ``nprobe`` coarse cells, and
+    candidates are scored by PQ ADC lookups instead of full vectors.
+    Memory per candidate during scoring is m codes; the full-precision
+    corpus is never touched after indexing — which is what makes the
+    layout viable when the vectors themselves don't fit hot storage.
+
+    Composition of the two audited halves: cell assignment is
+    :func:`cosine_topk_ivf`'s one-pass broadcast argmax (WITHOUT
+    carrying vectors — ADC needs only ids), scoring is
+    :func:`adc_topk`'s broadcast distance table + ordered subdistance
+    fold. Shuffles over corpus-sized data: the assignment groupBy, the
+    codes join, and the (query, candidate) agg — each carrying small
+    tuples, never vectors×candidates.
+
+    Returns (query_id, neighbor_id, approx_dist, rank), rank 1..k by
+    ascending approximate L2 (ties → smaller neighbor id). Recall < 1
+    by design: cell routing can miss true neighbors (same as IVF) and
+    ADC distances are quantized (same as PQ).
+    """
+    from pyspark.sql import Window as W
+
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        norm_fold(F.col(vec_col)).alias("cvn"),
+    )
+    normed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("vn"),
+    )
+    cs = cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
+    inverted = (
+        normed.join(F.broadcast(cent))
+        .select("vid", "centroid_id", cs.alias("cs"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("centroid_id")
+        )
+    )
+    wp = W.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid_id"))
+    probes = (
+        normed.filter(F.col("vid") % query_mod == 0)
+        .join(F.broadcast(cent))
+        .select("vid", "centroid_id", cs.alias("cs"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "centroid_id")
+    )
+
+    codes = pq_encode(corpus, id_col, vec_col, dim, m, k_codes).select(
+        F.col(id_col).alias("vid"), F.posexplode("pq_codes").alias("j", "code")
+    )
+    queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "qsub"),
+    )
+    codebook = pq_codebook(corpus, id_col, vec_col, dim, m, k_codes)
+    sqdiffs = F.zip_with(
+        F.col("qsub"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dtable = (
+        queries.join(F.broadcast(codebook), on="j")
+        .withColumn("d", F.aggregate(sqdiffs, F.lit(0.0), lambda a, t: a + t))
+        .select("query_id", "j", "code", "d")
+    )
+
+    cand = (
+        inverted.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    scored = (
+        cand.join(codes, on="vid")
+        .join(F.broadcast(dtable), on=["query_id", "j", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d"))).alias("a"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.aggregate(
+                F.transform("a", lambda x: x["d"]), F.lit(0.0), lambda s, d: s + d
+            ).alias("approx_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -723,3 +723,100 @@ def b16_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — IVF-PQ (coarse cells + ADC scoring, the FAISS layout)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle(k: int = 5, nprobe: int = 2, cmod: int = 40,
+                   qmod: int = 50) -> str:
+    from .tier_c import _O_NORMS, _o_dot
+
+    cos_vc = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored_cent AS (
+      SELECT v.vec_id AS vid, c.centroid_id, {cos_vc} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_cent) r WHERE rn = 1),
+    probes AS (
+      SELECT vid AS query_id, centroid_id FROM (
+        SELECT vid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_cent WHERE vid % {qmod} = 0) r WHERE rn <= {nprobe}),
+    s0 AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS code, embedding
+              FROM s0),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cb AS (SELECT code, j, embedding[j*16+1 : j*16+16] AS cent
+           FROM seeds, js),
+    corp AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS subvec
+             FROM embeddings, js),
+    enc AS (SELECT vec_id, c.j AS j, code,
+        list_reduce(list_transform(list_zip(subvec, cent),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y) AS dist
+      FROM corp c JOIN cb ON c.j = cb.j),
+    codes AS (SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, code) AS rn
+        FROM enc) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, embedding[j*16+1 : j*16+16] AS qsub
+          FROM embeddings, js WHERE vec_id % {qmod} = 0),
+    dt AS (SELECT query_id, q.j AS j, code,
+        list_reduce(list_transform(list_zip(qsub, cent),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y) AS d
+      FROM q JOIN cb ON q.j = cb.j),
+    cand AS (
+      SELECT p.query_id, a.vid AS neighbor_id
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vid <> p.query_id),
+    sc AS (SELECT cand.query_id, cand.neighbor_id,
+                  list_reduce(list(d ORDER BY codes.j), (x, y) -> x + y)
+                    AS approx_dist
+           FROM cand
+           JOIN codes ON codes.vec_id = cand.neighbor_id
+           JOIN dt ON dt.query_id = cand.query_id
+                  AND dt.j = codes.j AND dt.code = codes.code
+           GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, approx_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM sc) r
+    WHERE rank <= {k}
+    """
+
+
+@register("c03_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def c03_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3h: IVF-PQ — the production ANN layout (FAISS IVFxPQy): coarse
+    cells route each query to nprobe=2 cells, candidates scored by PQ
+    ADC lookups; the full-precision corpus is never touched after
+    indexing (operators/similarity.py::ivf_pq_topk — composition of
+    the audited IVF and ADC halves, inverted file carries ids only)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, "vec_id", "embedding", dim=64, m=4, k_codes=16,
+                       k=5, nprobe=2, centroid_mod=40, query_mod=50)

@@ -439,3 +439,25 @@ def test_ewma_part_filled_window_excluded(spark):
         rows, "k string, ts string, eid int, v double"
     ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
     assert ewma_smooth(df, "k", "ts", "v", "eid", window_rows=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_topk
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_candidates_come_only_from_probed_cells(spark):
+    from openweathermapapi_etl_spark.operators.similarity import ivf_pq_topk
+
+    # 12 well-separated vectors; centroids = ids 0,4,8 (mod 4), query =
+    # id 0 (mod 12). Neighbors must share the query's probed cells and
+    # the ranking must be by ascending approximate distance.
+    rows = [(i, [float(i * 50 + d) for d in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_pq_topk(df, "vec_id", "embedding", dim=8, m=2, k_codes=4,
+                      k=5, nprobe=2, centroid_mod=4, query_mod=12).collect()
+    assert all(r["query_id"] == 0 for r in out)
+    assert all(r["neighbor_id"] != 0 for r in out)
+    dists = [r["approx_dist"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert dists == sorted(dists)
+    assert len(out) <= 5 and len(out) > 0
