@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "m5_compaction_plan",
     "b24_gap_fill_ffill",
     "c03_pq_encode",
+    "c03_ivf_pq_topk",
 ]
 
 #: The previous round's headline set (BENCH_r05.json), so totals can be
