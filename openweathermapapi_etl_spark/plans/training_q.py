@@ -820,3 +820,98 @@ def c03_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, "vec_id", "embedding", dim=64, m=4, k_codes=16,
                        k=5, nprobe=2, centroid_mod=40, query_mod=50)
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — triangle participation in the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from .tier_c import _lsh_oracle
+
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    tri AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p2.id_a = p1.id_b
+      JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+    corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM corners GROUP BY doc_id
+    """
+
+
+@register("c06_triangle_count", oracle=_triangle_oracle())
+def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6d: triangle participation counts over the LSH near-dup graph —
+    the local-clustering signal that separates tight duplicate cliques
+    (template families) from chains of borderline pairs; standard
+    companion to the components resolver when deciding cluster
+    aggressiveness. Node-iterator spelling: pairs are oriented
+    (id_a < id_b), so two equi-joins enumerate each triangle exactly
+    once (a<b<c) — never a cross product; the corner explode + count
+    is one keyed agg. Edge list comes from the production-capped
+    banding (max_bucket=10k), same basis as c06_dedup_clusters."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2,
+                                max_bucket=10_000).select("id_a", "id_b")
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = p1.join(p2, on="b").join(p3, on=["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# B22 continued — freshness audit (the reference's staleness SLA)
+# ---------------------------------------------------------------------------
+
+_STALE_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "b22_freshness_audit",
+    oracle=f"""
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+               FROM events),
+    last_seen AS (SELECT user_id, MAX(ts) AS last_ts FROM e GROUP BY user_id),
+    horizon AS (SELECT MAX(ts) AS max_ts FROM e)
+    SELECT user_id,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+           epoch_us(max_ts) - epoch_us(last_ts) AS lag_us,
+           (epoch_us(max_ts) - epoch_us(last_ts)) > {_STALE_US} AS is_stale
+    FROM last_seen, horizon
+    """,
+)
+def b22_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22c: per-key freshness audit — each user's last event age
+    against the corpus horizon, stale past 7 days. The engine-side
+    generalization of the reference's staleness SLA (every city must
+    produce a row each 5-min run, rows beyond ``dagrun_timeout`` are
+    failed: /root/reference/dags/weather-etl.py:46,58). One keyed agg
+    + a broadcast 1-row horizon; exact integer microsecond lags."""
+    ev = t(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    lag = F.unix_micros("max_ts") - F.unix_micros("last_ts")
+    return last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
+        lag.alias("lag_us"),
+        (lag > _STALE_US).alias("is_stale"),
+    )
