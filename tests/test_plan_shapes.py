@@ -276,3 +276,33 @@ def test_prefix_sum_consumers_stay_exchange_lean(spark, sf):
     assert "SinglePartition" not in tree
     assert len(re.findall(r"\bExchange\b", tree)) <= 1
     assert "BroadcastExchange" in tree
+
+
+def test_gap_fill_generated_spine_no_cartesian(spark, sf):
+    """b24_gap_fill_ffill: the spine must stay generated (bounds agg +
+    explode joined back) — no cartesian/NLJ calendar blow-up, no
+    SinglePartition window, and the whole plan in ≤3 exchanges (daily
+    agg, spine/daily join, keyed fill window)."""
+    _, tree = plan_of(spark, "b24_gap_fill_ffill", sf)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SinglePartition" not in tree
+    assert len(re.findall(r"\bExchange\b", tree)) <= 3
+
+
+def test_pq_encode_codebook_broadcast(spark, sf):
+    """c03_pq_encode: the codebook side must broadcast (k×m rows) and
+    the corpus side must never sort-merge against it."""
+    _, tree = plan_of(spark, "c03_pq_encode", sf)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_ivf_pq_no_cross_product_distance_table_broadcast(spark, sf):
+    """c03_ivf_pq_topk: cell routing + ADC must stay equi-joins — the
+    probe set, codebook and distance table broadcast; no cartesian
+    anywhere (the corpus never crosses the query set)."""
+    _, tree = plan_of(spark, "c03_ivf_pq_topk", sf)
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") >= 3
