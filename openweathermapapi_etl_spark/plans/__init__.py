@@ -99,14 +99,14 @@ _R5_WINDOW = [
 ]
 
 # Generated: python tools/changed_queries.py d1ce653 (round-5 final
-# commit), then the 18 queries NEW in round 6 moved to the front —
+# commit), then the 19 queries NEW in round 6 moved to the front —
 # never-driver-checked outranks changed-but-previously-green — and
 # b15_asof_join promoted next to them (its operator, asof.py, gained
 # the tolerance payload rework). The round-6 diff touched
 # relational.py and curation.py directly (the rank.py pin rework's
 # call sites) and appended to text/sampling/similarity/timeseries
 # (operator modules most of tier_c/curation transits), so the
-# transitive closure is 136 of 166 queries; the 50-slot window keeps
+# transitive closure is 137 of 167 queries; the 50-slot window keeps
 # the new + direct head (every query whose code actually changed —
 # b15_asof_join, b26_global_rank, c07_token_budget_sample, the
 # relational and curation modules — is inside it), and the overflow
@@ -132,6 +132,7 @@ _R6_HEAD = [
     "c03_ivf_pq_topk",  # NEW this round (training_q)
     "c06_triangle_count",  # NEW this round (training_q)
     "b22_freshness_audit",  # NEW this round (training_q)
+    "b53_state_timeout_expiry",  # NEW this round (streaming_q)
     "b15_asof_join",  # relational — asof.py payload/tolerance rework
     "b09_try_cast_dirty",  # relational
     "b04_zorder_layout",  # relational

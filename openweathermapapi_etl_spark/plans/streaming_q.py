@@ -28,6 +28,7 @@ from ..streaming.jobs import (
     run_to_memory,
     split_events_files,
     write_events_file,
+    run_until_state_drained,
 )
 from .registry import register
 from .util import DEC, dsum, o_dsum
@@ -853,3 +854,75 @@ def b40_tumbling_window_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@register(
+    "b53_state_timeout_expiry",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: timeout-driven state EXPIRY — the applyInPandasWithState
+    surface B50 doesn't exercise: a per-key ProcessingTimeTimeout whose
+    firing (``state.hasTimedOut``) emits the key's closed summary and
+    removes its state. This is how unbounded-key stateful pipelines
+    stay bounded at 100 TB: idle keys leave the state store by timer,
+    not by a manual sweep — and emission-on-silence (a key is DONE
+    because nothing arrived) is inexpressible with watermark windows,
+    which need events to advance.
+
+    Run protocol: processing-time timers do not terminate an
+    availableNow run (verified: the engine keeps scheduling
+    timer-check batches forever), so the query runs on the default
+    micro-batch trigger and is STOPPED when the state store reports
+    empty (``stateOperators.numRowsTotal == 0`` in the progress log —
+    the drain gauge; same metric family as the B39/B43 eviction
+    proofs). Each user's rows arrive in one file-batch (split on
+    ``user_id % 3``), the 1 ms timer has always expired by the next
+    batch, and once every key has fired the state is empty — so the
+    drained output is exactly one closed row per user with the full
+    event count, which the SQL oracle hash-checks."""
+    import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prep(spark)
+    d = _replay_dir(
+        spark,
+        sf_dir,
+        "b53",
+        n_files=3,
+        predicates=[f"user_id % 3 = {i}" for i in range(3)],
+    )
+    stream = replay_files_stream(spark, d, EVENTS)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def close_on_timeout(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(1)  # ms; expired long before next batch
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        close_on_timeout,
+        out_schema,
+        "n BIGINT",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return run_until_state_drained(res, "b53_out")

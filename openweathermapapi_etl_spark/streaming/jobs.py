@@ -158,3 +158,42 @@ def run_to_memory(
     return the result table (availableNow → processes all input then
     stops — the test-mode trigger for the reference's cron cadence)."""
     return run_to_memory_query(stream_df, name, output_mode)[0]
+
+
+def run_until_state_drained(
+    stream_df: DataFrame, name: str, timeout_s: float = 180.0
+) -> DataFrame:
+    """Drive a TIMER-stateful streaming DataFrame until its state store
+    drains, then stop and return the memory-sink table.
+
+    Processing-time timers never terminate an availableNow run — after
+    the last file the engine keeps scheduling timer-check batches
+    forever (verified against b53's 1 ms expiry timers), so
+    ``run_to_memory`` would hang. The production-faithful protocol is
+    to watch the progress log and stop when
+    ``stateOperators.numRowsTotal == 0``: every key has fired its
+    timer and removed its state, so no further output is possible.
+    Raises on timeout rather than returning a half-drained table.
+    """
+    import time
+
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.monotonic() + timeout_s
+    try:
+        while time.monotonic() < deadline:
+            time.sleep(0.5)
+            lp = q.lastProgress
+            ops = (lp or {}).get("stateOperators") or []
+            if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):
+                return spark.table(name)
+        raise TimeoutError(
+            f"state store did not drain within {timeout_s}s (query {name})"
+        )
+    finally:
+        q.stop()

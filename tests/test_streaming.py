@@ -359,3 +359,26 @@ def test_rocksdb_state_store_is_engaged_and_conf_restored(spark, sf_dir):
 
     QUERIES["b40_tumbling_window_rocksdb"](spark, sf_dir).count()
     assert spark.conf.get(key, None) == before
+
+
+def test_state_timeout_expiry_emits_every_key_and_drains(spark):
+    """b53: every user's summary is emitted BY TIMER (the data path
+    yields nothing), counts equal the batch aggregate, and the runner
+    returned only because the state store drained to zero rows."""
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in QUERIES["b53_state_timeout_expiry"](spark, sf_dir).collect()
+    }
+    from openweathermapapi_etl_spark.catalog import load_table
+
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
