@@ -110,7 +110,11 @@ _R5_WINDOW = [
 # the new + direct head (every query whose code actually changed —
 # b15_asof_join, b26_global_rank, c07_token_budget_sample, the
 # relational and curation modules — is inside it), and the overflow
-# ranks stalest-first for the round-7 rotation. Every query is
+# ranks stalest-first for the round-7 rotation. Late-round b53 edits
+# streaming_q append-only (one new query + one import line); the
+# other B38-B52 queries transit that module but their code is
+# untouched, so they keep their stalest-first/tail ranks rather than
+# displacing direct changes from the head. Every query is
 # additionally pytest-oracle-verified each run and PARITY_r6.txt
 # re-checks all of them, independent of the window.
 _R6_HEAD = [
