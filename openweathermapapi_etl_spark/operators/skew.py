@@ -140,7 +140,12 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     total = counts.select(F.sum("n").alias("_total"))
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("n").desc(), F.col(key).asc_nulls_first())
+    # Constant partition key: the frame is distinct-key-sized (post
+    # map-side combine), single-partition by design — stated explicitly
+    # so WindowExec doesn't warn "No Partition Defined" in logs.
+    w = W.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), F.col(key).asc_nulls_first()
+    )
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share", F.col("n").cast("double") / F.col("_total"))

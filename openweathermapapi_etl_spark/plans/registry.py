@@ -19,6 +19,26 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def canonicalizable_violations(schema) -> list[str]:
+    """Columns whose type the correctness driver cannot canonicalize.
+
+    The driver sorts the collected result with pandas ``sort_values``,
+    which factorizes object columns — a top-level ``array``/``map``/
+    ``struct`` column arrives as numpy arrays / dicts / Rows and throws
+    ``unhashable type`` (round-6 red row ``c03_pq_encode``). Query
+    surfaces must stringify complex outputs (``array_join`` /
+    ``concat_ws`` / ``to_json``); operators keep their typed returns
+    for API consumers. Returns ``["col: type", ...]`` — empty == OK.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query and (optionally) its oracle."""
 

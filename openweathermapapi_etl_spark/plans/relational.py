@@ -980,7 +980,10 @@ def b26_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_bal").asc_nulls_first(),
         F.col("n_name"),
     ]
-    w = W.orderBy(*order)
+    # Constant partition key: the frame is nation-sized (25 rows) by
+    # construction; single-partition is the intended plan, stated so
+    # WindowExec doesn't warn "No Partition Defined".
+    w = W.partitionBy(F.lit(0)).orderBy(*order)
     return agg.select(
         "n_name", "n_cust", "total_bal", F.row_number().over(w).alias("sort_pos")
     ).orderBy(*order)

@@ -144,7 +144,8 @@ def c04_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY vec_id, j
                                 ORDER BY dist, code) AS rn
              FROM scored)
-    SELECT vec_id, list(code ORDER BY j) AS pq_codes,
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY j) AS pq_codes,
            list_reduce(list(dist ORDER BY j), (x, y) -> x + y) AS distortion
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
@@ -157,9 +158,16 @@ def c03_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with kmeans_update per subspace). Broadcast codebook, one keyed
     argmin agg: shuffle volume is rows × m small tuples at any scale.
     Sanity pinned by construction: the 16 seed vectors encode to their
-    own code with distortion 0."""
+    own code with distortion 0. The query surface stringifies the code
+    array ('-'-joined, subspace order) per the driver output contract —
+    API consumers get the raw array<int> from the operator itself."""
     emb = t(spark, sf_dir, "embeddings")
-    return pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=16)
+    enc = pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=16)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("pq_codes").cast("array<string>")).alias("pq_codes"),
+        "distortion",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,13 +27,42 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, con):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    from openweathermapapi_etl_spark.plans.registry import (
+        canonicalizable_violations,
+    )
+
+    df = QUERIES[name](spark, SF_DIR)
+    # Driver output contract: no top-level array/map/struct columns —
+    # the driver's pandas canonicalizer throws `unhashable type` on
+    # them (round-6 red row c03_pq_encode). Checked on every query so
+    # the failure class cannot be reintroduced.
+    bad = canonicalizable_violations(df.schema)
+    assert not bad, f"{name}: non-canonicalizable output columns {bad}"
+    sdf = df.toPandas()
     if name not in ORACLES:
         assert len(sdf) > 0, f"{name}: rows-only check returned no rows"
         return
     odf = con.execute(ORACLES[name]).df()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_output_contract_checker_flags_raw_arrays(spark):
+    """The contract checker itself: a raw array column is flagged, its
+    stringified twin passes — proving the per-query assertion above
+    would have caught round 6's `c03_pq_encode` regression."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.plans.registry import (
+        canonicalizable_violations,
+    )
+
+    raw = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("codes"))
+    assert canonicalizable_violations(raw.schema) == ["codes: array<int>"]
+    fixed = raw.select(
+        "id", F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes")
+    )
+    assert canonicalizable_violations(fixed.schema) == []
 
 
 def test_entry_contract(spark):

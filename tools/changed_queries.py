@@ -10,6 +10,13 @@ modules → reverse transitive closure over the intra-package import
 graph (a module is affected if it changed or imports an affected
 module) → registered queries whose defining module is affected.
 
+Round-6 verdict (Wrong #2) added a second mechanical input: queries
+that have NEVER appeared in any ``CORRECTNESS_r*.json`` window (the
+rotation rule only backfills from the previous round's window, so a
+query registered into the overflow could stay unchecked forever —
+``b23_distribution_windows`` was the counterexample). The head is now
+{never driver-checked} ∪ {changed this round}, never-checked first.
+
 Usage: python tools/changed_queries.py <base_ref> [head_ref]
 Prints a paste-ready ``_R{N}_HEAD`` body, one query name per line with
 the module chain that pulled it in. The loud unknown-name guard in
@@ -89,6 +96,19 @@ def affected_modules(changed: set[str], known: dict[str, str]) -> dict[str, str]
     return cause
 
 
+def never_driver_checked(queries) -> list[str]:
+    """Registered queries absent from EVERY committed driver window
+    (CORRECTNESS_r*.json) — the hard signal has never seen them."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            checked |= set(json.load(fh))
+    return [n for n in queries if n not in checked]
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         sys.exit("usage: changed_queries.py <base_ref> [head_ref]")
@@ -100,19 +120,22 @@ def main() -> None:
     known = package_modules()
     path_to_mod = {p: m for m, p in known.items()}
     changed = {path_to_mod[p] for p in out if p in path_to_mod}
-    if not changed:
-        print("# no package modules changed")
-        return
-    cause = affected_modules(changed, known)
 
     from openweathermapapi_etl_spark.plans import QUERIES
 
-    # Direct (the defining module itself changed) before transitive
+    never = never_driver_checked(QUERIES)
+    cause = affected_modules(changed, known) if changed else {}
+
+    # Never-driver-checked first (a query the hard signal has never
+    # seen outranks one that changed but was previously green), then
+    # direct (the defining module itself changed), then transitive
     # (the module imports a changed one): the driver window truncates
     # at 50 names, so when the closure overflows it, the truncation
     # must shed the lower-risk transitive tail, never a direct change.
     direct, transitive = [], []
     for name, fn in QUERIES.items():
+        if name in never:
+            continue
         mod = fn.__module__
         if mod not in cause:
             continue
@@ -122,12 +145,15 @@ def main() -> None:
             direct.append(f'    "{name}",  # {short}')
         else:
             transitive.append(f'    "{name}",  # {short} -> {why.rsplit(".", 1)[-1]}')
+    for n in never:
+        print(f'    "{n}",  # NEVER driver-checked — window-head priority')
     for line in direct + transitive:
         print(line)
-    total = len(direct) + len(transitive)
+    total = len(never) + len(direct) + len(transitive)
     print(
-        f"# {total} affected ({len(direct)} direct, {len(transitive)} "
-        "transitive); window truncates at 50 — overflow names stay "
+        f"# {total} head names ({len(never)} never-checked, {len(direct)} "
+        f"direct, {len(transitive)} transitive); window truncates at 50 "
+        "— overflow names stay "
         "stalest-first for the next rotation and are pytest-verified "
         "every run regardless.",
         file=sys.stderr,
