@@ -45,31 +45,46 @@ def compaction_plan(
     bytes_col: str,
     target_bytes: int,
     bin_name: str = "bin_id",
+    offset_name: str = "bin_offset",
     pin: bool = True,
 ) -> DataFrame:
-    """Assign every file a compaction ``bin_id`` such that bins are
-    contiguous in ``order_by`` and close as soon as they reach
-    ``target_bytes`` input bytes.
+    """Assign every file a compaction ``bin_name`` column such that
+    bins are contiguous in ``order_by`` and close as soon as they
+    reach ``target_bytes`` input bytes.
 
     ``order_by`` must be a total order over the inventory (e.g.
-    ``[partition, path]``). Adds ``bin_id`` and keeps the running
-    exclusive byte offset as ``bin_offset`` (the file's start position
-    in the concatenated stream — useful for progress accounting).
-    Integer arithmetic throughout: byte counts are exact longs, the
-    division is SQL ``DIV``, so the plan is bit-stable across engines
-    and runs.
+    ``[partition, path]``). Adds ``bin_name`` and keeps the running
+    exclusive byte offset as ``offset_name`` (the file's start
+    position in the concatenated stream — useful for progress
+    accounting). Both output names are parameterized and validated
+    against the inventory's columns — an inventory that already has a
+    ``bin_offset`` must not be silently overwritten — and the internal
+    running-total temp is renamed until fresh, never clobbering an
+    input column. Integer arithmetic throughout: byte counts are exact
+    longs, the division is SQL ``DIV``, so the plan is bit-stable
+    across engines and runs.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
-    with_cum = prefix_sum(
-        files, order_by, bytes_col, out_col="_incl_bytes", pin=pin
-    )
-    excl = (F.col("_incl_bytes") - F.col(bytes_col)).cast("long")
+    existing = set(files.columns)
+    clash = {bin_name, offset_name} & existing
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} already exist in the "
+            "inventory; pass bin_name/offset_name that don't collide"
+        )
+    tmp = "_incl_bytes"
+    while tmp in existing:
+        tmp = "_" + tmp
+    with_cum = prefix_sum(files, order_by, bytes_col, out_col=tmp, pin=pin)
+    excl = (F.col(tmp) - F.col(bytes_col)).cast("long")
     return (
-        with_cum.withColumn("bin_offset", excl)
+        with_cum.withColumn(offset_name, excl)
         .withColumn(
             bin_name,
-            F.expr(f"bin_offset DIV CAST({target_bytes} AS BIGINT)").cast("long"),
+            F.expr(
+                f"`{offset_name}` DIV CAST({target_bytes} AS BIGINT)"
+            ).cast("long"),
         )
-        .drop("_incl_bytes")
+        .drop(tmp)
     )

@@ -176,10 +176,13 @@ def prefix_sum(
         seen_nonnull = 0
         for pdf in batches:
             v = pdf[value_col]
-            nonnull = v.notna().cumsum() + seen_nonnull
-            c = v.fillna(0).cumsum() + acc
-            if integral:
-                c = c.astype("int64")
+            # Widen BEFORE accumulating: cumsum over an int32/16/8
+            # column keeps the narrow dtype and silently wraps once the
+            # partition's running total exceeds its range (the operator
+            # advertises exactness for any integral input).
+            acc_dtype = "int64" if integral else "float64"
+            nonnull = v.notna().astype("int64").cumsum() + seen_nonnull
+            c = v.fillna(0).astype(acc_dtype).cumsum() + acc
             pdf = pdf.assign(_local_cum=c.where(nonnull > 0))
             if len(v):
                 acc = c.iloc[-1]

@@ -184,7 +184,13 @@ def rolling_zscore(
     # Sample variance; cancellation can drive it epsilon-negative, so
     # clamp through the same greatest() both engines evaluate.
     var = F.greatest((s2 - cnt * mean * mean) / (cnt - 1), F.lit(0.0))
-    z = (v - mean) / F.sqrt(var)
+    # Zero-variance guard, explicit on BOTH engines (the oracle carries
+    # the same WHERE var > 0): a constant-valued full window must score
+    # no row. Without it, x/0.0 is engine-dependent at the last-ulp
+    # margin — Spark yields NULL (row silently filtered) while IEEE
+    # float engines yield ±inf (row flagged) — a cross-engine parity
+    # flake on degenerate data.
+    z = F.when(var > 0, (v - mean) / F.sqrt(var))
     return (
         df.withColumn("_cnt", cnt)
         .withColumn("_z", z)

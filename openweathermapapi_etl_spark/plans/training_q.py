@@ -283,6 +283,7 @@ def m5_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_reduce(list(d ORDER BY codes.j), (x, y) -> x + y)
                     AS approx_dist
            FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.code
+           WHERE codes.vec_id <> dt.qid
            GROUP BY qid, codes.vec_id)
     SELECT qid, vec_id, approx_dist, CAST(rank AS INT) AS rank FROM (
         SELECT qid, vec_id, approx_dist,
@@ -297,11 +298,12 @@ def c03_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is m codes, approximate distance = m table lookups. The
     distance table (|Q|·m·k rows) broadcasts; the only corpus-sized
     exchange is the (qid, id) agg of m-row groups. Query set: every
-    100th vector id."""
+    100th vector, passed as a DataFrame so it stays distributed — no
+    driver-side id list at any corpus size. Self-matches excluded
+    (same semantics as ivf_pq_topk)."""
     emb = t(spark, sf_dir, "embeddings")
-    qids = [r["vec_id"] for r in
-            emb.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect()]
-    out = adc_topk(emb, qids, "vec_id", "embedding", dim=64, m=4,
+    qdf = emb.filter(F.col("vec_id") % 100 == 0)
+    out = adc_topk(emb, qdf, "vec_id", "embedding", dim=64, m=4,
                    k_codes=16, topk=10)
     return out.select("qid", "vec_id", "approx_dist", "rank")
 
@@ -363,11 +365,13 @@ def b24_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    v AS (SELECT user_id, event_id, value, cnt, s1,
+                 greatest((s2 - cnt * (s1/cnt) * (s1/cnt))
+                            / (cnt - 1), 0.0) AS var
+          FROM wf WHERE cnt = 10),
     z AS (SELECT user_id, event_id, value,
-                 (value - s1 / cnt)
-                   / sqrt(greatest((s2 - cnt * (s1/cnt) * (s1/cnt))
-                                     / (cnt - 1), 0.0)) AS z
-          FROM wf WHERE cnt = 10)
+                 (value - s1 / cnt) / sqrt(var) AS z
+          FROM v WHERE var > 0)
     SELECT user_id, event_id, value, z FROM z WHERE abs(z) > 2.0
     """,
 )

@@ -276,6 +276,47 @@ def test_prefix_sum_doubles_and_nulls(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_prefix_sum_int32_input_does_not_wrap(spark):
+    """Round-6 advisor finding: pandas cumsum over an int32 column
+    keeps int32 and silently wraps past 2^31. The accumulator must
+    widen to int64 BEFORE accumulating, for any integral input."""
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    big = 1_500_000_000  # 2 of these overflow int32
+    df = spark.createDataFrame(
+        [(i, big) for i in range(4)], "k int, v int"
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(
+            df, ["k"], "v", out_col="cum", num_partitions=1
+        ).collect()
+    }
+    assert got == {i: big * (i + 1) for i in range(4)}
+
+
+def test_compaction_plan_rejects_output_name_collisions(spark):
+    from openweathermapapi_etl_spark.operators.compaction import compaction_plan
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 10, 0)], "path string, bytes long, bin_offset long"
+    )
+    with pytest.raises(ValueError, match="bin_offset"):
+        compaction_plan(df, ["path"], "bytes", 100)
+    # Parameterized names route around the clash; the default offset
+    # column is left untouched and the internal temp avoids collisions.
+    out = compaction_plan(
+        df.withColumn("_incl_bytes", F.lit(7)),
+        ["path"], "bytes", 100,
+        bin_name="obin", offset_name="ooff",
+    )
+    row = out.collect()[0]
+    assert (row["obin"], row["ooff"]) == (0, 0)
+    assert row["bin_offset"] == 0 and row["_incl_bytes"] == 7
+
+
 def test_time_weighted_avg_weights_by_holding_time(spark):
     from openweathermapapi_etl_spark.operators.timeseries import time_weighted_avg
 
@@ -327,6 +368,22 @@ def test_rolling_zscore_flags_spike_only(spark):
     assert z > 2.0
 
 
+def test_rolling_zscore_zero_variance_window_scores_nothing(spark):
+    """Constant-valued full window: variance is exactly 0 and the
+    explicit var > 0 guard (round-6 advisor finding) must drop the row
+    on BOTH engines — not leave the outcome to x/0.0 semantics (NULL
+    on Spark, ±inf on IEEE engines)."""
+    from openweathermapapi_etl_spark.operators.timeseries import rolling_zscore
+
+    rows = [("k", f"2024-01-01 00:{i:02d}:00", i, 42.0) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, eid int, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    assert (
+        rolling_zscore(df, "k", "ts", "v", "eid", window_rows=10).count() == 0
+    )
+
+
 def test_rolling_zscore_needs_full_window(spark):
     from openweathermapapi_etl_spark.operators.timeseries import rolling_zscore
 
@@ -348,11 +405,13 @@ def test_rolling_zscore_needs_full_window(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_adc_topk_seed_query_ranks_itself_first(spark):
+def test_adc_topk_excludes_self_and_ranks_nearest_neighbor_first(spark):
     from openweathermapapi_etl_spark.operators.similarity import adc_topk
 
-    # Well-separated vectors: each seed's nearest PQ reconstruction is
-    # its own code, so a seed query must rank itself at distance 0.
+    # Well-separated vectors on a line: a query never matches ITSELF
+    # (same semantics as ivf_pq_topk — round-6 advisor finding), so
+    # every topk slot is a real neighbor and rank 1 is the adjacent
+    # vector's code.
     rows = [(i, [float(i * 100 + d) for d in range(8)]) for i in range(8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = adc_topk(df, [0, 2], "vec_id", "embedding", dim=8, m=2, k_codes=4,
@@ -364,8 +423,29 @@ def test_adc_topk_seed_query_ranks_itself_first(spark):
         )
     for qid in (0, 2):
         ranked = sorted(by_q[qid])
-        assert ranked[0][1] == qid and ranked[0][2] == 0.0
+        assert qid not in {vid for _, vid, _ in ranked}
         assert len(ranked) == 3
+        # Vectors sit 100 apart per component; the nearest non-self
+        # code is an adjacent seed (0-3 are all seeds here, k_codes=4).
+        assert abs(ranked[0][1] - qid) == 1
+
+
+def test_adc_topk_accepts_query_dataframe(spark):
+    """The scale path: queries as a DataFrame (no driver-side id list)
+    must produce exactly what the bounded list form produces."""
+    from openweathermapapi_etl_spark.operators.similarity import adc_topk
+
+    rows = [(i, [float(i * 100 + d) for d in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    via_list = adc_topk(df, [0, 2], "vec_id", "embedding", dim=8, m=2,
+                        k_codes=4, topk=3)
+    qdf = df.filter(F.col("vec_id").isin([0, 2]))
+    via_df = adc_topk(df, qdf, "vec_id", "embedding", dim=8, m=2,
+                      k_codes=4, topk=3)
+    key = lambda r: (r["qid"], r["rank"], r["vec_id"], r["approx_dist"])  # noqa: E731
+    assert sorted(map(key, via_list.collect())) == sorted(
+        map(key, via_df.collect())
+    )
 
 
 # ---------------------------------------------------------------------------
