@@ -78,13 +78,22 @@ BENCH_QUERIES = [
     "b24_gap_fill_ffill",
     "c03_pq_encode",
     "c03_ivf_pq_topk",
+    # Round-7 additions (round-6 verdict task 7): the timer-expiry
+    # stateful stream (the only applyInPandasWithState timer path) and
+    # the corpus-sized span-hash shuffle of the round-6 text batch.
+    "b53_state_timeout_expiry",
+    "c04_repeated_spans",
 ]
 
-#: The previous round's headline set (BENCH_r05.json), so totals can be
+#: The previous round's headline set (BENCH_r06.json), so totals can be
 #: compared like-for-like round-over-round: the headline total grows
 #: whenever queries are ADDED, which otherwise reads as a regression
 #: until decomposed (round-4 verdict task 7).
 PREV_ROUND_QUERIES = [
+    "m5_compaction_plan",
+    "b24_gap_fill_ffill",
+    "c03_pq_encode",
+    "c03_ivf_pq_topk",
     "flagship_q3",
     "b06_select_expr",
     "b07_filter_predicates",

@@ -538,6 +538,82 @@ def pq_codebook(
     )
 
 
+def pq_codebook_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """TRAIN the PQ codebook: per-subspace Lloyd (k-means) iterations
+    on top of :func:`pq_codebook`'s deterministic seed — the production
+    path the init codebook's docstring promises (:func:`kmeans_update`
+    is the same assign→mean shape on full vectors; here each of the m
+    subspaces trains independently, keyed by (j, code)).
+
+    Each iteration: (1) assign every (vector, subspace) subvector to
+    its nearest centroid — the exact argmin plan :func:`pq_encode`
+    uses, broadcast codebook, one keyed agg; (2) recompute each cell's
+    centroid as the member mean — posexplode to (j, code, pos) and one
+    keyed exchange carrying partial sums (k·m·dim/m rows after map-side
+    combine, independent of corpus size). A cell that loses all its
+    members keeps its previous centroid (standard empty-cell rule) via
+    a left join against the incoming codebook. The k×m-row codebook is
+    localCheckpoint-pinned per iteration so lineage doesn't replay the
+    whole corpus pass ``iters`` times.
+
+    Lloyd monotonicity gives the oracle-free correctness invariant:
+    total quantization distortion is non-increasing per iteration
+    (pinned by test against :func:`pq_encode` distortion sums).
+
+    Returns the trained codebook, same (code, j, cent) shape every
+    consumer takes.
+    """
+    cb = pq_codebook(df, id_col, vec_col, dim, m, k)
+    corpus = df.select(
+        F.col(id_col),
+        F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "subvec"),
+    )
+    sqdiffs = F.zip_with(
+        F.col("subvec"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.aggregate(sqdiffs, F.lit(0.0), lambda acc, t: acc + t)
+    for _ in range(iters):
+        assigned = (
+            corpus.join(F.broadcast(cb), on="j")
+            .withColumn("dist", dist)
+            .groupBy(id_col, "j")
+            .agg(
+                F.min(F.struct("dist", "code")).alias("best"),
+                F.any_value("subvec").alias("subvec"),
+            )
+            .select("j", F.col("best.code").alias("code"), "subvec")
+        )
+        means = (
+            assigned.select("j", "code", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("c"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("a"))
+            .select(
+                "code",
+                "j",
+                F.transform("a", lambda x: x["c"].cast("float")).alias("new_cent"),
+            )
+        )
+        cb = (
+            cb.join(means, on=["code", "j"], how="left")
+            .select("code", "j", F.coalesce("new_cent", "cent").alias("cent"))
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -545,6 +621,7 @@ def pq_encode(
     dim: int = 64,
     m: int = 4,
     k: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split every vector into ``m``
     subvectors of ``dim/m`` components and replace each subvector with
@@ -571,8 +648,13 @@ def pq_encode(
     (IEEE-exact, same array order in DuckDB's list_reduce → bit-equal,
     see :func:`dot_fold`); the per-vector distortion folds the ``m``
     subdistances in subspace order, so it is order-pinned too.
+
+    Pass ``codebook`` (same (code, j, cent) shape, e.g. from
+    :func:`pq_codebook_train`) to encode against a trained codebook;
+    ``None`` builds the deterministic init codebook.
     """
-    codebook = pq_codebook(df, id_col, vec_col, dim, m, k)
+    if codebook is None:
+        codebook = pq_codebook(df, id_col, vec_col, dim, m, k)
     corpus = df.select(
         F.col(id_col),
         F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "subvec"),

@@ -28,7 +28,7 @@ from ..streaming.jobs import (
     run_to_memory,
     split_events_files,
     write_events_file,
-    run_until_state_drained,
+    run_until_state_drained_query,
 )
 from .registry import register
 from .util import DEC, dsum, o_dsum
@@ -856,34 +856,13 @@ def b40_tumbling_window_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
 
 
-@register(
-    "b53_state_timeout_expiry",
-    oracle="""
-    SELECT user_id, COUNT(*) AS n_events
-    FROM events GROUP BY user_id
-    """,
-)
-def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B53: timeout-driven state EXPIRY — the applyInPandasWithState
-    surface B50 doesn't exercise: a per-key ProcessingTimeTimeout whose
-    firing (``state.hasTimedOut``) emits the key's closed summary and
-    removes its state. This is how unbounded-key stateful pipelines
-    stay bounded at 100 TB: idle keys leave the state store by timer,
-    not by a manual sweep — and emission-on-silence (a key is DONE
-    because nothing arrived) is inexpressible with watermark windows,
-    which need events to advance.
-
-    Run protocol: processing-time timers do not terminate an
-    availableNow run (verified: the engine keeps scheduling
-    timer-check batches forever), so the query runs on the default
-    micro-batch trigger and is STOPPED when the state store reports
-    empty (``stateOperators.numRowsTotal == 0`` in the progress log —
-    the drain gauge; same metric family as the B39/B43 eviction
-    proofs). Each user's rows arrive in one file-batch (split on
-    ``user_id % 3``), the 1 ms timer has always expired by the next
-    batch, and once every key has fired the state is empty — so the
-    drained output is exactly one closed row per user with the full
-    event count, which the SQL oracle hash-checks."""
+def _b53_timeout_plan(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """The shared B53 plan (see :func:`b53_state_timeout_expiry` for
+    semantics): timer-closed per-key summaries over a 3-file replay,
+    parameterized by replay-dir tag so the default-store and RocksDB
+    flavors don't share checkpoints. Returns (table, finished query) —
+    the query handle carries the state-store metrics the RocksDB pin
+    test reads."""
     import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
 
     from pyspark.sql import types as T
@@ -893,7 +872,7 @@ def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _replay_dir(
         spark,
         sf_dir,
-        "b53",
+        tag,
         n_files=3,
         predicates=[f"user_id % 3 = {i}" for i in range(3)],
     )
@@ -925,4 +904,63 @@ def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return run_until_state_drained(res, "b53_out")
+    return run_until_state_drained_query(res, f"{tag}_out")
+
+
+@register(
+    "b53_state_timeout_expiry",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: timeout-driven state EXPIRY — the applyInPandasWithState
+    surface B50 doesn't exercise: a per-key ProcessingTimeTimeout whose
+    firing (``state.hasTimedOut``) emits the key's closed summary and
+    removes its state. This is how unbounded-key stateful pipelines
+    stay bounded at 100 TB: idle keys leave the state store by timer,
+    not by a manual sweep — and emission-on-silence (a key is DONE
+    because nothing arrived) is inexpressible with watermark windows,
+    which need events to advance.
+
+    Run protocol: processing-time timers do not terminate an
+    availableNow run (verified: the engine keeps scheduling
+    timer-check batches forever), so the query runs on the default
+    micro-batch trigger and is STOPPED when the state store reports
+    empty (``stateOperators.numRowsTotal == 0`` in the progress log —
+    the drain gauge; same metric family as the B39/B43 eviction
+    proofs). Each user's rows arrive in one file-batch (split on
+    ``user_id % 3``), the 1 ms timer has always expired by the next
+    batch, and once every key has fired the state is empty — so the
+    drained output is exactly one closed row per user with the full
+    event count, which the SQL oracle hash-checks."""
+    return _b53_timeout_plan(spark, sf_dir, "b53")[0]
+
+
+@register(
+    "b53_state_timeout_expiry_rocksdb",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def b53_state_timeout_expiry_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53b: the SAME timer-expiry pipeline on the RocksDB state store
+    provider — the at-scale backend proof b40 already has for window
+    state, extended to TIMER state (timeout timestamps live in the
+    store too; a backend that mishandled them would fire never or
+    forever). Identical oracle to b53, so the hash match proves the
+    backend swap is semantics-free; a pytest pins that RocksDB was
+    really engaged and that the session conf is restored after the
+    run."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        return _b53_timeout_plan(spark, sf_dir, "b53r")[0]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

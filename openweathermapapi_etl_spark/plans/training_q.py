@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.compaction import compaction_plan
 from ..operators.sampling import weighted_sample
-from ..operators.similarity import adc_topk, pq_encode
+from ..operators.similarity import adc_topk, pq_codebook_train, pq_encode
 from ..operators.text import token_chunks, tokens
 from ..operators.timeseries import (
     ewma_smooth,
@@ -167,6 +167,45 @@ def c03_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.concat_ws("-", F.col("pq_codes").cast("array<string>")).alias("pq_codes"),
         "distortion",
+    )
+
+
+@register("c03_pq_encode_trained")  # rows-only: Lloyd is iterative, not
+# SQL-expressible; the invariant below is stronger than a hash anyway.
+def c03_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3f(trained): PQ encoding against a TRAINED codebook — 2
+    per-subspace Lloyd iterations on the deterministic seed
+    (operators/similarity.py::pq_codebook_train), then the same
+    broadcast argmin encode. Self-validating single-row output: total
+    distortion under the trained codebook vs the init codebook, plus
+    the Lloyd-monotonicity flag ``improved`` (trained ≤ init — an
+    oracle-free invariant; pytest asserts it strictly improves on this
+    corpus). Training cost per iteration is two corpus passes whose
+    exchanges carry k·m·subdim partial sums — independent of corpus
+    size; the codebook stays k×m rows, always broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    trained_cb = pq_codebook_train(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=2
+    )
+    init = pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=16)
+    trained = pq_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, codebook=trained_cb
+    )
+    i = init.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("distortion").alias("init_distortion"),
+    )
+    tr = trained.agg(F.sum("distortion").alias("trained_distortion"))
+    return (
+        i.crossJoin(tr)  # two 1-row aggregates — broadcast by size
+        .select(
+            "n_vectors",
+            "init_distortion",
+            "trained_distortion",
+            (F.col("trained_distortion") <= F.col("init_distortion")).alias(
+                "improved"
+            ),
+        )
     )
 
 

@@ -160,11 +160,13 @@ def run_to_memory(
     return run_to_memory_query(stream_df, name, output_mode)[0]
 
 
-def run_until_state_drained(
+def run_until_state_drained_query(
     stream_df: DataFrame, name: str, timeout_s: float = 180.0
-) -> DataFrame:
+):
     """Drive a TIMER-stateful streaming DataFrame until its state store
-    drains, then stop and return the memory-sink table.
+    drains, then stop and return (memory-sink table, finished query) —
+    the query handle keeps its progress log after stop, so callers can
+    read state-store custom metrics (the RocksDB-engagement pin).
 
     Processing-time timers never terminate an availableNow run — after
     the last file the engine keeps scheduling timer-check batches
@@ -191,9 +193,16 @@ def run_until_state_drained(
             lp = q.lastProgress
             ops = (lp or {}).get("stateOperators") or []
             if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):
-                return spark.table(name)
+                return spark.table(name), q
         raise TimeoutError(
             f"state store did not drain within {timeout_s}s (query {name})"
         )
     finally:
         q.stop()
+
+
+def run_until_state_drained(
+    stream_df: DataFrame, name: str, timeout_s: float = 180.0
+) -> DataFrame:
+    """:func:`run_until_state_drained_query`, table only."""
+    return run_until_state_drained_query(stream_df, name, timeout_s)[0]

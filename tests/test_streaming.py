@@ -382,3 +382,40 @@ def test_state_timeout_expiry_emits_every_key_and_drains(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rocksdb_backs_timer_state_and_conf_restored(spark):
+    """b53b's two contracts (mirror of the b40b pin, extended to TIMER
+    state): (1) the RocksDB provider really backs the
+    applyInPandasWithState operator — rocksdb* custom metrics appear in
+    the drained query's progress log, so a silently-ignored
+    providerClass can't masquerade as the at-scale backend while the
+    oracle still matches; (2) the session conf is restored after the
+    registered query returns."""
+    from openweathermapapi_etl_spark.plans.streaming_q import (
+        _ROCKSDB_PROVIDER,
+        _b53_timeout_plan,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        table, q = _b53_timeout_plan(spark, sf_dir, "b53r_pin")
+        assert table.count() > 0
+        metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # The registered query manages the conf itself.
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    assert QUERIES["b53_state_timeout_expiry_rocksdb"](spark, sf_dir).count() > 0
+    assert spark.conf.get(key, None) == before

@@ -448,6 +448,59 @@ def test_adc_topk_accepts_query_dataframe(spark):
     )
 
 
+def test_pq_codebook_train_strictly_reduces_distortion(spark):
+    """Lloyd monotonicity, the oracle-free invariant: each training
+    iteration's total quantization distortion is <= the previous, and
+    on the real embeddings table the improvement is strict (the seed
+    codebook is 16 arbitrary vectors — far from the subspace means)."""
+    from openweathermapapi_etl_spark.operators.similarity import (
+        pq_codebook_train,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def total(codebook=None):
+        return (
+            pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=16,
+                      codebook=codebook)
+            .agg(F.sum("distortion"))
+            .collect()[0][0]
+        )
+
+    d0 = total()
+    d1 = total(pq_codebook_train(emb, dim=64, m=4, k=16, iters=1))
+    d2 = total(pq_codebook_train(emb, dim=64, m=4, k=16, iters=2))
+    assert d1 < d0, f"one Lloyd iter must strictly improve: {d1} !< {d0}"
+    assert d2 <= d1 + 1e-6, f"second iter must not regress: {d2} !<= {d1}"
+
+
+def test_pq_codebook_train_empty_cell_keeps_previous_centroid(spark):
+    """A code that attracts no members must survive training with its
+    previous centroid (standard empty-cell rule), keeping the codebook
+    exactly k×m rows for every consumer."""
+    from openweathermapapi_etl_spark.operators.similarity import (
+        pq_codebook_train,
+    )
+
+    # 4 corpus vectors, k=4 codes: vectors 0/1 are identical, so one
+    # seed code wins both and the loser cell goes empty.
+    rows = [
+        (0, [0.0] * 8),
+        (1, [0.0] * 8),
+        (2, [100.0] * 8),
+        (3, [200.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebook_train(df, dim=8, m=2, k=4, iters=2)
+    got = cb.collect()
+    assert len(got) == 4 * 2
+    assert {(r["code"], r["j"]) for r in got} == {
+        (c, j) for c in range(4) for j in range(2)
+    }
+    assert all(len(r["cent"]) == 4 for r in got)
+
+
 # ---------------------------------------------------------------------------
 # asof_join tolerance
 # ---------------------------------------------------------------------------
