@@ -43,39 +43,46 @@ from . import training_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 5's driver window (== CORRECTNESS_r05.json keys): the most
+# Round 6's driver window (== CORRECTNESS_r06.json keys): the most
 # recently driver-verified -> rotate to the BACK this round.
-_R5_WINDOW = [
+_R6_WINDOW = [
+    "b24_gap_fill_ffill",
+    "c04_chunk_overlap",
+    "c03_pq_encode",
+    "c07_weighted_sample",
+    "m5_compaction_plan",
+    "c03_pq_adc_topk",
+    "b24_time_weighted_avg",
+    "b24_anomaly_zscore",
+    "c07_curriculum_phases",
+    "b15_asof_tolerance",
+    "b24_ewma_smooth",
+    "c07_source_quota",
+    "b20_unpivot",
+    "c04_repeated_spans",
+    "b16_mode",
+    "c03_ivf_pq_topk",
+    "c06_triangle_count",
+    "b22_freshness_audit",
+    "b53_state_timeout_expiry",
+    "b15_asof_join",
     "b09_try_cast_dirty",
-    "b25_time_range_frame",
-    "b24_funnel_conversion",
-    "b24_cohort_retention",
-    "c05_chunk_binary",
-    "b46_map_in_arrow",
-    "b47_cogrouped_map",
     "b04_zorder_layout",
     "c07_time_split",
     "c02_edit_distance_verify",
     "c06_pagerank",
-    "m4_incremental_agg",
     "b18_hll_mergeable_rollup",
     "c04_unigram_logprob_topk",
     "b22_fk_orphans",
     "b02_json_corrupt_scan",
     "b14_binned_range_join",
-    "b40_tumbling_window_rocksdb",
-    "c03_knn_graph",
     "b05_jdbc_partitioned_read",
     "c07_token_budget_sample",
-    "m3_snapshot_diff",
     "b16_histogram",
     "b26_global_rank",
     "c04_unigram_logprob",
     "c07_outlier_filter",
-    "b51_stream_stream_left_join",
     "c09_decontaminate",
-    "b42_batch_sessionize",
-    "b16_key_skew_profile",
     "b01_schema_evolution",
     "b04_partitioned_sink_prune",
     "c07_group_split",
@@ -87,189 +94,51 @@ _R5_WINDOW = [
     "c07_stratified_sample",
     "c07_mixture_expand",
     "c03_label_centroids",
-    "m2_scd2_merge",
     "c06_dedup_corpus",
     "c03_kmeans_iter",
-    "c07_filter_funnel",
-    "b04_orc_sink_roundtrip",
-    "b02_text_sink_roundtrip",
-    "c08_stream_curation_gate",
-    "c07_sequence_pack",
-    "c04_tfidf_topterms",
 ]
 
-# Generated: python tools/changed_queries.py d1ce653 (round-5 final
-# commit), then the 19 queries NEW in round 6 moved to the front —
-# never-driver-checked outranks changed-but-previously-green — and
-# b15_asof_join promoted next to them (its operator, asof.py, gained
-# the tolerance payload rework). The round-6 diff touched
-# relational.py and curation.py directly (the rank.py pin rework's
-# call sites) and appended to text/sampling/similarity/timeseries
-# (operator modules most of tier_c/curation transits), so the
-# transitive closure is 137 of 167 queries; the 50-slot window keeps
-# the new + direct head (every query whose code actually changed —
-# b15_asof_join, b26_global_rank, c07_token_budget_sample, the
-# relational and curation modules — is inside it), and the overflow
-# ranks stalest-first for the round-7 rotation. Late-round b53 edits
-# streaming_q append-only (one new query + one import line); the
-# other B38-B52 queries transit that module but their code is
-# untouched, so they keep their stalest-first/tail ranks rather than
-# displacing direct changes from the head. Every query is
-# additionally pytest-oracle-verified each run and PARITY_r6.txt
-# re-checks all of them, independent of the window.
-_R6_HEAD = [
-    "b24_gap_fill_ffill",  # NEW this round (training_q)
-    "c04_chunk_overlap",  # NEW this round (training_q)
-    "c03_pq_encode",  # NEW this round (training_q)
-    "c07_weighted_sample",  # NEW this round (training_q)
-    "m5_compaction_plan",  # NEW this round (training_q)
-    "c03_pq_adc_topk",  # NEW this round (training_q)
-    "b24_time_weighted_avg",  # NEW this round (training_q)
-    "b24_anomaly_zscore",  # NEW this round (training_q)
-    "c07_curriculum_phases",  # NEW this round (training_q)
-    "b15_asof_tolerance",  # NEW this round (training_q)
-    "b24_ewma_smooth",  # NEW this round (training_q)
-    "c07_source_quota",  # NEW this round (training_q)
-    "b20_unpivot",  # NEW this round (training_q)
-    "c04_repeated_spans",  # NEW this round (training_q)
-    "b16_mode",  # NEW this round (training_q)
-    "c03_ivf_pq_topk",  # NEW this round (training_q)
-    "c06_triangle_count",  # NEW this round (training_q)
-    "b22_freshness_audit",  # NEW this round (training_q)
-    "b53_state_timeout_expiry",  # NEW this round (streaming_q)
-    "b15_asof_join",  # relational — asof.py payload/tolerance rework
-    "b09_try_cast_dirty",  # relational
-    "b04_zorder_layout",  # relational
-    "c07_time_split",  # curation
-    "c02_edit_distance_verify",  # curation
-    "c06_pagerank",  # curation
-    "b18_hll_mergeable_rollup",  # relational
-    "c04_unigram_logprob_topk",  # curation
-    "b22_fk_orphans",  # relational
-    "b02_json_corrupt_scan",  # relational
-    "b14_binned_range_join",  # relational
-    "b05_jdbc_partitioned_read",  # relational
-    "c07_token_budget_sample",  # curation
-    "b16_histogram",  # relational
-    "b26_global_rank",  # relational
-    "c04_unigram_logprob",  # curation
-    "c07_outlier_filter",  # curation
-    "c09_decontaminate",  # curation
-    "b01_schema_evolution",  # relational
-    "b04_partitioned_sink_prune",  # relational
-    "c07_group_split",  # curation
-    "c06_dedup_clusters",  # curation
-    "c04_repetition_stats",  # curation
-    "c04_pii_redact",  # curation
-    "c04_vocab_topk",  # curation
-    "c07_hash_split",  # curation
-    "c07_stratified_sample",  # curation
-    "c07_mixture_expand",  # curation
-    "c03_label_centroids",  # curation
-    "c06_dedup_corpus",  # curation
-    "c03_kmeans_iter",  # curation
-    "c07_filter_funnel",  # curation
-    "b04_orc_sink_roundtrip",  # relational
-    "b02_text_sink_roundtrip",  # relational
-    "c07_sequence_pack",  # curation
-    "c04_tfidf_topterms",  # curation
-    "b23_distribution_windows",  # relational
-    "b10_salted_join",  # relational
-    "flagship_q3",  # relational
-    "b01_parquet_scan",  # relational
-    "b04_parquet_sink_roundtrip",  # relational
-    "b06_select_expr",  # relational
-    "b10_inner_join",  # relational
-    "b16_groupby_agg",  # relational
-    "b23_ranking_windows",  # relational
-    "b16_approx_percentile",  # relational
-    "b07_filter_predicates",  # relational
-    "b08_case_when",  # relational
-    "b09_cast_coalesce",  # relational
-    "b11_left_join",  # relational
-    "b11_full_outer_join",  # relational
-    "b11_right_join",  # relational
-    "b12_semi_join",  # relational
-    "b12_anti_join",  # relational
-    "b13_cross_join",  # relational
-    "b14_range_join",  # relational
-    "b17_count_distinct",  # relational
-    "b18_approx_count_distinct",  # relational
-    "b19_filtered_agg",  # relational
-    "b20_rollup",  # relational
-    "b20_cube",  # relational
-    "b21_having",  # relational
-    "b22_pk_uniqueness",  # relational
-    "b24_analytic_windows",  # relational
-    "b25_window_frames",  # relational
-    "b26_order_by",  # relational
-    "b27_top_k",  # relational
-    "b28_topk_per_group",  # relational
-    "b29_union",  # relational
-    "b29_union_distinct",  # relational
-    "b30_intersect",  # relational
-    "b31_except",  # relational
-    "b16_percentile_agg",  # relational
-    "b20_grouping_sets",  # relational
-    "b16_salted_agg",  # relational
-    "b20_pivot",  # relational
-    "b16_string_agg",  # relational
-    "b12_correlated_scalar_subquery",  # relational
-    "b05_jdbc_roundtrip",  # relational
-    "b10_bucketed_colocated_join",  # relational
-    "c05_chunk_binary",  # tier_c -> similarity
-    "b40_tumbling_window_rocksdb",  # streaming_q -> curation
-    "c03_knn_graph",  # tier_c -> similarity
-    "b51_stream_stream_left_join",  # streaming_q -> curation
-    "c08_stream_curation_gate",  # streaming_q -> curation
-    "c02_lsh_candidates_capped",  # tier_c -> similarity
-    "b43_streaming_dedup_watermarked_evicting",  # streaming_q -> curation
-    "c02_lsh_candidates",  # tier_c -> similarity
-    "c01_exact_dedup",  # tier_c -> similarity
-    "c02_minhash_signatures",  # tier_c -> similarity
-    "c02_simhash",  # tier_c -> similarity
-    "c02_ngram_jaccard",  # tier_c -> similarity
-    "c02_embedding_neardup",  # tier_c -> similarity
-    "c03_cosine_topk",  # tier_c -> similarity
-    "c03_cosine_topk_lsh",  # tier_c -> similarity
-    "c04_token_stats",  # tier_c -> similarity
-    "c04_langid",  # tier_c -> similarity
-    "c04_quality_score",  # tier_c -> similarity
-    "c04_fingerprint",  # tier_c -> similarity
-    "c05_binary_roundtrip",  # tier_c -> similarity
-    "c05_decode_mapinpandas",  # tier_c -> similarity
-    "c02_minhash_fast",  # tier_c -> similarity
-    "c05_resize",  # tier_c -> similarity
-    "c05_frame_sample",  # tier_c -> similarity
-    "c05_feature_extract",  # tier_c -> similarity
-    "b38_stream_microbatch_count",  # streaming_q -> curation
-    "b39_watermark_late_drop",  # streaming_q -> curation
-    "b40_tumbling_window",  # streaming_q -> curation
-    "b41_sliding_window",  # streaming_q -> curation
-    "b42_session_window",  # streaming_q -> curation
-    "b43_streaming_dedup",  # streaming_q -> curation
-    "b50_stateful_running_agg",  # streaming_q -> curation
-    "b51_stream_stream_join",  # streaming_q -> curation
-    "b52_stream_static_join",  # streaming_q -> curation
-    "b43_streaming_dedup_watermarked",  # streaming_q -> curation
-    "b51_stream_stream_join_watermarked",  # streaming_q -> curation
-    "c03_cosine_topk_ivf",  # tier_c -> similarity
-    "b44_foreachbatch_upsert",  # streaming_q -> curation
+# Generated: python tools/changed_queries.py 3c0a07b (round-6 final
+# commit). The tool now leads with queries NEVER seen by any driver
+# window (round-6 verdict Wrong #2 — the rotation rule stranded
+# b23_distribution_windows outside every window since round 4); the
+# full transitive closure this round is all 169 (registry.py and
+# similarity.py changed, which everything transits), so as in round 6
+# the head keeps only the names whose OWN code or operator materially
+# changed — the module-transit tail keeps its stalest-first rotation
+# rank instead of displacing real changes.
+_R7_HEAD = [
+    "b23_distribution_windows",  # NEVER driver-checked (round-4 gap)
+    "b53_state_timeout_expiry_rocksdb",  # NEW this round (streaming_q)
+    "c03_pq_encode_trained",  # NEW this round (training_q)
+    "c03_pq_encode",  # round-6 red row: query surface stringified
+    "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
+    "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning
+    "b24_anomaly_zscore",  # rolling_zscore var>0 guard (both engines)
+    "m5_compaction_plan",  # compaction col-name validation + prefix_sum widen
+    "c07_token_budget_sample",  # prefix_sum consumer
+    "c07_source_quota",  # prefix_sum consumer
+    "b26_global_rank",  # rank.py module change
+    "b26_order_by",  # sort_pos window constant-partition change
+    "b16_key_skew_profile",  # skew.py window constant-partition change
+    "b53_state_timeout_expiry",  # refactored into shared _b53_timeout_plan
+    "b24_time_weighted_avg",  # timeseries.py module change
+    "b24_ewma_smooth",  # timeseries.py module change
+    "b24_gap_fill_ffill",  # timeseries.py module change
 ]
-
 
 def _reorder() -> None:
     # A typo'd / renamed / not-yet-implemented name in a priority list
     # must fail LOUDLY, not silently shrink the window (round-2 advisor:
     # three reserved-but-unimplemented names silently filtered out).
-    stale = (set(_R6_HEAD) | set(_R5_WINDOW)) - set(QUERIES)
+    stale = (set(_R7_HEAD) | set(_R6_WINDOW)) - set(QUERIES)
     if stale:
         raise AssertionError(f"priority lists name unknown queries: {sorted(stale)}")
-    head = list(_R6_HEAD)
-    in_head, in_prev = set(head), set(_R5_WINDOW)
-    # Oldest driver check first: everything round 5's window excluded.
+    head = list(_R7_HEAD)
+    in_head, in_prev = set(head), set(_R6_WINDOW)
+    # Oldest driver check first: everything round 6's window excluded.
     rotated = [n for n in QUERIES if n not in in_prev and n not in in_head]
-    tail = [n for n in _R5_WINDOW if n not in in_head]
+    tail = [n for n in _R6_WINDOW if n not in in_head]
     ordered = head + rotated + tail
     q_snap, o_snap = dict(QUERIES), dict(ORACLES)
     QUERIES.clear()

@@ -80,37 +80,51 @@ def test_entry_contract(spark):
 
 def test_driver_window_rotates_to_stalest_checked():
     """The correctness driver records rows for the first 50 registered
-    names only. The window ROTATES each round; since round 5 the head
-    is DERIVED (tools/changed_queries.py: git diff → module → reverse
-    transitive import closure → registered queries) instead of
-    hand-curated, with this round's NEW queries promoted to the very
-    front (never-driver-checked outranks changed-but-green). This
-    round the closure (127 affected) overflows the 50-slot window, so
-    the invariant is: the derived head leads in order (the window is
-    entirely new + affected names, truncating only the lower-risk
-    transitive tail), the overflow ranks immediately after the window
-    (stalest for the next rotation), and round 5's window rotates to
-    the back."""
-    from openweathermapapi_etl_spark.plans import _R5_WINDOW, _R6_HEAD
+    names only. The window ROTATES each round; the head is DERIVED
+    (tools/changed_queries.py: {never driver-checked} ∪ {git diff →
+    module → reverse transitive import closure → registered queries}),
+    with never-checked names at the very front (round-6 verdict: the
+    old rule stranded b23_distribution_windows outside every window).
+    Invariants: the head leads in order, the overflow ranks
+    immediately after the window (stalest for the next rotation), and
+    round 6's window rotates to the back."""
+    from openweathermapapi_etl_spark.plans import _R6_WINDOW, _R7_HEAD
 
     names = list(QUERIES)
-    assert names[: len(_R6_HEAD)] == _R6_HEAD, "affected queries must lead"
+    assert names[: len(_R7_HEAD)] == _R7_HEAD, "affected queries must lead"
     # The previous round's window rotates to the back (minus names
     # promoted into the head).
-    tail = [n for n in _R5_WINDOW if n not in set(_R6_HEAD)]
-    assert names[-len(tail):] == tail, "round-5 window must rotate to the back"
+    tail = [n for n in _R6_WINDOW if n not in set(_R7_HEAD)]
+    assert names[-len(tail):] == tail, "round-6 window must rotate to the back"
     # Everything in between is the stale remainder; nothing lost.
-    middle = names[len(_R6_HEAD):-len(tail)]
-    assert set(middle) == set(QUERIES) - set(_R6_HEAD) - set(tail)
+    middle = names[len(_R7_HEAD):-len(tail)]
+    assert set(middle) == set(QUERIES) - set(_R7_HEAD) - set(tail)
     # Every name the 50-slot window sheds this round is either covered
-    # by round 5's window (checked last round) or ranked ahead of all
-    # round-5-checked names for the next rotation — no query is both
+    # by round 6's window (checked last round) or ranked ahead of all
+    # round-6-checked names for the next rotation — no query is both
     # dropped from the window AND deprioritized behind fresher names.
     window = set(names[:50])
-    for n in set(QUERIES) - window - set(_R5_WINDOW):
+    for n in set(QUERIES) - window - set(_R6_WINDOW):
         assert names.index(n) < len(names) - len(tail), n
-    # The queries whose operator code materially changed this round
-    # (the rank.py pin rework) sit INSIDE the driver window.
-    for n in ("b26_global_rank", "c07_token_budget_sample",
-              "m5_compaction_plan"):
-        assert names.index(n) < 50, n
+
+
+def test_driver_window_covers_every_never_checked_query():
+    """Round-6 verdict Wrong #2, made structural: no registered query
+    may sit outside the 50-slot driver window if NO committed
+    CORRECTNESS_r*.json has ever recorded a row for it."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from changed_queries import never_driver_checked
+
+    names = list(QUERIES)
+    never = never_driver_checked(names)
+    outside = [n for n in never if names.index(n) >= 50]
+    assert not outside, (
+        f"never-driver-checked queries outside the window: {outside}"
+    )
