@@ -192,3 +192,49 @@ def weighted_sample(
         .orderBy(F.col(priority_name).desc(), key.asc())
         .limit(n)
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    len_col: Column | str,
+    pad_to: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Length-bucket statistics for training-batch shaping: pad every
+    sequence length up to the next multiple of ``pad_to`` and report,
+    per bucket (and optional extra ``group_cols``), the document count,
+    real token total, padded token total, and padding-waste fraction.
+
+    This is the planning pass behind length-bucketed batching — group
+    sequences of similar length so attention/padding FLOPs aren't
+    wasted on short rows padded to the batch max. Pure integer
+    arithmetic up to the final waste division (exact longs → one
+    IEEE division), so the report is bit-stable across engines.
+
+    Row-local bucket assignment + ONE hash aggregation keyed on
+    (bucket, *group_cols) — cardinality is max_len/pad_to × groups,
+    tiny at any corpus size; the shuffle carries partial sums only.
+    Zero-length rows land in the ``pad_to`` bucket (a real row still
+    occupies a padded slot).
+    """
+    n = F.col(len_col) if isinstance(len_col, str) else len_col
+    # ceil(n / pad_to) * pad_to in pure long arithmetic (m - m % pad):
+    # no double division anywhere near the bucket id.
+    m = F.greatest(n.cast("long"), F.lit(1)) + F.lit(pad_to - 1).cast("long")
+    bucket = m - (m % F.lit(pad_to).cast("long"))
+    keys = [bucket.alias("bucket_len"), *(group_cols or [])]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n.cast("long")).alias("total_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", F.col("bucket_len") * F.col("n_docs")
+        )
+        .withColumn(
+            "waste_frac",
+            (F.col("padded_tokens") - F.col("total_tokens")).cast("double")
+            / F.col("padded_tokens").cast("double"),
+        )
+    )

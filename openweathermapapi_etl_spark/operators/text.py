@@ -294,3 +294,100 @@ def token_chunks(tok: Column, chunk_size: int, stride: int) -> Column:
             F.slice(tok, s, chunk_size).alias("toks"),
         ),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed bag of
+    ``query_terms`` and return the top ``topk`` — the sparse-retrieval
+    workhorse for RAG corpus serving and dedup-aware eval-set mining
+    (the dense twin is :mod:`.similarity`'s cosine/ANN family).
+
+    Scoring uses the RATIONAL Robertson–Spärck-Jones idf,
+    ``(N - df + 0.5) / (df + 0.5)``, not its logarithm — same
+    reasoning as the tf-idf operator (plans/curation.py
+    ``c04_tfidf_topterms``): ``ln()`` differs in the last ulp between
+    libm and the JVM, while +,*,/ are correctly-rounded IEEE ops that
+    both engines evaluate bit-identically when the expression tree and
+    fold order match. Per-term weights are summed in TERM-SORTED order
+    (sequential fold), so the score is bit-reproducible across
+    engines, runs, and partitionings. The rational idf is monotone in
+    df like the log form but weights rare terms more steeply —
+    documented deviation from textbook BM25, deterministic by design.
+
+    Plan shape (the 100 TB story): the term filter is an ``isin`` over
+    a literal handful of terms — pushed to the scan, so the exploded
+    (doc, term) stream is query-term-sized, not vocabulary-sized.
+    Corpus stats (N, avgdl — exact integer sums divided once) and
+    per-term df are rows-per-term frames, broadcast; the only
+    corpus-sized exchange is the (doc, term) tf aggregation. Selection
+    is a global top-k → TakeOrderedAndProject (per-partition heaps),
+    never a full sort.
+
+    Returns (id_col, n_terms_hit, dl, score) — one row per retrieved
+    document, score ties broken by ascending id.
+    """
+    terms = sorted(set(query_terms))
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    dl = tok.select(id_col, F.size("tk").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    hits = tok.select(
+        id_col, F.explode("tk").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))  # 1-row corpus stats
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                (
+                    (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("w"),
+            "dl",
+        )
+    )
+    per_doc = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.any_value("dl").alias("dl"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "w"))),
+                    lambda x: x["w"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)

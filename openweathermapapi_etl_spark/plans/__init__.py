@@ -18,6 +18,7 @@ from . import streaming_q  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import training_q  # noqa: E402,F401
+from . import serving_q  # noqa: E402,F401
 
 # The correctness driver records rows for the FIRST 50 registered names
 # only (observed in rounds 1-4: CORRECTNESS_r0{1,2,3,4}.json each held
@@ -111,6 +112,10 @@ _R7_HEAD = [
     "b23_distribution_windows",  # NEVER driver-checked (round-4 gap)
     "b53_state_timeout_expiry_rocksdb",  # NEW this round (streaming_q)
     "c03_pq_encode_trained",  # NEW this round (training_q)
+    "c04_bm25_topk",  # NEW this round (serving_q)
+    "c07_length_buckets",  # NEW this round (serving_q)
+    "b37_variant_extract",  # NEW this round (serving_q)
+    "b10_bloom_runtime_filter",  # NEW this round (serving_q)
     "c03_pq_encode",  # round-6 red row: query surface stringified
     "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning

@@ -306,3 +306,60 @@ def test_ivf_pq_no_cross_product_distance_table_broadcast(spark, sf):
     _, tree = plan_of(spark, "c03_ivf_pq_topk", sf)
     assert "CartesianProduct" not in tree
     assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_bloom_runtime_filter_injected_and_conf_restored(spark, sf):
+    """b10_bloom_runtime_filter: inside the query's conf window the
+    optimizer must inject a bloom_filter_agg on the selective orders
+    side and a might_contain pre-filter on the lineitem scan side (the
+    scan-reduction the operator exists to demonstrate), and the
+    session confs must be back to their prior values afterwards."""
+    from openweathermapapi_etl_spark.plans.serving_q import (
+        _BLOOM_CONFS,
+        _bloom_join_agg,
+    )
+
+    # Lazy plan first: _bloom_join_agg routes through prep(), which
+    # re-pins the broadcast threshold — same ordering as the query.
+    agg = _bloom_join_agg(spark, sf)
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    prevs = dict(before)
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = agg._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, prev in prevs.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+    # The registered query manages (and restores) the confs itself.
+    assert QUERIES["b10_bloom_runtime_filter"](spark, sf).count() > 0
+    for k, v in before.items():
+        assert spark.conf.get(k, None) == v, k
+
+
+def test_bm25_term_filter_prunes_and_takeordered(spark, sf):
+    """c04_bm25_topk: corpus stats and df broadcast; selection is a
+    top-k (TakeOrderedAndProject), never a global sort; no cartesian
+    beyond the broadcast 1-row stats frame."""
+    _, tree = plan_of(spark, "c04_bm25_topk", sf)
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_length_buckets_single_partial_agg(spark, sf):
+    """c07_length_buckets: row-local bucket + one partial+final hash
+    agg — a single agg exchange (plus, at most, catalog.py's
+    documented small-input scan-parallelize round-robin, which never
+    fires on real many-row-group tables); no window, no join."""
+    _, tree = plan_of(spark, "c07_length_buckets", sf)
+    assert tree.count("HashAggregate") == 2  # partial + final
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2
+    assert "Join" not in tree
+    assert "Window" not in tree

@@ -594,3 +594,84 @@ def test_ivf_pq_candidates_come_only_from_probed_cells(spark):
     dists = [r["approx_dist"] for r in sorted(out, key=lambda r: r["rank"])]
     assert dists == sorted(dists)
     assert len(out) <= 5 and len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk (sparse retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_and_respects_tf_saturation(spark):
+    from openweathermapapi_etl_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),        # tf(cat)=2, short
+            (2, "cat mouse bird dog mouse bird mouse bird"),  # tf(cat)=1, long
+            (3, "bird bird bird"),     # no query terms
+            (4, "cat"),                # tf=1, shortest
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["cat"], topk=10).collect()
+    ids = [r["doc_id"] for r in out]
+    # Doc 3 never matches; every match retrieved.
+    assert set(ids) == {1, 2, 4}
+    # Higher tf and shorter length both raise the score: doc 1 (tf=2,
+    # dl=3) > doc 4 (tf=1, dl=1 — shorter but lower tf under k1
+    # saturation... verify the actual order is by computed score desc.
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] == max(scores.values())
+    # Length normalization: doc 4 (dl=1) outscores doc 2 (dl=8), same tf.
+    assert scores[4] > scores[2]
+    assert [r["doc_id"] for r in out] == sorted(
+        ids, key=lambda i: (-scores[i], i)
+    )
+
+
+def test_bm25_multi_term_scores_sum_over_terms(spark):
+    from openweathermapapi_etl_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat"), (3, "dog fish")],
+        "doc_id long, text string",
+    )
+    both = {r["doc_id"]: r for r in bm25_topk(docs, ["cat", "dog"]).collect()}
+    only_cat = {r["doc_id"]: r for r in bm25_topk(docs, ["cat"]).collect()}
+    only_dog = {r["doc_id"]: r for r in bm25_topk(docs, ["dog"]).collect()}
+    assert both[1]["n_terms_hit"] == 2
+    # Two-term score is the sum of the single-term scores (same df/N
+    # per term whether queried alone or together).
+    assert abs(
+        both[1]["score"] - (only_cat[1]["score"] + only_dog[1]["score"])
+    ) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# length_buckets (batch shaping)
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_pads_to_multiple_and_counts_waste(spark):
+    from openweathermapapi_etl_spark.operators.sampling import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 64), (3, 65), (4, 100), (5, 0)],
+        "id long, dl long",
+    )
+    got = {
+        r["bucket_len"]: (r["n_docs"], r["total_tokens"], r["padded_tokens"])
+        for r in length_buckets(df, "dl", pad_to=64).collect()
+    }
+    # 10→64, 64→64, 0→64 (a real row occupies a padded slot); 65→128,
+    # 100→128.
+    assert got == {64: (3, 74, 192), 128: (2, 165, 256)}
+
+
+def test_length_buckets_waste_fraction_exact(spark):
+    from openweathermapapi_etl_spark.operators.sampling import length_buckets
+
+    df = spark.createDataFrame([(1, 32), (2, 32)], "id long, dl long")
+    [row] = length_buckets(df, "dl", pad_to=64).collect()
+    assert row["bucket_len"] == 64
+    assert row["waste_frac"] == (128 - 64) / 128.0
