@@ -29,7 +29,12 @@ def write_events_file(part: DataFrame, out_dir: str, idx: int) -> str:
     see ``b39_watermark_late_drop`` for why that matters."""
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f"_tmp{idx}")
-    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition(1), not coalesce(1): coalesce collapses the UPSTREAM
+    # scan+filter into the single write task (one core reads the whole
+    # table per replay file — measured 7.8 s for b53's 3-way split at
+    # sf0.1); the round-trip shuffle of one file's rows is far cheaper
+    # than serializing the scan.
+    part.repartition(1).write.mode("overwrite").parquet(tmp)
     src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     dst = os.path.join(out_dir, f"{idx:04d}.parquet")
     shutil.move(src, dst)
@@ -56,19 +61,57 @@ def split_table_files(
     watermark test ships *newer* events first so the second batch is
     late. Returns the batch DataFrame."""
     df = load_table(spark, sf_dir, table)
-    max_id = df.agg(F.max(id_col)).collect()[0][0]
-    step = (max_id + 1 + n_files - 1) // n_files
     if predicates is not None:
+        # First-match assignment. Every call site partitions the table
+        # with DISJOINT, TOTAL predicates (mod-split, ts halves with an
+        # explicit NULL route), so first-match == the old
+        # one-filtered-write-per-predicate semantics; a row matching no
+        # predicate is dropped, same as before.
         n_files = len(predicates)
+        preds = [F.expr(p) if isinstance(p, str) else p for p in predicates]
+        assign = F.when(preds[0], 0)
+        for i, p in enumerate(preds[1:], start=1):
+            assign = assign.when(p, i)
+    else:
+        # Contiguous id ranges (NULL ids drop, as the old range filter
+        # did). Needs one max-id agg scan; the predicate form doesn't.
+        max_id = df.agg(F.max(id_col)).collect()[0][0]
+        step = (max_id + 1 + n_files - 1) // n_files
+        assign = F.when(
+            F.col(id_col).isNotNull() & (F.col(id_col) >= 0),
+            F.expr(f"`{id_col}` div {step}"),
+        )
+    # ONE job for all replay files (round-7 rework): the old
+    # filtered-write-per-file loop re-scanned the source table once per
+    # file (the replay split was 2/3 of b53's bench time). Hash
+    # repartition on the assignment puts each file's rows in exactly
+    # one task, so partitionBy emits exactly one part-file per
+    # non-empty split.
     shutil.rmtree(out_dir, ignore_errors=True)
+    tmp = f"{out_dir}_tmpall"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.withColumn("_f", assign)
+        .filter(F.col("_f").isNotNull())
+        .repartition(n_files, "_f")
+        .write.mode("overwrite")
+        .partitionBy("_f")
+        .parquet(tmp)
+    )
+    os.makedirs(out_dir, exist_ok=True)
     for i in range(n_files):
-        if predicates is not None:
-            part = df.filter(predicates[i])
+        found = glob.glob(os.path.join(tmp, f"_f={i}", "part-*.parquet"))
+        if found:
+            assert len(found) == 1, found  # one partition per _f value
+            dst = os.path.join(out_dir, f"{i:04d}.parquet")
+            shutil.move(found[0], dst)
+            ts = time.time() - 1000 + i
+            os.utime(dst, (ts, ts))
         else:
-            part = df.filter(
-                (F.col(id_col) >= i * step) & (F.col(id_col) < (i + 1) * step)
-            )
-        write_events_file(part, out_dir, i)
+            # Empty split: materialize an empty replay file so batch
+            # numbering matches the old per-filter behavior.
+            write_events_file(df.filter(F.lit(False)), out_dir, i)
+    shutil.rmtree(tmp, ignore_errors=True)
     return df
 
 
@@ -189,7 +232,7 @@ def run_until_state_drained_query(
     deadline = time.monotonic() + timeout_s
     try:
         while time.monotonic() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.1)
             lp = q.lastProgress
             ops = (lp or {}).get("stateOperators") or []
             if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):
