@@ -964,3 +964,51 @@ def b53_state_timeout_expiry_rocksdb(spark: SparkSession, sf_dir: str) -> DataFr
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@register(
+    "b54_statestore_read",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def b54_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: the state-store READER — ``spark.read.format("statestore")``
+    over a finished query's checkpoint turns the opaque state files
+    into a queryable DataFrame of (key, value, partition_id). This is
+    the operational audit surface a 100 TB stateful job needs: inspect
+    what a running aggregation is actually holding (skewed keys, state
+    bloat, wedged sessions) without instrumenting the job itself, and
+    with the same engine that wrote it.
+
+    The pipeline: a complete-mode per-user count runs to completion on
+    an explicit checkpoint; the state store is then read back COLD and
+    projected to (user_id, n_events). A complete-mode aggregation's
+    final state IS the full-batch aggregate, so the SQL oracle
+    hash-checks the reconstructed state exactly — a corrupted or
+    misread state file cannot slip through as "close". The companion
+    ``state-metadata`` source (operator/partition layout) is pinned by
+    pytest alongside."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b54")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b54_ckpt_{os.getpid()}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = replay_files_stream(spark, d, EVENTS)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("b54_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    )

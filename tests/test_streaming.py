@@ -419,3 +419,40 @@ def test_rocksdb_backs_timer_state_and_conf_restored(spark):
 
     assert QUERIES["b53_state_timeout_expiry_rocksdb"](spark, sf_dir).count() > 0
     assert spark.conf.get(key, None) == before
+
+
+def test_statestore_reader_matches_batch_and_metadata_layout(spark):
+    """b54: the state reconstructed from the checkpoint equals the
+    batch aggregate (value-exact), and the companion state-metadata
+    source reports the aggregation operator with the session's state
+    partition layout — the contract an operational state audit relies
+    on."""
+    import os
+    import tempfile
+
+    from openweathermapapi_etl_spark.catalog import load_table
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in QUERIES["b54_statestore_read"](spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b54_ckpt_{os.getpid()}"
+    )
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0]["operatorName"] == "stateStoreSave"
+    assert meta[0]["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
