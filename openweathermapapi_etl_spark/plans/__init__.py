@@ -117,6 +117,8 @@ _R7_HEAD = [
     "b37_variant_extract",  # NEW this round (serving_q)
     "b10_bloom_runtime_filter",  # NEW this round (serving_q)
     "b54_statestore_read",  # NEW this round (streaming_q)
+    "b18_approx_topk_rollup",  # NEW this round (relational)
+    "b48_udtf_polymorphic",  # NEW this round (udfs)
     "c03_pq_encode",  # round-6 red row: query surface stringified
     "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning

@@ -1727,6 +1727,42 @@ def b18_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b18_approx_topk_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def b18_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18c: MERGEABLE frequent-items sketches — the heavy-hitters
+    twin of b18b's HLL rollup. ``approx_top_k_accumulate`` builds one
+    sketch per shard (stand-in: user_id % 4 — in production, per
+    partition/day), ``approx_top_k_combine`` merges the sketches
+    WITHOUT rescanning raw data, ``approx_top_k_estimate`` reads out
+    the items. At 100 TB this is the only sane shape for "top values
+    per column" dashboards: KB-sized sketches ride the rollup tree
+    instead of a corpus-wide groupBy per refresh.
+
+    The oracle is exact because the sketch's contract makes it so
+    here: a space-saving sketch tracking ``maxItemsTracked`` ≥ the
+    true distinct count (10 ≥ 5 event types) counts exactly — the
+    approximation only begins when cardinality exceeds the budget.
+    The estimate array is posexploded back to plain (event_type, n)
+    rows, so the driver sees no sketch/struct columns."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    shards = ev.groupBy((F.col("user_id") % 4).alias("shard")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("sk")
+    )
+    merged = shards.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").alias("est")
+    )
+    return merged.select(F.posexplode("est").alias("i", "s")).select(
+        F.col("s.item").alias("event_type"), F.col("s.count").alias("n")
+    )
+
+
 
 @register(
     "b04_zorder_layout",

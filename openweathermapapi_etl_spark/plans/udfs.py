@@ -130,6 +130,61 @@ def b48_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b48_udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+)
+def b48_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48b: POLYMORPHIC Python UDTF — the Spark-4 table-function API
+    b48 deliberately skips (explode covers the static shape): a class
+    with a static ``analyze`` that computes the output schema at PLAN
+    time from its arguments, then an ``eval`` generator per input row.
+    This is the surface for table functions whose schema depends on
+    input (dynamic pivots, format-sniffing readers). Here the schema
+    is (word, pos) and eval enumerates tokens with their positions;
+    Arrow-batched like any Python UDTF (``useArrow=True``) — still the
+    slow path vs explode, which is why only the polymorphism itself
+    justifies it. Oracle: DuckDB's zipping parallel unnests."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(useArrow=True)
+    class EnumerateTokens:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                StructType,
+            )
+            from pyspark.sql.udtf import AnalyzeResult
+
+            return AnalyzeResult(
+                StructType()
+                .add("word", StringType())
+                .add("pos", IntegerType())
+            )
+
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i
+
+    spark.udtf.register("enumerate_tokens", EnumerateTokens)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    d.createOrReplaceTempView("b48b_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tok.word, tok.pos
+        FROM b48b_docs d, LATERAL enumerate_tokens(d.text) tok
+        """
+    )
+
+
+@register(
     "b49_pandas_udaf",
     oracle="""
     SELECT c_nationkey,
