@@ -238,3 +238,79 @@ def length_buckets(
             / F.col("padded_tokens").cast("double"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 2,
+    salt: str = "eshuf",
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-epoch corpus reshuffle: for each training
+    epoch, assign every row a 1-based position in a pseudo-random
+    permutation keyed on (salt, epoch, id) — different order every
+    epoch, IDENTICAL order for the same epoch on any cluster layout or
+    rerun. This is the data-order half of training reproducibility: a
+    run that crashes mid-epoch 3 resumes from position k of the same
+    permutation instead of a new random order.
+
+    The permutation key is the portable polynomial hash pushed through
+    a NONLINEAR scramble ``((h² mod P)·M + h) mod P``. The scramble is
+    load-bearing: the polynomial fold of same-length strings is
+    order-preserving in the last characters (ids i and i+1 hash 1
+    apart, epochs shift every hash by the same 31²·Δ), so the raw hash
+    would "shuffle" consecutive ids to consecutive positions and every
+    epoch to the SAME order. The quadratic cross-term makes the
+    relative order genuinely differ per epoch; everything stays exact
+    int64 arithmetic (max intermediate ≈ 2.7e18), so the oracle
+    reproduces it bit-for-bit. Ties (x² ≡ (P−x)² mod P pairs) break by
+    id. Positions come from :func:`~.rank.global_rank` over (epoch,
+    key, id) — one range shuffle of n_epochs x N rows, no
+    single-reducer window — then rebased per epoch by subtracting
+    epoch x N (a broadcast 1-row count; the range order puts epochs in
+    contiguous blocks, so the rebase is exact integer arithmetic).
+
+    Returns (epoch, id_col, out_col).
+    """
+    from .rank import global_rank
+
+    p, m = 1_000_000_007, 2_654_435_761  # Knuth's 2^32/phi multiplier
+    epochs = (
+        df.sparkSession.range(n_epochs)
+        .select(F.col("id").cast("int").alias("epoch"))
+    )
+    h = char_fold_hash(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    keyed = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("_h0", h)
+        .withColumn(
+            "_h",
+            ((F.col("_h0") * F.col("_h0")) % p * F.lit(m) + F.col("_h0")) % p,
+        )
+    )
+    ranked = global_rank(
+        keyed,
+        [F.col("epoch"), F.col("_h"), F.col(id_col)],
+        rank_name="_grnk",
+        pin=False,  # deterministic lineage: parquet scan x literal epochs
+    )
+    total = df.select(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))  # 1-row count frame
+        .select(
+            "epoch",
+            id_col,
+            (F.col("_grnk") - F.col("epoch").cast("long") * F.col("_n")).alias(
+                out_col
+            ),
+        )
+    )

@@ -119,6 +119,7 @@ _R7_HEAD = [
     "b54_statestore_read",  # NEW this round (streaming_q)
     "b18_approx_topk_rollup",  # NEW this round (relational)
     "b48_udtf_polymorphic",  # NEW this round (udfs)
+    "c07_epoch_shuffle",  # NEW this round (serving_q)
     "c03_pq_encode",  # round-6 red row: query surface stringified
     "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning

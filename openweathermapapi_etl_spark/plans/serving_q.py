@@ -17,9 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import length_buckets
+from ..operators.sampling import epoch_shuffle, length_buckets
 from ..operators.text import bm25_topk
 from .registry import register
+from .tier_c import _O_HASH
 from .util import dsum, o_dsum, t
 
 # ---------------------------------------------------------------------------
@@ -235,3 +236,46 @@ def _bloom_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity", "total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — deterministic per-epoch corpus reshuffle
+# ---------------------------------------------------------------------------
+
+_N_EPOCHS = 2
+
+
+@register(
+    "c07_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT CAST(unnest(generate_series(0, {_N_EPOCHS - 1}))
+                        AS INT) AS epoch),
+    x AS (SELECT epoch, doc_id,
+                 {{h}} AS h0
+          FROM documents, e),
+    k AS (SELECT epoch, doc_id,
+                 ((h0 * h0) % 1000000007 * 2654435761 + h0)
+                   % 1000000007 AS h
+          FROM x)
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM k
+    """.format(h=_O_HASH.format(
+        s="'eshuf:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    )),
+)
+def c07_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7n: deterministic per-epoch corpus reshuffle
+    (operators/sampling.py::epoch_shuffle) — every training epoch gets
+    a different pseudo-random permutation of the corpus, reproducible
+    bit-for-bit on any cluster layout (the data-order half of training
+    reproducibility; rand() cannot give you a resumable epoch 3).
+    Order key = portable hash through a nonlinear scramble (the raw
+    polynomial hash is order-preserving in trailing characters — see
+    the operator docstring); positions come from the distributed
+    global_rank over (epoch, key, id) — one range shuffle, no
+    single-reducer window — rebased per epoch with a broadcast 1-row
+    count."""
+    docs = t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", n_epochs=_N_EPOCHS)

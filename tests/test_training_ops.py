@@ -675,3 +675,40 @@ def test_length_buckets_waste_fraction_exact(spark):
     [row] = length_buckets(df, "dl", pad_to=64).collect()
     assert row["bucket_len"] == 64
     assert row["waste_frac"] == (128 - 64) / 128.0
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle (deterministic per-epoch reshuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_permutation_per_epoch_and_layout_stable(spark):
+    from openweathermapapi_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(df, "doc_id", n_epochs=3).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1, 2}
+    for ep, m in by_epoch.items():
+        # A true permutation of 1..N per epoch.
+        assert sorted(m.values()) == list(range(1, 201)), ep
+    # Different epochs produce different orders...
+    assert by_epoch[0] != by_epoch[1]
+    # ...and the order actually scrambles: consecutive ids must not map
+    # to consecutive positions (the raw polynomial hash DOES preserve
+    # id order — the nonlinear scramble is what this pins).
+    for ep, m in by_epoch.items():
+        adjacent = sum(
+            1 for i in range(199) if abs(m[i + 1] - m[i]) == 1
+        )
+        assert adjacent < 20, (ep, adjacent)
+    # ...and the same epoch is bit-stable across cluster layouts.
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in epoch_shuffle(df.repartition(13), "doc_id", n_epochs=3)
+        .filter(F.col("epoch") == 1)
+        .collect()
+    }
+    assert again == by_epoch[1]
