@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_fold_hash
+from .text import char_fold_hash, hash_scramble
 
 
 def split_bucket(key: Column, salt: str = "split", n_buckets: int = 100) -> Column:
@@ -35,10 +35,17 @@ def split_bucket(key: Column, salt: str = "split", n_buckets: int = 100) -> Colu
 
     The salt decorrelates the split from any other use of the same
     hash on the same key (e.g. sampling): different salt → independent
-    bucket assignment.
+    bucket assignment. The fold hash goes through
+    :func:`~.text.hash_scramble` before the modulus — without it,
+    consecutive ids land in consecutive buckets and two salts of the
+    same length produce the SAME relative order (the fold hash is
+    order-preserving in trailing characters), which silently
+    correlates splits, sample order, and any id-adjacent structure.
     """
     return F.pmod(
-        char_fold_hash(F.concat(F.lit(salt + ":"), key.cast("string"))),
+        hash_scramble(
+            char_fold_hash(F.concat(F.lit(salt + ":"), key.cast("string")))
+        ),
         F.lit(n_buckets),
     )
 
@@ -275,7 +282,6 @@ def epoch_shuffle(
     """
     from .rank import global_rank
 
-    p, m = 1_000_000_007, 2_654_435_761  # Knuth's 2^32/phi multiplier
     epochs = (
         df.sparkSession.range(n_epochs)
         .select(F.col("id").cast("int").alias("epoch"))
@@ -291,11 +297,7 @@ def epoch_shuffle(
     keyed = (
         df.select(id_col)
         .crossJoin(F.broadcast(epochs))
-        .withColumn("_h0", h)
-        .withColumn(
-            "_h",
-            ((F.col("_h0") * F.col("_h0")) % p * F.lit(m) + F.col("_h0")) % p,
-        )
+        .withColumn("_h", hash_scramble(h))
     )
     ranked = global_rank(
         keyed,

@@ -42,6 +42,26 @@ def tokens(col: Column | str, sep: str = " ") -> Column:
     return F.split(c, sep)
 
 
+def hash_scramble(h: Column) -> Column:
+    """Nonlinear scramble over a :func:`char_fold_hash` value:
+    ``((h² mod P)·M + h) mod P`` with M = 2654435761 (Knuth's 2^32/φ).
+
+    Load-bearing wherever the HASH ORDER (not just the hash value) is
+    the randomness source — sampling order keys, split buckets, epoch
+    shuffles: the polynomial fold of same-length strings is
+    order-preserving in the trailing characters (ids i and i+1 hash 1
+    apart; a changed salt/epoch prefix shifts every same-length key by
+    the same constant), so raw-hash "random order" degrades to id
+    order and salts stop decorrelating. The quadratic term breaks the
+    linearity. Exact int64 arithmetic throughout (max intermediate
+    ≈ 2.7e18 < 2^63), so DuckDB oracles reproduce it bit-for-bit
+    (tier_c._O_SCRAMBLE). Collisions (x² ≡ (P−x)² mod P) are fine for
+    ordering — callers tie-break on the key.
+    """
+    p, m = 1_000_000_007, 2_654_435_761
+    return ((h * h) % F.lit(p) * F.lit(m) + h) % F.lit(p)
+
+
 def char_fold_hash(col: Column) -> Column:
     """Portable polynomial string hash: fold ``acc*31 + ascii(ch) mod P``
     over characters. DuckDB twin:

@@ -120,6 +120,11 @@ _R7_HEAD = [
     "b18_approx_topk_rollup",  # NEW this round (relational)
     "b48_udtf_polymorphic",  # NEW this round (udfs)
     "c07_epoch_shuffle",  # NEW this round (serving_q)
+    "c07_hash_split",  # split_bucket hash_scramble rework
+    "c07_stratified_sample",  # split_bucket hash_scramble rework
+    "c07_sequence_pack",  # split_bucket hash_scramble rework
+    "c07_group_split",  # split_bucket hash_scramble rework
+    "c07_weighted_sample",  # split_bucket hash_scramble rework
     "c03_pq_encode",  # round-6 red row: query surface stringified
     "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning

@@ -29,7 +29,7 @@ from ..operators.text import (
     tokens,
 )
 from .registry import register
-from .tier_c import _O_HASH, _lsh_oracle
+from .tier_c import _O_HASH, _O_SCRAMBLE, _lsh_oracle
 from .util import davg, o_davg, t
 
 # ---------------------------------------------------------------------------
@@ -197,7 +197,7 @@ def c04_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c07_hash_split",
     oracle=f"""
     WITH h AS (SELECT doc_id, lang, source,
-                      {_O_HASH.format(s="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                      {_O_SCRAMBLE.format(h=_O_HASH.format(s="'split:' || CAST(doc_id AS VARCHAR)"))} % 100
                         AS split_bucket
                FROM documents)
     SELECT doc_id, lang, source, split_bucket,
@@ -220,7 +220,7 @@ def c07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c07_stratified_sample",
     oracle=f"""
     WITH h AS (SELECT doc_id, lang,
-                      {_O_HASH.format(s="'sample:' || CAST(doc_id AS VARCHAR)")}
+                      {_O_SCRAMBLE.format(h=_O_HASH.format(s="'sample:' || CAST(doc_id AS VARCHAR)"))}
                         AS hk
                FROM documents),
     r AS (SELECT doc_id, lang,
@@ -498,7 +498,7 @@ def c07_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
              {_O_HASH.format(s="'pack:' || CAST(doc_id AS VARCHAR)")} % 8
                AS shard,
-             {_O_HASH.format(s="'pack-order:' || CAST(doc_id AS VARCHAR)")}
+             {_O_SCRAMBLE.format(h=_O_HASH.format(s="'pack-order:' || CAST(doc_id AS VARCHAR)"))}
                AS ord
       FROM documents),
     packed AS (
@@ -597,9 +597,9 @@ def c04_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _group_split_oracle() -> str:
     pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
-    bucket = _O_HASH.format(
+    bucket = _O_SCRAMBLE.format(h=_O_HASH.format(
         s="'gsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"
-    )
+    ))
     return f"""
     WITH RECURSIVE pairs AS ({pairs_sql}),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -797,7 +797,7 @@ def c07_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_O_HASH.format(s="'budget:' || CAST(doc_id AS VARCHAR)")}
+             {_O_SCRAMBLE.format(h=_O_HASH.format(s="'budget:' || CAST(doc_id AS VARCHAR)"))}
                % 1000000007 AS hkey
       FROM documents),
     c AS (

@@ -54,6 +54,16 @@ _O_HASH = (
     "(a, b) -> (a * 31 + b) % 1000000007)"
 )
 
+#: Oracle twin of operators/text.py::hash_scramble — the nonlinear
+#: post-mix every split/sample ORDER key needs (the raw fold hash is
+#: order-preserving in trailing characters). The single-element
+#: list_transform binds {h} to a lambda variable so the (large) hash
+#: expression is evaluated once, not three times.
+_O_SCRAMBLE = (
+    "list_transform([{h}], x -> "
+    "((x * x) % 1000000007 * 2654435761 + x) % 1000000007)[1]"
+)
+
 _O_SHINGLES = (
     "CASE WHEN len(tk) >= 3 THEN "
     "list_transform(generate_series(1, len(tk) - 2), "

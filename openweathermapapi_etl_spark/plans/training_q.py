@@ -26,7 +26,7 @@ from ..operators.timeseries import (
     time_weighted_avg,
 )
 from .registry import register
-from .tier_c import _O_HASH
+from .tier_c import _O_HASH, _O_SCRAMBLE
 from .util import dsum, o_dsum, t
 
 # ---------------------------------------------------------------------------
@@ -219,7 +219,7 @@ def c03_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pri AS (
       SELECT doc_id, source, n_chars,
-             ln(({_O_HASH.format(s="'wsample:' || CAST(doc_id AS VARCHAR)")}
+             ln(({_O_SCRAMBLE.format(h=_O_HASH.format(s="'wsample:' || CAST(doc_id AS VARCHAR)"))}
                  + 1.0) / 1000000008.0)
                / CAST(n_chars AS DOUBLE) AS p
       FROM documents WHERE n_chars > 0)
@@ -580,7 +580,7 @@ def b24_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
-             {_O_HASH.format(s="'quota:' || CAST(doc_id AS VARCHAR)")} AS hkey
+             {_O_SCRAMBLE.format(h=_O_HASH.format(s="'quota:' || CAST(doc_id AS VARCHAR)"))} AS hkey
       FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
                  CAST(SUM(n_tokens) OVER (PARTITION BY source
