@@ -1858,3 +1858,51 @@ def b09_try_cast_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").alias("n_parsed"),
         F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("parsed_sum"),
     )
+
+
+@register(
+    "b55_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(doc_id, node, depth) AS (
+      SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, (node - 1) // 2 AS node, depth + 1 AS depth
+      FROM anc WHERE node > 0
+    )
+    SELECT doc_id,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS chain_len
+    FROM anc GROUP BY doc_id
+    """,
+)
+def b55_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — hierarchy
+    traversal in one SQL statement: walk each document up an implicit
+    binary-heap parent chain (parent = (id−1) div 2) and report depth
+    and chain length. This is the declarative spelling for
+    bounded-depth hierarchies (org charts, BOMs, folder trees): the
+    engine materializes one union-step per level, so depth ≈ log n
+    here means ~10 iterations whose intermediate is at most one row
+    per (doc, level). For unbounded/high-diameter graphs the iterative
+    operator with per-round localCheckpoint (operators/cluster.py) is
+    still the scale path — recursion levels replay lineage the same
+    way any iteration does, and Spark caps them
+    (spark.sql.cteRecursionLevelLimit) rather than spilling state.
+
+    Depth sanity by construction: doc_id d has depth floor(log2(d+1))
+    and chain_len = depth+1."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+          UNION ALL
+          SELECT doc_id, (node - 1) DIV 2 AS node, depth + 1 AS depth
+          FROM anc WHERE node > 0
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               COUNT(*) AS chain_len
+        FROM anc GROUP BY doc_id
+        """
+    )
