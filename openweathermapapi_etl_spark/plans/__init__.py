@@ -121,6 +121,7 @@ _R7_HEAD = [
     "b48_udtf_polymorphic",  # NEW this round (udfs)
     "c07_epoch_shuffle",  # NEW this round (serving_q)
     "b55_recursive_cte",  # NEW this round (relational)
+    "b56_sql_pipe_syntax",  # NEW this round (relational)
     "c07_hash_split",  # split_bucket hash_scramble rework
     "c07_stratified_sample",  # split_bucket hash_scramble rework
     "c07_sequence_pack",  # split_bucket hash_scramble rework

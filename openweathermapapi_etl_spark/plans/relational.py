@@ -1906,3 +1906,38 @@ def b55_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY doc_id
         """
     )
+
+
+@register(
+    "b56_sql_pipe_syntax",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS total_price
+    FROM orders o
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b56_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: SQL pipe syntax + parameterized SQL — Spark 4's |>
+    operator chain (FROM … |> WHERE … |> AGGREGATE … GROUP BY) with
+    the filter value bound as a named server-side parameter instead of
+    string interpolation. Same logical plan as the SELECT spelling
+    (the oracle IS the classic form — identical hash proves the
+    surface is sugar, not semantics), but the pipeline order reads in
+    execution order and parameter binding is injection-safe and
+    plan-cache-friendly. The decimal-trick sum rides inside AGGREGATE
+    unchanged."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        FROM orders
+        |> WHERE o_orderstatus = :status
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE)
+                       AS total_price
+           GROUP BY o_orderpriority
+        """,
+        args={"status": "F"},
+    )
