@@ -67,14 +67,22 @@ def compaction_plan(
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     existing = set(files.columns)
+    if bin_name == offset_name:
+        raise ValueError(
+            f"bin_name and offset_name must differ, got {bin_name!r}"
+        )
     clash = {bin_name, offset_name} & existing
     if clash:
         raise ValueError(
             f"output column(s) {sorted(clash)} already exist in the "
             "inventory; pass bin_name/offset_name that don't collide"
         )
+    # The temp must dodge the REQUESTED output names too, or e.g.
+    # offset_name="_incl_bytes" would overwrite the running total and
+    # then drop the offset column it just wrote.
+    taken = existing | {bin_name, offset_name}
     tmp = "_incl_bytes"
-    while tmp in existing:
+    while tmp in taken:
         tmp = "_" + tmp
     with_cum = prefix_sum(files, order_by, bytes_col, out_col=tmp, pin=pin)
     excl = (F.col(tmp) - F.col(bytes_col)).cast("long")

@@ -253,6 +253,7 @@ def epoch_shuffle(
     n_epochs: int = 2,
     salt: str = "eshuf",
     out_col: str = "pos",
+    pin: bool = True,
 ) -> DataFrame:
     """Deterministic per-epoch corpus reshuffle: for each training
     epoch, assign every row a 1-based position in a pseudo-random
@@ -299,11 +300,14 @@ def epoch_shuffle(
         .crossJoin(F.broadcast(epochs))
         .withColumn("_h", hash_scramble(h))
     )
+    # pin defaults True like global_rank's own: pass pin=False only
+    # when df's lineage is deterministic (plain scans), where recompute
+    # reproduces identical partitions (see rank.py pinning policy).
     ranked = global_rank(
         keyed,
         [F.col("epoch"), F.col("_h"), F.col(id_col)],
         rank_name="_grnk",
-        pin=False,  # deterministic lineage: parquet scan x literal epochs
+        pin=pin,
     )
     total = df.select(F.count("*").alias("_n"))
     return (

@@ -32,10 +32,11 @@ def canonicalizable_violations(schema) -> list[str]:
     """
     from pyspark.sql import types as T
 
+    bad = (T.ArrayType, T.MapType, T.StructType, T.VariantType)
     return [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        if isinstance(f.dataType, bad)
     ]
 
 

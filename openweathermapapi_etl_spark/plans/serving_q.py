@@ -202,23 +202,16 @@ def b10_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint of the small agg result) and restored before
     returning; co-resident queries never see them.
     """
+    from ..session import conf_window
+
     # Build the lazy plan FIRST: t() routes through prep(), which
     # (re)pins the session's broadcast threshold — the conf window must
     # open after that, or prep un-does the demonstration confs.
     agg = _bloom_join_agg(spark, sf_dir)
-    prevs = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, val in _BLOOM_CONFS.items():
-        spark.conf.set(k, val)
-    try:
+    with conf_window(spark, _BLOOM_CONFS):
         # Materialize while the confs are live (tiny: one row per
         # order priority), so the runtime filter really ran.
         return agg.localCheckpoint(eager=True)
-    finally:
-        for k, prev in prevs.items():
-            if prev is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, prev)
 
 
 def _bloom_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,4 +271,5 @@ def c07_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-reducer window — rebased per epoch with a broadcast 1-row
     count."""
     docs = t(spark, sf_dir, "documents")
-    return epoch_shuffle(docs, "doc_id", n_epochs=_N_EPOCHS)
+    # pin=False: deterministic parquet lineage (see rank.py policy).
+    return epoch_shuffle(docs, "doc_id", n_epochs=_N_EPOCHS, pin=False)

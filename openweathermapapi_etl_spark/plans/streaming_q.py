@@ -831,11 +831,11 @@ def b40_tumbling_window_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins that RocksDB was really engaged (rocksdb* metrics in
     stateOperators.customMetrics). The provider conf is restored after
     the run so co-resident queries keep their backend."""
+    from ..session import conf_window
+
     prep(spark)
     key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _ROCKSDB_PROVIDER)
-    try:
+    with conf_window(spark, {key: _ROCKSDB_PROVIDER}):
         d = _replay_dir(spark, sf_dir, "b40r")
         stream = replay_files_stream(spark, d, EVENTS)
         agg = (
@@ -849,14 +849,9 @@ def b40_tumbling_window_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return run_to_memory(agg, "b40r_out", "complete")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
 
-def _b53_timeout_plan(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+def _b53_timeout_plan(spark: SparkSession, sf_dir: str, tag: str):
     """The shared B53 plan (see :func:`b53_state_timeout_expiry` for
     semantics): timer-closed per-key summaries over a 3-file replay,
     parameterized by replay-dir tag so the default-store and RocksDB
@@ -954,16 +949,11 @@ def b53_state_timeout_expiry_rocksdb(spark: SparkSession, sf_dir: str) -> DataFr
     backend swap is semantics-free; a pytest pins that RocksDB was
     really engaged and that the session conf is restored after the
     run."""
+    from ..session import conf_window
+
     key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _ROCKSDB_PROVIDER)
-    try:
+    with conf_window(spark, {key: _ROCKSDB_PROVIDER}):
         return _b53_timeout_plan(spark, sf_dir, "b53r")[0]
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
 
 @register(

@@ -170,7 +170,9 @@ def b48_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split(" ")):
+            if text is None:
+                return  # oracle twin: unnest(string_split(NULL)) = 0 rows
+            for i, w in enumerate(text.split(" ")):
                 yield w, i
 
     spark.udtf.register("enumerate_tokens", EnumerateTokens)

@@ -20,6 +20,7 @@ a starting parallelism, not a hand-tuned constant.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,3 +76,28 @@ def get_session(app_name: str = "openweathermapapi-etl-spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return prep(spark)
+
+
+@contextmanager
+def conf_window(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set session confs; restore (or unset) on exit.
+
+    The one implementation of the save/set/try/finally idiom every
+    conf-scoped demonstration needs (RocksDB state-store flavors, the
+    runtime bloom-filter join, their pin tests): a fix to the restore
+    semantics lands here once instead of in five copies. Remember that
+    conf reads happen at ACTION time for batch plans — build lazy
+    plans before opening the window if a prep() call inside them would
+    re-pin a conf you are overriding, and materialize inside it.
+    """
+    prevs = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, prev in prevs.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)

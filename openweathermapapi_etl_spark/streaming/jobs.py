@@ -243,9 +243,3 @@ def run_until_state_drained_query(
     finally:
         q.stop()
 
-
-def run_until_state_drained(
-    stream_df: DataFrame, name: str, timeout_s: float = 180.0
-) -> DataFrame:
-    """:func:`run_until_state_drained_query`, table only."""
-    return run_until_state_drained_query(stream_df, name, timeout_s)[0]

@@ -319,23 +319,16 @@ def test_bloom_runtime_filter_injected_and_conf_restored(spark, sf):
         _bloom_join_agg,
     )
 
+    from openweathermapapi_etl_spark.session import conf_window
+
     # Lazy plan first: _bloom_join_agg routes through prep(), which
     # re-pins the broadcast threshold — same ordering as the query.
     agg = _bloom_join_agg(spark, sf)
     before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    prevs = dict(before)
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with conf_window(spark, _BLOOM_CONFS):
         plan = agg._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in plan, plan[:2000]
         assert "might_contain" in plan, plan[:2000]
-    finally:
-        for k, prev in prevs.items():
-            if prev is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, prev)
 
     # The registered query manages (and restores) the confs itself.
     assert QUERIES["b10_bloom_runtime_filter"](spark, sf).count() > 0

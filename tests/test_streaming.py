@@ -334,12 +334,12 @@ def test_rocksdb_state_store_is_engaged_and_conf_restored(spark, sf_dir):
     from openweathermapapi_etl_spark.schemas import EVENTS as EV_SCHEMA
     from openweathermapapi_etl_spark.streaming.jobs import run_to_memory_query
 
+    from openweathermapapi_etl_spark.session import conf_window
+
     key = "spark.sql.streaming.stateStore.providerClass"
     before = spark.conf.get(key, None)
 
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _ROCKSDB_PROVIDER)
-    try:
+    with conf_window(spark, {key: _ROCKSDB_PROVIDER}):
         d = _replay_dir(spark, sf_dir, "rocks_pin")
         stream = replay_files_stream(spark, d, EV_SCHEMA)
         agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -347,11 +347,6 @@ def test_rocksdb_state_store_is_engaged_and_conf_restored(spark, sf_dir):
         assert df.count() > 0
         metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
         assert any(k.startswith("rocksdb") for k in metrics), metrics
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
     # The registered query manages the conf itself — run it end-to-end
     # and check restoration.
@@ -397,22 +392,17 @@ def test_rocksdb_backs_timer_state_and_conf_restored(spark):
         _b53_timeout_plan,
     )
 
+    from openweathermapapi_etl_spark.session import conf_window
+
     sf_dir = "/root/testdata/sf0.001"
     key = "spark.sql.streaming.stateStore.providerClass"
     before = spark.conf.get(key, None)
 
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _ROCKSDB_PROVIDER)
-    try:
+    with conf_window(spark, {key: _ROCKSDB_PROVIDER}):
         table, q = _b53_timeout_plan(spark, sf_dir, "b53r_pin")
         assert table.count() > 0
         metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
         assert any(k.startswith("rocksdb") for k in metrics), metrics
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
     # The registered query manages the conf itself.
     from openweathermapapi_etl_spark.plans import QUERIES

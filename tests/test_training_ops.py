@@ -712,3 +712,23 @@ def test_epoch_shuffle_is_permutation_per_epoch_and_layout_stable(spark):
         .collect()
     }
     assert again == by_epoch[1]
+
+
+def test_compaction_plan_output_names_cannot_clobber_internal_temp(spark):
+    """Review follow-up: an output name equal to the internal running
+    total's default temp must not clobber it — the temp dodges the
+    REQUESTED names too, and bin_name == offset_name is rejected."""
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.compaction import compaction_plan
+
+    df = spark.createDataFrame([("a", 10), ("b", 20)], "path string, bytes long")
+    out = compaction_plan(
+        df, ["path"], "bytes", 100,
+        bin_name="bin_id", offset_name="_incl_bytes",
+    )
+    rows = {r["path"]: (r["_incl_bytes"], r["bin_id"]) for r in out.collect()}
+    assert rows == {"a": (0, 0), "b": (10, 0)}
+    with pytest.raises(ValueError, match="must differ"):
+        compaction_plan(df, ["path"], "bytes", 100,
+                        bin_name="x", offset_name="x")
