@@ -356,3 +356,41 @@ def test_length_buckets_single_partial_agg(spark, sf):
     assert len(re.findall(r"\bExchange\b", tree)) <= 2
     assert "Join" not in tree
     assert "Window" not in tree
+
+
+def test_aqe_skew_join_actually_splits_hot_partition(spark):
+    """The substrate claim SCALE.md leads with — 'AQE skew-join
+    splitting is the first line of defense' — proven live, not just
+    conf'd: a join keyed 200k-rows-hot on one key must come back from
+    execution with SortMergeJoin(skew=true) and an AQEShuffleRead that
+    reports skew handling. Thresholds are lowered through conf_window
+    to make the 200k-row fixture cross the (production-sized) byte
+    gates; the session's skewJoin conf is what engages."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.session import conf_window
+
+    left = spark.range(0, 201_000).select(
+        F.when(F.col("id") < 200_000, 0)
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    with conf_window(spark, confs):
+        j = left.join(right, "k")
+        assert len(j.collect()) == 201_000  # hot key matches k=0 once
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+    assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
+    assert "skewed" in plan  # AQEShuffleRead argument
