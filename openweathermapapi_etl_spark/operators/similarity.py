@@ -173,6 +173,96 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    centroid_mod: int = 40,
+) -> DataFrame:
+    """C2g: SemDeDup — cluster-bucketed SEMANTIC deduplication
+    (Abbas et al. 2023, arXiv:2303.09540): assign every embedding to
+    its nearest coarse centroid, compare pairs only WITHIN a cluster,
+    and drop every vector that has a lower-id in-cluster neighbor with
+    ``cosine >= threshold``. The min-id representative of each
+    near-duplicate group survives; chains are handled because each
+    non-representative needs only ONE lower-id witness.
+
+    This is the cluster-bucketed complement to the LSH-bucketed
+    :func:`embedding_neardup_pairs`: LSH bounds candidates by hash
+    bucket (recall < 1 for pairs straddling a hyperplane), SemDeDup by
+    semantic cell (recall < 1 for pairs straddling a centroid
+    boundary) — the paper's observation is that near-duplicates
+    *by construction* land in the same cell, so the within-cell
+    quadratic is the right candidate generator for semantic dups.
+
+    Scale shape: centroids are broadcast (k vectors); assignment is
+    one corpus pass with a map-side-combinable argmax agg (same
+    single-pass inverted-file discipline as :func:`cosine_topk_ivf`);
+    the pair join is an equi-join on ``centroid_id`` — quadratic only
+    within a cell, never corpus². At 100 TB, k scales with corpus size
+    (the paper uses k ≈ √N clusters from a trained k-means — swap
+    :func:`kmeans_update` centroids in; the deterministic
+    ``id % centroid_mod`` stand-in keeps this oracle-expressible).
+
+    Returns every corpus row: (id, centroid_id, is_kept).
+    """
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        norm_fold(F.col(vec_col)).alias("cvn"),
+    )
+    normed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("vn"),
+    )
+    cs = cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
+    assigned = (
+        normed.join(F.broadcast(cent))
+        .select("vid", "v", "vn", "centroid_id", cs.alias("cs"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("centroid_id"),
+            F.any_value("v").alias("v"),
+            F.any_value("vn").alias("vn"),
+        )
+    )
+    lo = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vid").alias("id_lo"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    hi = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vid").alias("id_hi"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    dropped = (
+        lo.join(hi, on="cid")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(
+            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_hi").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), on="vid", how="left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.cluster import dedup_clusters
 from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 from ..operators.sampling import hash_split, mixture_expand, stratified_sample
-from ..operators.similarity import label_centroids
+from ..operators.similarity import label_centroids, semdedup
 from ..operators.text import (
     EMAIL_RE,
     contamination_flags,
@@ -1087,4 +1087,60 @@ def c07_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 continued — SemDeDup (cluster-bucketed semantic dedup)
+# ---------------------------------------------------------------------------
+
+from .tier_c import _O_NORMS, _o_dot  # noqa: E402 (shared cosine oracle spellings)
+
+_SEM_TAU = 0.3
+_SEM_CMOD = 40
+
+
+@register(
+    "c02_semdedup",
+    oracle=f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT e.vec_id AS centroid_id, e.embedding AS cv, n.nrm AS cvn
+             FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+             WHERE e.vec_id % {_SEM_CMOD} = 0),
+    scored AS (SELECT e.vec_id AS vid, e.embedding AS v, n.nrm AS vn,
+                      c.centroid_id,
+                      {_o_dot('e.embedding', 'c.cv')} / (n.nrm * c.cvn) AS cs
+               FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+               CROSS JOIN cent c),
+    assigned AS (SELECT vid, v, vn, centroid_id FROM (
+        SELECT vid, v, vn, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) r WHERE rn = 1),
+    dropped AS (SELECT DISTINCT b.vid AS vid
+                FROM assigned a JOIN assigned b
+                  ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+                WHERE {_o_dot('a.v', 'b.v')} / (a.vn * b.vn) >= {_SEM_TAU})
+    SELECT a.vid AS vec_id, a.centroid_id,
+           (d.vid IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vid = a.vid
+    """,
+)
+def c02_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g: SemDeDup — semantic near-duplicate pruning bucketed by
+    coarse k-means cell (operators/similarity.py::semdedup; Abbas et
+    al. 2023). Nearest-centroid assignment (broadcast centroids, one
+    corpus pass, argmax agg), then pairwise cosine ONLY within a cell;
+    a vector is dropped iff a lower-id cell-mate scores >= {_SEM_TAU}.
+    The min-id representative of every duplicate group survives, and
+    every corpus row comes back with (centroid_id, is_kept) so the
+    keep-filter composes with downstream splits. Complements the
+    LSH-bucketed c02_embedding_neardup: cluster-bucketing is the
+    candidate generator that matches how SEMANTIC dups distribute.
+    Quadratic only within a cell (k ≈ √N trained centroids at scale;
+    deterministic id-mod seeds here keep the oracle SQL-expressible).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", threshold=_SEM_TAU, centroid_mod=_SEM_CMOD
     )

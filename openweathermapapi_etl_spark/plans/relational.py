@@ -1941,3 +1941,73 @@ def b56_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F"},
     )
+
+
+@register(
+    "b57_lateral_topk_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def b57_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: correlated LATERAL subquery join — each BUILDING-segment
+    customer is joined to *their own* top-2 orders by price, the SQL
+    standard's spelling of per-key top-k-from-another-table (the
+    procedural alternative is a join + window + filter; B28 covers
+    that spelling over one table). Spark decorrelates the lateral
+    subquery into a join + per-key ranking rather than re-executing it
+    per outer row, so the plan is the same shuffle-once shape as B28 —
+    no nested-loop N·M hazard at scale — and the segment filter pushes
+    to the customer scan. LIMIT ties break on o_orderkey so both
+    engines pick identical rows. Customers with no orders are dropped
+    (inner lateral), matching the oracle."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "b58_group_by_all",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY ALL ORDER BY ALL
+    """,
+)
+def b58_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58: GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics
+    surface (every non-aggregate select item becomes a grouping key;
+    every output column becomes a sort key) that DuckDB introduced and
+    Spark adopted in 3.4/4.x. Same physical plan as the explicit
+    spelling (partial+final hash agg, one exchange; the global sort is
+    6 rows) — the point of the row is that the resolver expands ALL
+    identically in both engines, pinned by the value hash against the
+    oracle's own GROUP BY ALL form."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY ALL ORDER BY ALL
+        """
+    )
