@@ -320,3 +320,52 @@ def epoch_shuffle(
             ),
         )
     )
+
+
+def domain_mix_plan(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """C7n: domain-mixture planning — given per-document token counts,
+    a target mixture (domain → weight) and a total token budget,
+    report per domain how many tokens exist, how many the mixture
+    wants, and the repetition factor (epochs) needed to fill the gap.
+    This is the static planning half of a DoReMi/DoGE-style mixture
+    loop: the trainer's sampler consumes exactly this table (domains
+    with ``epochs > 1`` are upsampled/repeated, ``epochs < 1``
+    subsampled; :func:`mixture_expand` and :func:`weighted_sample` are
+    the executors of the plan downstream).
+
+    Weights for domains absent from ``weights`` default to 0 (domain
+    excluded). Arithmetic: token sums are exact int64; ``target`` is
+    one IEEE multiply of the literal weight by the int budget and
+    ``epochs`` one division — row-local, bit-stable across engines.
+    Shape: one map-side-combinable groupBy over |domains| keys; no
+    joins (the weight table is a literal CASE/map, not a shuffle).
+
+    Returns (domain, n_docs, available_tokens, weight, target_tokens,
+    epochs, needs_upsampling), one row per domain present in ``df``.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("available_tokens"),
+    )
+    w = F.coalesce(wmap[F.col("domain")], F.lit(0.0))
+    target = w * F.lit(float(budget_tokens))
+    return agg.select(
+        "domain",
+        "n_docs",
+        "available_tokens",
+        w.alias("weight"),
+        target.alias("target_tokens"),
+        (target / F.col("available_tokens").cast("double")).alias("epochs"),
+        (target > F.col("available_tokens").cast("double")).alias(
+            "needs_upsampling"
+        ),
+    )

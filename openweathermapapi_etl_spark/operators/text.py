@@ -411,3 +411,18 @@ def bm25_topk(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
+
+
+def bigram_pairs(tok: Column) -> Column:
+    """Adjacent token pairs as ``array<struct<w1,w2>>`` — array-local
+    (no explode-then-window), so bigram extraction costs zero
+    shuffles. ``transform`` with index pairs element i with element
+    i+2 (``element_at`` is 1-based); callers filter empties BEFORE
+    calling so positions are contiguous. Oracle twin: DuckDB
+    ``unnest(generate_series(1, len(tk)-1))`` + ``tk[i]/tk[i+1]``."""
+    return F.transform(
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(tok, i + F.lit(2)).alias("w2")
+        ),
+    )

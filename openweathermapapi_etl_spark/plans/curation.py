@@ -17,12 +17,18 @@ from pyspark.sql import functions as F
 
 from ..operators.cluster import dedup_clusters
 from ..operators.dedup import lsh_candidate_pairs, minhash_signature
-from ..operators.sampling import hash_split, mixture_expand, stratified_sample
+from ..operators.sampling import (
+    domain_mix_plan,
+    hash_split,
+    mixture_expand,
+    stratified_sample,
+)
 from ..operators.similarity import label_centroids, semdedup
 from ..operators.text import (
     EMAIL_RE,
     contamination_flags,
     PHONE_RE,
+    bigram_pairs,
     ngram_repetition_stats,
     pii_counts,
     redact_pii,
@@ -1143,4 +1149,135 @@ def c02_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return semdedup(
         emb, "vec_id", "embedding", threshold=_SEM_TAU, centroid_mod=_SEM_CMOD
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — interpolated bigram LM; C7 continued — domain mixture plan
+# ---------------------------------------------------------------------------
+
+_MIX_W = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET = 10_000_000
+
+
+@register(
+    "c04_bigram_interp_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                 FROM documents),
+    n AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok FROM tok),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+              (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+    idx AS (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tok),
+    big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx),
+    bigc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM big GROUP BY w1, w2),
+    scored AS (SELECT b.doc_id,
+            1000000.0 * (0.5 * (CAST(c.c12 AS DOUBLE) / CAST(u1.cnt AS DOUBLE))
+                       + 0.5 * (CAST(u2.cnt AS DOUBLE) / CAST(n.n_tok AS DOUBLE)))
+              AS p_ppm
+      FROM big b
+      JOIN bigc c ON c.w1 = b.w1 AND c.w2 = b.w2
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN n)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {o_davg('p_ppm')} AS mean_interp_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def c04_bigram_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4m: interpolated bigram LM quality score — the 2-gram upgrade
+    of c04_unigram_logprob: every adjacent token pair is scored
+    ``λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N`` (Jelinek–Mercer smoothing,
+    λ=0.5; unigram counts as the backoff context) and averaged per
+    document — low mean ⇒ the document's word ORDER looks nothing
+    like the corpus, the signal unigram frequency misses (word-salad
+    spam has healthy unigrams). Probabilities are scaled to ppm
+    BEFORE the decimal-trick mean so DECIMAL(38,6) quantization keeps
+    6 significant decimals of signal (raw p ~ 1e-5 would drown).
+    All counts exact int64; each score is 3 IEEE row-local ops —
+    bit-stable. Shape: array-local bigram extraction
+    (operators/text.py::bigram_pairs, zero shuffles) → two keyed
+    count aggs → three lookup joins → doc-keyed mean. At 100 TB the
+    LM tables prune to top-K + OOV and broadcast, the same map-side
+    plan as c04_unigram_logprob_topk. Docs with < 2 tokens drop out
+    (no bigrams), matching the oracle's inner joins."""
+    d = t(spark, sf_dir, "documents")
+    tokf = F.filter(tokens("text"), lambda x: x != "")
+    big = (
+        d.select("doc_id", F.explode(bigram_pairs(tokf)).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tok = d.select(F.explode(tokf).alias("w"))
+    n_tok = tok.groupBy().agg(F.count("*").alias("n_tok"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    bigc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        big.join(bigc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "doc_id",
+            (
+                F.lit(1000000.0)
+                * (
+                    F.lit(0.5)
+                    * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+                    + F.lit(0.5)
+                    * (F.col("c2").cast("double") / F.col("n_tok").cast("double"))
+                )
+            ).alias("p_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), davg("p_ppm", "mean_interp_ppm")
+    )
+
+
+def _mix_case() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {w!r}" for k, w in _MIX_W.items())
+    return f"CASE lang {arms} ELSE 0.0 END"
+
+
+@register(
+    "c07_domain_mix",
+    oracle=f"""
+    WITH d AS (SELECT lang,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           t -> t <> '')) AS BIGINT) AS n_tok
+               FROM documents),
+    agg AS (SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS available_tokens,
+                   ANY_VALUE({_mix_case()}) AS weight
+            FROM d GROUP BY lang)
+    SELECT domain, n_docs, available_tokens, weight,
+           weight * {float(_MIX_BUDGET)!r} AS target_tokens,
+           (weight * {float(_MIX_BUDGET)!r})
+             / CAST(available_tokens AS DOUBLE) AS epochs,
+           (weight * {float(_MIX_BUDGET)!r})
+             > CAST(available_tokens AS DOUBLE) AS needs_upsampling
+    FROM agg
+    """,
+)
+def c07_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7n: domain-mixture plan (operators/sampling.py::
+    domain_mix_plan) — per-language token inventory vs a literal
+    target mixture over a 10M-token budget: available tokens, target
+    tokens, repetition factor (epochs) and the upsampling flag the
+    training sampler consumes (DoReMi-style static mixture planning;
+    mixture_expand / weighted_sample execute it downstream). One
+    |domains|-key groupBy, weight lookup is a literal map — no joins,
+    no shuffle beyond the partial agg; identical at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    with_tok = d.select(
+        "lang",
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("n_tok"),
+    )
+    return domain_mix_plan(
+        with_tok, "lang", "n_tok", _MIX_W, _MIX_BUDGET
     )
