@@ -972,3 +972,84 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension [min, max] ranges for scalar quantization, folded
+    into ONE broadcast-able row of (mins, spans) arrays in dimension
+    order. posexplode → 64-key min/max agg (map-side combined: the
+    wire carries 64 x nPartitions rows, never corpus x dim) → a single
+    collect_list row. The stats row is dim-sized — always broadcast."""
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .select(F.col("i"), F.col("x").cast("double").alias("x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("mn"), F.col("mx")))
+        ).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda p: p["mn"]).alias("mins"),
+        F.transform(F.col("s"), lambda p: p["mx"] - p["mn"]).alias("spans"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """C3i: int8 scalar quantization (SQ8) — each float dimension maps
+    to an 8-bit code on a per-dimension [min, max] grid:
+    ``code = clamp(floor((x - min) * 255 / span), 0, 255)``. 4x/8x
+    compression with a trivial codec — the quantization tier BELOW
+    product quantization (PQ trades more accuracy for 32x; SQ8 is
+    what vector stores default to when recall matters). Returns
+    (id, sq_codes array<int> in dimension order, distortion = exact
+    sequential-fold sum of squared reconstruction error
+    ``x - (min + code·span/255)``).
+
+    Scale shape: one corpus pass for stats (:func:`sq8_stats`,
+    map-side-combined 64-key agg), one broadcast-stats-row corpus pass
+    to encode — no joins, no corpus shuffle at all. Degenerate
+    constant dimensions (span == 0) encode to 0 and reconstruct to
+    ``min`` exactly. Every arithmetic step is a row-local IEEE op in a
+    fixed order, so a SQL engine reproducing the same expression tree
+    bit-matches codes AND distortion."""
+    srow = sq8_stats(corpus, vec_col, dim)
+    v = F.col(vec_col)
+
+    def code_at(x, i):
+        mn = F.element_at(F.col("mins"), i + F.lit(1))
+        span = F.element_at(F.col("spans"), i + F.lit(1))
+        xd = x.cast("double")
+        c = F.when(
+            span > 0,
+            F.least(
+                F.greatest(F.floor((xd - mn) * F.lit(255.0) / span), F.lit(0)),
+                F.lit(255),
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+        dq = mn + c.cast("double") * span / F.lit(255.0)
+        return F.struct(
+            c.alias("code"), ((xd - dq) * (xd - dq)).alias("e2")
+        )
+
+    enc = (
+        corpus.crossJoin(F.broadcast(srow))
+        .select(
+            F.col(id_col),
+            F.transform(v, code_at).alias("p"),
+        )
+        .select(
+            id_col,
+            F.transform(F.col("p"), lambda q: q["code"]).alias("sq_codes"),
+            F.aggregate(
+                F.col("p"), F.lit(0.0), lambda acc, q: acc + q["e2"]
+            ).alias("distortion"),
+        )
+    )
+    return enc

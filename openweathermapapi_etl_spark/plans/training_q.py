@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..operators.compaction import compaction_plan
 from ..operators.sampling import weighted_sample
-from ..operators.similarity import adc_topk, pq_codebook_train, pq_encode
+from ..operators.similarity import (
+    adc_topk,
+    pq_codebook_train,
+    pq_encode,
+    sq8_encode,
+)
 from ..operators.text import token_chunks, tokens
 from ..operators.timeseries import (
     ewma_smooth,
@@ -965,4 +970,68 @@ def b22_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
         lag.alias("lag_us"),
         (lag > _STALE_US).alias("is_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+_SQ_DIM = 64
+
+
+@register(
+    "c03_sq8_encode",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_SQ_DIM})) AS j),
+    stats AS (SELECT j, MIN(CAST(embedding[j] AS DOUBLE)) AS mn,
+                     MAX(CAST(embedding[j] AS DOUBLE)) AS mx
+              FROM embeddings, dims GROUP BY j),
+    srow AS (SELECT list(mn ORDER BY j) AS mins,
+                    list(mx - mn ORDER BY j) AS spans
+             FROM stats),
+    enc AS (SELECT vec_id,
+        list_transform(generate_series(1, {_SQ_DIM}), i ->
+          CASE WHEN spans[i] > 0 THEN
+            CAST(LEAST(GREATEST(FLOOR((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                      * 255.0 / spans[i]), 0), 255) AS INTEGER)
+          ELSE 0 END) AS codes,
+        mins, spans, embedding
+      FROM embeddings CROSS JOIN srow)
+    SELECT vec_id,
+           list_reduce(list_transform(codes, c -> CAST(c AS VARCHAR)),
+                       (x, y) -> x || '-' || y) AS sq_codes,
+           list_reduce(list_transform(generate_series(1, {_SQ_DIM}), i ->
+             (CAST(embedding[i] AS DOUBLE)
+                - (mins[i] + CAST(codes[i] AS DOUBLE) * spans[i] / 255.0))
+             * (CAST(embedding[i] AS DOUBLE)
+                - (mins[i] + CAST(codes[i] AS DOUBLE) * spans[i] / 255.0))),
+             (x, y) -> x + y) AS distortion
+    FROM enc
+    """,
+)
+def c03_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3i: int8 scalar quantization (operators/similarity.py::
+    sq8_encode) — per-dimension [min, max] grid, 8-bit codes, exact
+    reconstruction distortion. The quantization tier below PQ (C3f):
+    4x compression at near-full recall vs PQ's 32x, the default in
+    most vector stores. Two corpus passes, ZERO corpus shuffles: the
+    stats pass is a map-side-combined 64-key min/max agg folded into
+    one broadcast (mins, spans) row; encoding is then row-local
+    against the broadcast. Codes come back '-'-joined (driver output
+    contract); distortion differs from 0.0 + e1 + ... on no element,
+    because the oracle folds the same doubles in the same order.
+
+    Caveat mirrored on both sides: DuckDB's bare list_reduce has no
+    init accumulator, so the codes string folds l[1]||(...) — Spark
+    concat_ws reproduces it; the distortion fold seeds 0.0 on the
+    Spark side, which is exact (0.0 + x == x)."""
+    emb = t(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, "vec_id", "embedding", dim=_SQ_DIM)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("sq_codes").cast("array<string>")).alias(
+            "sq_codes"
+        ),
+        "distortion",
     )

@@ -732,3 +732,159 @@ def test_compaction_plan_output_names_cannot_clobber_internal_temp(spark):
     with pytest.raises(ValueError, match="must differ"):
         compaction_plan(df, ["path"], "bytes", 100,
                         bin_name="x", offset_name="x")
+
+
+# ---------------------------------------------------------------------------
+# semdedup (cluster-bucketed semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], schema
+    )
+
+
+def test_semdedup_drops_higher_id_near_duplicates_only(spark):
+    from openweathermapapi_etl_spark.operators.similarity import semdedup
+
+    # centroid_mod=2 → centroids are ids 0 and 2. Vectors 0/1 are
+    # identical (cos 1.0, same cell) → 1 drops; vector 2 is orthogonal
+    # (own cell, kept); vector 3 is near 2 but below threshold → kept.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 1.2]),  # cos vs [0,1] = 1.2/sqrt(2.44) ≈ 0.768 < 0.9
+    ]
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["is_kept"])
+        for r in semdedup(
+            _vec_df(spark, rows), threshold=0.9, centroid_mod=2
+        ).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)  # duplicate of 0, higher id → dropped
+    assert got[2] == (2, True)
+    assert got[3][0] == 2 and got[3][1] is True  # similar but sub-threshold
+
+
+def test_semdedup_transitive_chain_keeps_only_min_id(spark):
+    from openweathermapapi_etl_spark.operators.similarity import semdedup
+
+    # Three near-identical vectors in one cell: only min id survives,
+    # each later one has SOME lower-id witness (not necessarily id 0).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),
+        (2, [1.0, 0.02]),
+    ]
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup(
+            _vec_df(spark, rows), threshold=0.99, centroid_mod=10
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# sq8_encode (int8 scalar quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_codes_hit_grid_endpoints_and_zero_distortion_on_grid(spark):
+    from openweathermapapi_etl_spark.operators.similarity import sq8_encode
+
+    # Two dims. Dim 1 range [0, 2] → 0 encodes 0, 2 encodes 255, 1
+    # encodes floor(127.5)=127. Dim 2 constant → span 0 → code 0 and
+    # exact reconstruction (distortion contribution 0).
+    rows = [(0, [0.0, 5.0]), (1, [1.0, 5.0]), (2, [2.0, 5.0])]
+    got = {
+        r["vec_id"]: (list(r["sq_codes"]), r["distortion"])
+        for r in sq8_encode(_vec_df(spark, rows), dim=2).collect()
+    }
+    assert got[0][0] == [0, 0]
+    assert got[2][0] == [255, 0]
+    assert got[1][0] == [127, 0]
+    # Min and max of each dim reconstruct exactly: distortion 0.
+    assert got[0][1] == 0.0
+    assert got[2][1] == 0.0
+    # Midpoint: dequant = 127*2/255 ≈ 0.996; error² = (1-0.996...)²
+    assert 0.0 < got[1][1] < 1e-4
+
+
+def test_sq8_distortion_bounded_by_grid_step(spark):
+    from openweathermapapi_etl_spark.operators.similarity import sq8_encode
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(4)]) for i in range(40)
+    ]
+    per_dim_span = {}
+    for j in range(4):
+        vals = [v[j] for _, v in rows]
+        per_dim_span[j] = max(vals) - min(vals)
+    # Worst-case per-dim reconstruction error is one grid step.
+    bound = sum((per_dim_span[j] / 255.0) ** 2 for j in range(4)) * 1.0001
+    for r in sq8_encode(_vec_df(spark, rows), dim=4).collect():
+        assert 0.0 <= r["distortion"] <= bound
+
+
+# ---------------------------------------------------------------------------
+# bigram_pairs (array-local adjacent pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_pairs_adjacent_order_and_short_docs(spark):
+    from openweathermapapi_etl_spark.operators.text import bigram_pairs, tokens
+
+    df = spark.createDataFrame(
+        [("a b c",), ("x",), ("",)], "text string"
+    )
+    got = [
+        [(p["w1"], p["w2"]) for p in r["bg"]]
+        for r in df.select(bigram_pairs(tokens("text")).alias("bg")).collect()
+    ]
+    assert got[0] == [("a", "b"), ("b", "c")]
+    assert got[1] == []  # single token → no pairs
+    # "" splits to [""] (one empty token) → no pairs either.
+    assert got[2] == []
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_plan (mixture planning)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_mix_plan_epochs_and_upsampling_flag(spark):
+    from openweathermapapi_etl_spark.operators.sampling import domain_mix_plan
+
+    df = spark.createDataFrame(
+        [("en", 600), ("en", 400), ("zh", 100), ("xx", 50)],
+        "domain string, n_tok long",
+    )
+    got = {
+        r["domain"]: r
+        for r in domain_mix_plan(
+            df, "domain", "n_tok", {"en": 0.5, "zh": 0.5}, budget_tokens=2000
+        ).collect()
+    }
+    en, zh, xx = got["en"], got["zh"], got["xx"]
+    assert (en["available_tokens"], en["target_tokens"]) == (1000, 1000.0)
+    assert en["epochs"] == 1.0 and en["needs_upsampling"] is False
+    assert zh["available_tokens"] == 100 and zh["target_tokens"] == 1000.0
+    assert zh["epochs"] == 10.0 and zh["needs_upsampling"] is True
+    # Unlisted domain → weight 0, excluded from the budget.
+    assert xx["weight"] == 0.0 and xx["epochs"] == 0.0
+    assert xx["needs_upsampling"] is False
