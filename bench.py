@@ -83,6 +83,18 @@ BENCH_QUERIES = [
     # the corpus-sized span-hash shuffle of the round-6 text batch.
     "b53_state_timeout_expiry",
     "c04_repeated_spans",
+    # Round-7 additions: the sparse-retrieval scorer (corpus tf agg +
+    # TakeOrderedAndProject), the full-corpus epoch reshuffle (range
+    # repartition — the biggest deliberate shuffle in the book), the
+    # runtime-bloom-filtered join, SemDeDup's cell-bucketed pair join,
+    # the bigram LM (two corpus explodes + three lookup joins), and the
+    # SQ8 stats+encode passes — each a new shuffle pattern to track.
+    "c04_bm25_topk",
+    "c07_epoch_shuffle",
+    "b10_bloom_runtime_filter",
+    "c02_semdedup",
+    "c04_bigram_interp_score",
+    "c03_sq8_encode",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -329,7 +329,7 @@ def domain_mix_plan(
     weights: dict[str, float],
     budget_tokens: int,
 ) -> DataFrame:
-    """C7n: domain-mixture planning — given per-document token counts,
+    """C7o: domain-mixture planning — given per-document token counts,
     a target mixture (domain → weight) and a total token budget,
     report per domain how many tokens exist, how many the mixture
     wants, and the repetition factor (epochs) needed to fill the gap.

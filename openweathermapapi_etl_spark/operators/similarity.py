@@ -179,6 +179,7 @@ def semdedup(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     centroid_mod: int = 40,
+    pin: bool = True,
 ) -> DataFrame:
     """C2g: SemDeDup — cluster-bucketed SEMANTIC deduplication
     (Abbas et al. 2023, arXiv:2303.09540): assign every embedding to
@@ -231,6 +232,18 @@ def semdedup(
             F.any_value("vn").alias("vn"),
         )
     )
+    # The assignment frame is referenced THREE times below (both sides
+    # of the in-cell pair join + the final output). Self-references
+    # duplicate lineage, so without materialization the corpus ×
+    # centroid scoring — the dominant cost — runs three times (the
+    # same replay trap cosine_topk_ivf closed in round 2, confirmed in
+    # this operator's round-7 plan audit: 3 identical scoring subtrees,
+    # 6 parquet scans). A LAZY localCheckpoint truncates lineage to one
+    # shared materialization, so scoring runs once; ``pin=False`` opts
+    # out for callers that feed a checkpointed/cached frame already
+    # (same policy knob as operators/rank.py::global_rank).
+    if pin:
+        assigned = assigned.localCheckpoint(eager=False)
     lo = assigned.select(
         F.col("centroid_id").alias("cid"),
         F.col("vid").alias("id_lo"),

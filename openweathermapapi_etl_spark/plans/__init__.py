@@ -110,6 +110,12 @@ _R6_WINDOW = [
 # rank instead of displacing real changes.
 _R7_HEAD = [
     "b23_distribution_windows",  # NEVER driver-checked (round-4 gap)
+    "c02_semdedup",  # NEW this round (curation)
+    "c03_sq8_encode",  # NEW this round (training_q)
+    "c04_bigram_interp_score",  # NEW this round (curation)
+    "c07_domain_mix",  # NEW this round (curation)
+    "b57_lateral_topk_join",  # NEW this round (relational)
+    "b58_group_by_all",  # NEW this round (relational)
     "b53_state_timeout_expiry_rocksdb",  # NEW this round (streaming_q)
     "c03_pq_encode_trained",  # NEW this round (training_q)
     "c04_bm25_topk",  # NEW this round (serving_q)

@@ -1265,7 +1265,7 @@ def _mix_case() -> str:
     """,
 )
 def c07_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7n: domain-mixture plan (operators/sampling.py::
+    """C7o: domain-mixture plan (operators/sampling.py::
     domain_mix_plan) — per-language token inventory vs a literal
     target mixture over a 10M-token budget: available tokens, target
     tokens, repetition factor (epochs) and the upsampling flag the

@@ -394,3 +394,73 @@ def test_aqe_skew_join_actually_splits_hot_partition(spark):
         plan = buf.getvalue()
     assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
     assert "skewed" in plan  # AQEShuffleRead argument
+
+
+def test_lateral_topk_decorrelates_no_nested_loop(spark, sf):
+    # B57's LATERAL subquery must decorrelate into a join + per-key
+    # ranking — a per-outer-row re-execution would show up as a
+    # nested-loop / cartesian over the full orders table.
+    _, tree = plan_of(spark, "b57_lateral_topk_join", sf)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "Window" in tree  # the decorrelated per-key top-k ranking
+
+
+def test_semdedup_assignment_pinned_to_one_scoring_pass(spark, sf):
+    # The assignment frame feeds three consumers; without the
+    # localCheckpoint pin the corpus x centroid scoring replays three
+    # times (round-7 audit: 3 identical subtrees, 6 parquet scans).
+    # Pinned, every consumer reads the one materialized RDD.
+    _, tree = plan_of(spark, "c02_semdedup", sf)
+    assert "CartesianProduct" not in tree
+    assert "Scan parquet" not in tree  # all reads via the pinned RDD
+    assert tree.count("Scan ExistingRDD") == 3
+
+
+def test_semdedup_unpinned_lineage_broadcasts_centroids(spark, sf):
+    # The underlying (unpinned) lineage: centroids arrive broadcast
+    # into the scoring join — never a corpus x corpus cartesian.
+    import contextlib
+    import io
+
+    from openweathermapapi_etl_spark.operators.similarity import semdedup
+    from openweathermapapi_etl_spark.plans.util import t as load
+
+    df = semdedup(load(spark, sf, "embeddings"), pin=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastExchange" in tree  # centroid side broadcast
+
+
+def test_sq8_encode_zero_corpus_joins(spark, sf):
+    # SQ8 = stats pass (map-side combined 64-key agg) + broadcast-row
+    # encode. No corpus-keyed join, no cartesian blowup: the only join
+    # is the 1-row stats broadcast.
+    _, tree = plan_of(spark, "c03_sq8_encode", sf)
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" in tree  # the per-dim min/max agg
+    # stats row arrives via broadcast (1-row cross/hash join)
+    assert "Broadcast" in tree
+
+
+def test_bigram_lm_tables_partial_agg_and_no_cartesian(spark, sf):
+    # The unigram/bigram count tables must partial-aggregate (map-side
+    # combine) before their exchanges, and the single 1-row N join is
+    # the only nested-loop — everything else is keyed.
+    s, tree = plan_of(spark, "c04_bigram_interp_score", sf)
+    assert "CartesianProduct" not in tree
+    assert "partial_count" in s  # map-side combine on the LM tables
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # the 1-row N row
+
+
+def test_domain_mix_single_small_agg_no_joins(spark, sf):
+    # Literal weight map — the plan must contain NO join at all, just
+    # the |domains|-key partial+final agg.
+    _, tree = plan_of(spark, "c07_domain_mix", sf)
+    for node in ("Join", "CartesianProduct", "Window"):
+        assert node not in tree
+    assert "HashAggregate" in tree
