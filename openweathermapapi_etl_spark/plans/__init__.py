@@ -116,6 +116,11 @@ _R7_HEAD = [
     "c07_domain_mix",  # NEW this round (curation)
     "b57_lateral_topk_join",  # NEW this round (relational)
     "b58_group_by_all",  # NEW this round (relational)
+    "b45_sql_udf",  # NEW this round (udfs)
+    "b59_identifier_clause",  # NEW this round (relational)
+    "b60_execute_immediate",  # NEW this round (relational)
+    "b32_collated_group",  # NEW this round (relational)
+    "b61_sql_scripting",  # NEW this round (relational)
     "b53_state_timeout_expiry_rocksdb",  # NEW this round (streaming_q)
     "c03_pq_encode_trained",  # NEW this round (training_q)
     "c04_bm25_topk",  # NEW this round (serving_q)

@@ -2011,3 +2011,137 @@ def b58_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@register(
+    "b59_identifier_clause",
+    oracle=f"""
+    SELECT o_orderpriority AS key, CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def b59_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59: IDENTIFIER(:param) — injection-safe dynamic table AND
+    column references (Spark 4): the table name, grouping column and
+    measure column all arrive as bound parameters, not string
+    interpolation — the templating surface a multi-tenant pipeline
+    needs (per-dataset jobs differing only in identifiers share ONE
+    statement, plan-cache-friendly and safe against hostile names).
+    Resolves at analysis time to exactly the static plan, which the
+    oracle (the static spelling) proves by identical hash."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT IDENTIFIER(:gcol) AS key, COUNT(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:mcol) AS {DEC})) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={"tbl": "orders", "gcol": "o_orderpriority", "mcol": "o_totalprice"},
+    )
+
+
+@register(
+    "b60_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer WHERE c_acctbal > 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def b60_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60: EXECUTE IMMEDIATE — dynamic SQL with USING-bound
+    parameters (Spark 4): the statement text is data, the threshold
+    rides as a typed parameter marker (never concatenated). The
+    dynamic layer is pure dispatch — the inner statement plans
+    identically to its static twin (the oracle), so dynamic SQL costs
+    nothing at execution time; its hazard is plan-cache churn, not
+    slow plans."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment, COUNT(*) AS n_customers
+           FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment'
+          USING 5000.0
+        """
+    )
+
+
+@register(
+    "b32_collated_group",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+    FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                      ELSE p_brand END AS p_brand, p_retailprice
+          FROM part) p
+    GROUP BY lower(p_brand)
+    """,
+)
+def b32_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32c: collation-aware grouping (Spark 4 COLLATE UTF8_LCASE) —
+    case-insensitive GROUP BY as a COLUMN TYPE property instead of a
+    lower() rewrite: the engine hashes/compares under the collation,
+    so every expression downstream (joins, distinct, windows) inherits
+    the semantics without per-call wrappers. Mixed-case input is
+    synthesized deterministically (even part keys upper-cased); the
+    output key is lower()ed explicitly because a collated group
+    returns an arbitrary-case representative — the oracle's lower()
+    grouping is the semantics being matched, and at scale the
+    collated hash agg costs the same one exchange as the rewrite."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lower(brand_ci) AS brand_ci, COUNT(*) AS n_parts,
+               CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+        FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                          ELSE p_brand END
+                       COLLATE UTF8_LCASE AS brand_ci,
+                     p_retailprice
+              FROM part) p
+        GROUP BY brand_ci
+        """
+    )
+
+
+@register(
+    "b61_sql_scripting",
+    oracle=f"""
+    WITH thr AS (SELECT {o_davg('o_totalprice')} AS avg_price FROM orders)
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders o CROSS JOIN thr
+    WHERE o.o_totalprice > thr.avg_price
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b61_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61: SQL scripting (Spark 4 BEGIN…END compound statement) —
+    DECLARE a session variable, SET it from a scalar subquery (the
+    corpus mean), use it as a predicate in the returned SELECT: the
+    procedural orchestration layer (multi-step jobs, control flow)
+    expressed in pure SQL instead of driver-side Python. Each
+    statement inside the block plans independently — the variable is
+    a bound scalar by the time the SELECT plans (no join against the
+    threshold subquery; the oracle spells it as a 1-row cross join,
+    same values). Execution caveat, pinned in test_plan_shapes: the
+    script runs EAGERLY inside ``spark.sql`` and the handle you get
+    back is a LocalTableScan of the final statement's rows — so a
+    script's LAST statement must be result-sized (an agg, a LIMIT, a
+    write), never a corpus-sized SELECT, or the driver materializes
+    the corpus. The decimal-trick mean keeps the threshold
+    bit-identical across engines."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          SET avg_price = (SELECT CAST(SUM(CAST(o_totalprice AS {DEC}))
+                                       AS DOUBLE) / COUNT(o_totalprice)
+                           FROM orders);
+          SELECT o_orderpriority, COUNT(*) AS n_above
+          FROM orders WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .registry import register
-from .util import t
+from .util import t, views
 
 
 @register(
@@ -316,4 +316,40 @@ def b47_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_k = li.join(key_map, "l_orderkey").groupBy("o_custkey")
     return o_k.cogroup(li_k).applyInPandas(
         reconcile, "o_custkey long, n_orders long, n_lineitems long"
+    )
+
+
+@register(
+    "b45_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def b45_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45b: SQL-defined scalar function (Spark 4 ``CREATE FUNCTION …
+    RETURNS … RETURN expr``) — the UDF tier ABOVE even the pandas
+    flavor: the body is declarative SQL, so Catalyst INLINES it into
+    the caller's plan (whole-stage codegen, predicate pushdown through
+    it, zero serialization boundary — the scale-correct default
+    whenever the logic is expressible). The oracle is the inlined
+    expression itself, which is exactly the point: identical hash
+    proves the function boundary dissolved. Each invocation is
+    row-local IEEE arithmetic — bit-stable."""
+    views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+            p DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN p * (1.0 - disc) * (1.0 + tax)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               net_price(l_extendedprice, l_discount, l_tax) AS net_price
+        FROM lineitem WHERE l_returnflag = 'R'
+        """
     )

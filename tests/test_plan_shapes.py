@@ -464,3 +464,30 @@ def test_domain_mix_single_small_agg_no_joins(spark, sf):
     for node in ("Join", "CartesianProduct", "Window"):
         assert node not in tree
     assert "HashAggregate" in tree
+
+
+def test_sql_udf_inlines_no_python_eval(spark, sf):
+    # B45b's whole point: the SQL-defined function dissolves into the
+    # caller's plan. A Python eval node would mean a serialization
+    # boundary appeared where none should exist.
+    s, tree = plan_of(spark, "b45_sql_udf", sf)
+    assert "BatchEvalPython" not in s
+    assert "ArrowEvalPython" not in s
+    assert "* Project" in tree  # the inlined expression codegens (starred)
+    # and the returnflag filter still reaches the scan through the UDF
+    assert "l_returnflag" in " ".join(
+        re.findall(r"PushedFilters: \[[^\]]*\]", s)
+    )
+
+
+def test_sql_scripting_executes_eagerly_result_sized(spark, sf):
+    # Spark 4 SQL scripting runs the block EAGERLY inside spark.sql:
+    # the returned handle is a LocalTableScan of the final statement's
+    # already-computed rows (pinning the b61 docstring's caveat — a
+    # script's last statement must be result-sized, or the driver
+    # materializes the corpus). If this ever becomes lazy, the pin
+    # flags it and b61 can drop the caveat.
+    _, tree = plan_of(spark, "b61_sql_scripting", sf)
+    assert "LocalTableScan" in tree
+    for node in ("Join", "CartesianProduct", "Scan parquet"):
+        assert node not in tree
