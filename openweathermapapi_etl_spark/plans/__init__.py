@@ -121,6 +121,9 @@ _R7_HEAD = [
     "b60_execute_immediate",  # NEW this round (relational)
     "b32_collated_group",  # NEW this round (relational)
     "b61_sql_scripting",  # NEW this round (relational)
+    "b47_apply_in_arrow",  # NEW this round (udfs)
+    "b62_observe_metrics",  # NEW this round (relational)
+    "b29_union_by_name",  # NEW this round (relational)
     "b53_state_timeout_expiry_rocksdb",  # NEW this round (streaming_q)
     "c03_pq_encode_trained",  # NEW this round (training_q)
     "c04_bm25_topk",  # NEW this round (serving_q)

@@ -2145,3 +2145,73 @@ def b61_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "b62_observe_metrics",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('l_extendedprice')} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b62_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62: Observation API — named data-quality metrics (row count,
+    null count, value sum) piggybacked on the SAME pass that computes
+    the result: ``df.observe(...)`` attaches accumulator-backed
+    aggregates that fill in as the action runs, so the audit costs
+    ZERO extra jobs and zero extra scans. At 100 TB this replaces the
+    classic \"run the pipeline, then run three COUNT(*) audits\"
+    pattern — three more corpus passes — with one. The observed
+    values are asserted against independently-computed truth by
+    tests/test_operators.py::test_observe_metrics_fill_on_same_pass;
+    the returned result itself is the oracle-checked surface (the
+    observe node is transparent to it)."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("b62_quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    return observed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice", "revenue")
+    )
+
+
+@register(
+    "b29_union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM customer WHERE c_nationkey < 5
+    UNION ALL
+    SELECT c_custkey AS id, c_name AS name, CAST(NULL AS DOUBLE) AS bal,
+           c_mktsegment AS segment
+    FROM customer WHERE c_nationkey >= 20
+    """,
+)
+def b29_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29b: ``unionByName(allowMissingColumns=True)`` — schema-aware
+    union: columns align by NAME (not position) and columns absent
+    from one side fill with NULL. This is the union you actually want
+    when stacking exports whose column order drifted or whose schema
+    evolved (positional UNION would silently cross-wire columns — the
+    classic data-corruption bug B1b's schema-evolution row guards on
+    the scan side). The oracle spells out the aligned/NULL-filled
+    positional form. Plan is the same zero-shuffle Union node —
+    name resolution is analysis-time only."""
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = c.filter(F.col("c_nationkey") >= 20).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

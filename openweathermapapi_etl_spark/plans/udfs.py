@@ -353,3 +353,48 @@ def b45_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_returnflag = 'R'
         """
     )
+
+
+@register(
+    "b47_apply_in_arrow",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def b47_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47c: grouped-map ``applyInArrow`` (Spark 4) — the pandas-free
+    sibling of B47: each group arrives as a ``pyarrow.Table`` and the
+    UDF stays entirely in Arrow (no pandas conversion materializing
+    Python objects / copying to NumPy — for wide or binary-heavy
+    groups that conversion is the dominant cost of applyInPandas).
+    min/max/count are order-free and exact in fp, so the SQL-aggregate
+    oracle matches bit-for-bit. Same scale contract as B47: one hash
+    shuffle on the group key, Arrow IPC batches across the Python
+    boundary, per-group memory bounded by the largest group."""
+    import pyarrow as pa  # noqa: PLC0415 (worker-side import kept local)
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    def group_stats(tbl: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [tbl.column("c_nationkey")[0].as_py()], pa.int32()
+                ),
+                "n_cust": pa.array([tbl.num_rows], pa.int64()),
+                "max_bal": pa.array(
+                    [pc.max(tbl.column("c_acctbal")).as_py()], pa.float64()
+                ),
+                "min_bal": pa.array(
+                    [pc.min(tbl.column("c_acctbal")).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInArrow(
+        group_stats,
+        "c_nationkey int, n_cust long, max_bal double, min_bal double",
+    )

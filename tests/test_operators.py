@@ -486,3 +486,38 @@ if _HAVE_HYP_OPS:
             )
         )
         assert cums == want
+
+
+def test_observe_metrics_fill_on_same_pass(spark):
+    # B62's contract: the observation fills from the SAME action that
+    # computes the result (no second scan), and the observed values
+    # equal independently computed truth.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    result = observed.groupBy("l_returnflag").count().collect()
+    truth_rows = li.count()
+    truth_nulls = li.filter(F.col("l_quantity").isNull()).count()
+    got = obs.get
+    assert got["rows_seen"] == truth_rows
+    assert got["null_qty"] == truth_nulls
+    assert sum(r["count"] for r in result) == truth_rows
+
+
+def test_union_by_name_aligns_drifted_column_order(spark):
+    # Positional union would cross-wire these; by-name must not.
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id int")
+    rows = sorted(
+        (r["id"], r["name"])
+        for r in a.unionByName(b, allowMissingColumns=True).collect()
+    )
+    assert rows == [(1, "x"), (2, "y")]
