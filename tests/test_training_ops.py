@@ -888,3 +888,72 @@ def test_domain_mix_plan_epochs_and_upsampling_flag(spark):
     # Unlisted domain → weight 0, excluded from the budget.
     assert xx["weight"] == 0.0 and xx["epochs"] == 0.0
     assert xx["needs_upsampling"] is False
+
+
+# ---------------------------------------------------------------------------
+# semdedup — property-based check against a pure-Python model
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _vecs = st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ).filter(lambda v: any(v)),  # zero vector has no cosine
+        min_size=2,
+        max_size=8,
+    )
+
+    @given(vecs=_vecs, cmod=st.integers(min_value=2, max_value=4))
+    @settings(max_examples=8, deadline=None)
+    def test_semdedup_matches_python_model(spark, vecs, cmod):
+        """semdedup == the rule, on any geometry hypothesis throws:
+        assign to argmax-cosine centroid (tie -> min centroid id),
+        drop iff some lower-id cell-mate has cosine >= tau. Also pins
+        the two structural invariants: kept pairs within a cell are
+        all < tau apart, and every dropped vector has a lower-id
+        witness."""
+        import math
+
+        from openweathermapapi_etl_spark.operators.similarity import semdedup
+
+        tau = 0.9
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+            )
+
+        ids = list(range(len(vecs)))
+        cents = [i for i in ids if i % cmod == 0]
+        assign = {
+            i: max(cents, key=lambda c: (cos(vecs[i], vecs[c]), -c)) for i in ids
+        }
+        dropped = {
+            j
+            for j in ids
+            if any(
+                i < j and assign[i] == assign[j] and cos(vecs[i], vecs[j]) >= tau
+                for i in ids
+            )
+        }
+        got = {
+            r["vec_id"]: (r["centroid_id"], r["is_kept"])
+            for r in semdedup(
+                _vec_df(spark, [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)]),
+                threshold=tau,
+                centroid_mod=cmod,
+            ).collect()
+        }
+        assert {i: a for i, (a, _) in got.items()} == assign
+        assert {i for i, (_, k) in got.items() if not k} == dropped
