@@ -136,6 +136,12 @@ _R7_HEAD = [
     "c07_epoch_shuffle",  # NEW this round (serving_q)
     "b55_recursive_cte",  # NEW this round (relational)
     "b56_sql_pipe_syntax",  # NEW this round (relational)
+    "c06_cc_alternating_star",  # NEW this round (curation)
+    "c04_ppl_buckets",  # NEW this round (curation)
+    "b18_bitmap_exact_rollup",  # NEW this round (relational)
+    "b63_share_of_total",  # NEW this round (relational)
+    "c03_ivf_recall",  # NEW this round (tier_c)
+    "c05_binaryfile_ingest",  # NEW this round (tier_c)
     "c07_hash_split",  # split_bucket hash_scramble rework
     "c07_stratified_sample",  # split_bucket hash_scramble rework
     "c07_sequence_pack",  # split_bucket hash_scramble rework

@@ -1281,3 +1281,102 @@ def c07_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_plan(
         with_tok, "lang", "n_tok", _MIX_W, _MIX_BUDGET
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — alternating-star connected components (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+
+@register("c06_cc_alternating_star", oracle=_clusters_oracle())
+def c06_cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6e: the same LSH-pair → duplicate-cluster closure as
+    c06_dedup_clusters, resolved by alternating large-star/small-star
+    (operators/cluster.py::connected_components_star, Kiveris et al.
+    SoCC'14) instead of min-label propagation. Round count is O(log n)
+    on ANY graph shape — the production fallback when the pair graph's
+    diameter is not known to be small (chained near-dup families,
+    template explosions) and min-label's diameter-bounded loop would
+    not terminate in budget. Identical output contract, so the same
+    recursive-CTE oracle hash-checks both algorithms."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    return dedup_clusters(pairs, algorithm="star")
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_ppl_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tok2 AS (SELECT doc_id, lang, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok2 GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             CAST(LENGTH(CAST(v.cnt AS VARCHAR)) - 1 AS BIGINT) AS logq
+      FROM tok2 t JOIN vocab v USING (token)),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(logq) AS DOUBLE) / COUNT(*) AS lm_score
+      FROM scored GROUP BY doc_id, lang),
+    tiled AS (
+      SELECT doc_id, lang, n_tokens, lm_score,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id) AS tile
+      FROM per_doc)
+    SELECT doc_id, lang, n_tokens, lm_score,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM tiled
+    """,
+)
+def c04_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4n: CCNet-style perplexity bucketing — score every document
+    with the corpus unigram LM (same decade-quantized log-frequency as
+    c04_unigram_logprob, integer-exact cross-engine), then split each
+    language into head / middle / tail TERTILES by score (ntile over a
+    per-language window; doc_id tiebreak keeps the tiling
+    deterministic). This is the canonical LM-quality partition of a
+    crawl corpus: train on head+middle, audit tail. The per-language
+    ntile is the only full-sort step; at 100 TB swap the exact ntile
+    for approx-quantile cutpoints computed once and broadcast — same
+    output contract, one corpus pass, no global sort (the exact tiling
+    here is what makes the DuckDB hash check possible). The score
+    division is a single int/int IEEE op — bit-identical both engines."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    scored = tok.join(vocab, "token").select(
+        "doc_id",
+        "lang",
+        (F.length(F.col("cnt").cast("string")) - 1).cast("long").alias("logq"),
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("logq").cast("double") / F.count("*")).alias("lm_score"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("lm_score"), "doc_id")
+    tiled = per_doc.withColumn("tile", F.ntile(3).over(w))
+    return tiled.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lm_score",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

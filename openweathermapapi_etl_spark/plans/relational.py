@@ -2215,3 +2215,98 @@ def b29_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# B18 continued — EXACT mergeable distinct counting via bitmaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b18_bitmap_exact_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def b18_bitmap_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18c: EXACT mergeable distinct counting — the Spark 4 bitmap
+    aggregate family (``bitmap_bucket_number`` / ``bitmap_bit_position``
+    / ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``).
+    Per (event_type, day, bucket) the distinct user ids become one
+    4KB-max bitmap; per-type totals then come from OR-merging the daily
+    bitmaps — NO rescan of the raw events and, unlike the HLL rollup
+    (b18_hll_mergeable_rollup), zero estimation error, so the oracle is
+    plain COUNT(DISTINCT). This is the lakehouse incremental pattern
+    for bounded-domain int keys: sketch each new partition once, answer
+    any coarser rollup by merge. Shuffle volume after the first agg is
+    bitmaps (≤4KB per 32768-id bucket), not ids; both aggs are
+    partial+final hash aggregates. At 100 TB the bucket axis also
+    bounds any single group's state — a billion-id domain is ~30k
+    bitmap rows per group, still KBs each."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bmp")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bmp))").alias("n_in_bucket")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("n_in_bucket").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B63 — share-of-total in one scan (post-agg window, not a second pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b63_share_of_total",
+    oracle="""
+    WITH agg AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                             AS DOUBLE) AS qty
+                 FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, qty,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM agg
+    """,
+)
+def b63_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B63: percent-of-total / normalization in ONE corpus pass. The
+    tempting spelling — join the grouped aggregate against a separately
+    computed grand total — re-executes the whole scan+shuffle for the
+    total branch (Catalyst column-prunes the second branch's partial
+    aggregate differently, so the exchanges don't canonicalize equal
+    and nothing is reused; measured: 2 parquet scans). The right plan
+    computes the total as a window over the ALREADY-AGGREGATED rows:
+    the corpus is scanned and shuffled once, and the window's input is
+    |groups| rows — the single-partition step is constant-sized no
+    matter the corpus. Pinned in tests/test_plan_shapes.py: exactly one
+    lineitem scan in the tree. Constant partition key per house
+    convention (operators/skew.py) so WindowExec doesn't cry wolf."""
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
+    )
+    w = W.partitionBy(F.lit(0))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "qty",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )

@@ -799,3 +799,129 @@ def c05_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.base64("chunk"), r"[\r\n]", "").alias("chunk_b64"),
         F.length("chunk").cast("long").alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — ANN quality gate: recall@k of IVF vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle(k: int = 5, qmod: int = 50) -> str:
+    cos_qc = f"{_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm)"
+    return f"""
+    WITH ivf AS ({_ivf_oracle(k=k, qmod=qmod)}),
+    norms AS ({_O_NORMS}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id % {qmod} = 0) r
+      WHERE rank <= {k}),
+    hits AS (
+      SELECT e.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit
+      FROM exact e LEFT JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           CAST(SUM(n_hit) AS DOUBLE) / ({k} * COUNT(*)) AS recall_at_k
+    FROM hits
+    """
+
+
+@register("c03_ivf_recall", oracle=_ivf_recall_oracle())
+def c03_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3i: the ANN QUALITY GATE — recall@5 of the IVF index
+    (c03_cosine_topk_ivf's exact configuration) against brute-force
+    exact top-5 on the same query set. Every production ANN deployment
+    runs this on a sampled query set before trusting the index; a
+    re-partition or re-train that silently tanks recall is caught here,
+    not in downstream model quality. The exact side IS the expensive
+    side (queries × corpus) — which is why the query set is sampled
+    (every ``qmod``-th vector): at 100 TB you bound the gate's cost by
+    the sample size while the IVF side stays index-cheap. Output is a
+    single audit row; the whole computation is hash-checked against
+    the composed DuckDB oracle (IVF CTE + exact CTE + recall join)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk_bruteforce(q, e, k=5).select("query_id", "neighbor_id")
+    ivf = cosine_topk_ivf(
+        e, "vec_id", "embedding", k=5, nprobe=2, centroid_mod=40, query_mod=50
+    ).select("query_id", "neighbor_id")
+    qcnt = exact.agg(F.countDistinct("query_id").alias("n_queries"))
+    hcnt = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    # Two 1-row aggregates: the crossJoin is broadcast by size.
+    return qcnt.crossJoin(hcnt).select(
+        "n_queries",
+        "n_hits",
+        (F.col("n_hits").cast("double") / (5 * F.col("n_queries"))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 continued — binaryFile ingest (the media-lake entry point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c05_binaryfile_ingest",
+    oracle="""
+    WITH sel AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 32)
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text)                 AS sha_hex
+    FROM sel
+    """,
+)
+def c05_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5g: ingest raw media files through Spark's ``binaryFile``
+    source — the entry point of every multimodal lake: a directory of
+    opaque blobs becomes (path, length, content) rows, here projected
+    to (doc_id parsed from the filename, byte length, sha256). The
+    sha is the content-addressing step C1's exact dedup keys on.
+    Fixture setup writes a BOUNDED 32-file directory from the first 32
+    documents (constant, not sf-proportional — driver-side file IO is
+    test scaffolding, not the operator); the operator under test is
+    the distributed read: binaryFile splits the listing across tasks,
+    `pathGlobFilter` prunes non-matching names at the source, and
+    content bytes stay in the executor (sha/length computed JVM-side,
+    never collected). At 100 TB this is the pattern: metadata + hash
+    extraction at scan time, payload untouched until a downstream
+    decode stage (c05_decode_meta) needs it."""
+    import os
+    import tempfile
+
+    sel = (
+        t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(32)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_c05bf_{os.getpid()}")
+    os.makedirs(out, exist_ok=True)
+    for f_ in os.listdir(out):  # wipe stale fixtures from other sf runs
+        os.unlink(os.path.join(out, f_))
+    for r in sel.collect():  # bounded: 32 rows by construction
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.bin")
+        .load(out)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha_hex"),
+    )

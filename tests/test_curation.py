@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from openweathermapapi_etl_spark.operators.cluster import (
     connected_components,
+    connected_components_star,
     dedup_clusters,
 )
 from openweathermapapi_etl_spark.operators.sampling import (
@@ -74,6 +75,59 @@ def test_dedup_clusters_sizes_and_survivors(spark):
     }
     survivors = {d for d, (c, _n) in rows.items() if d == c}
     assert survivors == {3, 100}
+
+
+# ---------------------------------------------------------------------------
+# alternating-star connected components (the O(log n) fallback)
+# ---------------------------------------------------------------------------
+
+
+def test_star_components_chain_cycle_and_pair(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)])
+    got = {(r.node, r.label) for r in connected_components_star(e).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_star_components_long_chain_in_log_rounds(spark):
+    # 0-1-...-64: diameter 64, so min-label would need 64 rounds —
+    # alternating star must finish inside max_iter=12 (~log₂ 64 + slack),
+    # which is the whole point of the fallback.
+    e = _edges(spark, [(i, i + 1) for i in range(64)])
+    got = {(r.node, r.label)
+           for r in connected_components_star(e, max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(65)}
+
+
+def test_star_components_raise_rather_than_emit_half_merged(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(64)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(e, max_iter=1)
+
+
+def test_star_components_self_loops_and_duplicate_edges(spark):
+    # self loops dropped, duplicate + reversed edges collapse.
+    e = _edges(spark, [(4, 4), (1, 2), (2, 1), (1, 2), (3, 3)])
+    got = {(r.node, r.label) for r in connected_components_star(e).collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_dedup_clusters_star_flavor_matches_minlabel(spark):
+    e = _edges(spark, [(5, 3), (3, 7), (100, 101), (7, 50), (60, 61)])
+    ml = {(r.doc_id, r.cluster_id, r.cluster_size)
+          for r in dedup_clusters(e).collect()}
+    star = {(r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(e, algorithm="star").collect()}
+    assert ml == star
+
+
+def test_dedup_clusters_unknown_algorithm_raises(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup_clusters(e, algorithm="bogus")
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +290,33 @@ if _HAVE_HYP:
 
         df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         got = {r.node: r.label for r in connected_components(df).collect()}
+        assert got == expected
+
+    @given(edges=st.lists(_edge, min_size=1, max_size=14))
+    @settings(max_examples=8, deadline=None)
+    def test_star_components_match_union_find_model(spark, edges):
+        """Alternating large-star/small-star must equal the same
+        union-find model — identical contract to min-label, different
+        round complexity."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {
+            r.node: r.label for r in connected_components_star(df).collect()
+        }
         assert got == expected
 
     _key = st.sampled_from(["a", "b", "c"])

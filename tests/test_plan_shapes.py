@@ -491,3 +491,24 @@ def test_sql_scripting_executes_eagerly_result_sized(spark, sf):
     assert "LocalTableScan" in tree
     for node in ("Join", "CartesianProduct", "Scan parquet"):
         assert node not in tree
+
+
+def test_share_of_total_is_one_corpus_pass(spark, sf):
+    """b63: the grand total must come from a window over the grouped
+    aggregate (|groups| rows), never a second corpus aggregation — the
+    naive two-branch spelling plans 2 parquet scans (measured)."""
+    _, tree = plan_of(spark, "b63_share_of_total", sf)
+    assert tree.count("Scan parquet") == 1
+    assert "Window" in tree
+
+
+def test_bitmap_rollup_partial_merge_no_cartesian(spark, sf):
+    """b18c: bitmap aggregates fall back to SortAggregate by design
+    (binary buffers don't codegen into hash agg) but the MERGEABILITY
+    is the contract: a partial bitmap_or_agg must run map-side before
+    the exchange, and the final count rollup is partial+final hash agg;
+    no cartesian anywhere."""
+    s, tree = plan_of(spark, "b18_bitmap_exact_rollup", sf)
+    assert "partial_bitmap_or_agg" in s
+    assert "partial_sum" in s
+    assert "CartesianProduct" not in tree
