@@ -240,6 +240,63 @@ class VersionedParquetTable:
                 )
         return self._commit(new_version)
 
+    def delete(
+        self,
+        spark: SparkSession,
+        delete_keys: DataFrame,
+        keys: list[str],
+    ) -> int:
+        """M6: targeted key delete — the GDPR / right-to-be-forgotten
+        propagation path. Removes every row whose key appears in
+        ``delete_keys`` and commits the result as a new version via the
+        same atomic pointer swap (a crash mid-delete leaves the old
+        version current — deletes are all-or-nothing like every other
+        commit here).
+
+        With ``partition_by``, only partitions that actually CONTAIN a
+        matching key are rewritten; untouched partitions hard-link from
+        the previous version, so the rewrite is O(touched partitions)
+        on a 100 TB table. Unlike upsert, the delete-key batch need not
+        carry the partition column: touched partitions are discovered
+        from the table itself with one broadcast semi-join projected to
+        the partition column (delete batches are small by nature — the
+        corpus is the big side and is only scanned, never collected).
+        A partition whose every row is deleted simply disappears from
+        the new version (it must NOT be re-linked — see the ``touched``
+        exclusion; upsert never empties a partition so only delete has
+        this edge).
+        """
+        dk = delete_keys.select(keys).distinct()
+        old = self.read(spark)
+        if not self.partition_by:
+            return self.overwrite(old.join(F.broadcast(dk), keys, "left_anti"))
+        pcol = self.partition_by
+        old_version = self.current_version()
+        old_dir = self._version_dir(old_version)
+        touched = [
+            r[0]
+            for r in old.join(F.broadcast(dk), keys, "left_semi")
+            .select(pcol)
+            .distinct()
+            .collect()
+        ]
+        remaining = old.filter(F.col(pcol).isin(touched)).join(
+            F.broadcast(dk), keys, "left_anti"
+        )
+        new_version = old_version + 1
+        target = self._version_dir(new_version)
+        self._write(remaining, target)
+        os.makedirs(target, exist_ok=True)  # all-touched-all-empty edge
+        skip = {f"{pcol}={v}" for v in touched} | {
+            e for e in os.listdir(target) if e.startswith(f"{pcol}=")
+        }
+        for entry in os.listdir(old_dir):
+            if entry.startswith(f"{pcol}=") and entry not in skip:
+                self._link_tree(
+                    os.path.join(old_dir, entry), os.path.join(target, entry)
+                )
+        return self._commit(new_version)
+
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
         for dirpath, _dirnames, filenames in os.walk(src):

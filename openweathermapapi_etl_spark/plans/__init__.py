@@ -142,6 +142,9 @@ _R7_HEAD = [
     "b63_share_of_total",  # NEW this round (relational)
     "c03_ivf_recall",  # NEW this round (tier_c)
     "c05_binaryfile_ingest",  # NEW this round (tier_c)
+    "m6_targeted_delete",  # NEW this round (merge_q)
+    "b16_percentile_disc",  # NEW this round (relational)
+    "c07_temperature_mix",  # NEW this round (curation)
     "c07_hash_split",  # split_bucket hash_scramble rework
     "c07_stratified_sample",  # split_bucket hash_scramble rework
     "c07_sequence_pack",  # split_bucket hash_scramble rework

@@ -36,7 +36,7 @@ from ..operators.text import (
 )
 from .registry import register
 from .tier_c import _O_HASH, _O_SCRAMBLE, _lsh_oracle
-from .util import davg, o_davg, t
+from .util import DEC, davg, o_davg, t
 
 # ---------------------------------------------------------------------------
 # C6 — near-dup cluster resolution (connected components)
@@ -1379,4 +1379,62 @@ def c04_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tile") == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — temperature-scaled sampling mixture (multilingual T=2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_temperature_mix",
+    oracle="""
+    WITH agg AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS temp_weight
+          FROM agg)
+    SELECT lang, n_tokens, temp_weight,
+           temp_weight /
+             CAST(SUM(CAST(temp_weight AS DECIMAL(38,6))) OVER ()
+                  AS DOUBLE) AS p_sample
+    FROM w
+    """,
+)
+def c07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7p: temperature-scaled sampling mixture — the multilingual
+    standard (mBERT/XLM-R): sample language l with probability
+    ∝ n_l^(1/T), flattening the natural size distribution so
+    low-resource languages are not drowned. T=2 here, i.e. sqrt —
+    deliberately, because sqrt is IEEE-correctly-rounded in both
+    engines while pow(x, 1/T) is a libm-vs-JVM last-ulp flake (same
+    reasoning as the decade-quantized LM scores). The normalizer is a
+    window over the ALREADY-AGGREGATED |langs| rows (the b63 one-pass
+    share-of-total shape; constant partition key per house convention)
+    with the decimal-sum trick making the total order-independent.
+    One corpus scan, one |langs|-key shuffle — size-invariant."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.sum(F.size(F.filter(tokens("text"), lambda x: x != ""))).alias(
+            "n_tokens"
+        )
+    )
+    w = agg.select(
+        "lang",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("temp_weight"),
+    )
+    win = W.partitionBy(F.lit(0))
+    total = F.sum(F.col("temp_weight").cast(DEC)).over(win).cast("double")
+    return w.select(
+        "lang",
+        "n_tokens",
+        "temp_weight",
+        (F.col("temp_weight") / total).alias("p_sample"),
     )

@@ -402,3 +402,45 @@ def m4_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M6 — targeted key delete (GDPR propagation), partition-pruned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m6_targeted_delete",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_custkey % 19 = 0)
+    """,
+)
+def m6_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: right-to-be-forgotten delete through the versioned table
+    (operators/merge.py::VersionedParquetTable.delete) — every order of
+    the flagged customers is removed in one atomic commit, and ONLY
+    hive partitions that actually contain a flagged key are rewritten
+    (discovered by a broadcast semi-join projected to the partition
+    column; untouched partitions hard-link from the previous version).
+    The delete-key column (o_custkey) is deliberately NOT the partition
+    column (o_orderstatus) — the general case where touched partitions
+    must be found from the table, not read off the delete batch. The
+    oracle is the surviving-rows anti-join; identical results prove the
+    pruned rewrite loses nothing. pytest additionally pins the
+    file-level behavior (links for untouched partitions, no
+    resurrection of fully-emptied partitions)."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m6_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, partition_by="o_orderstatus")
+    table.overwrite(orders.select(*ORDER_COLS))
+    delete_keys = orders.filter(F.col("o_custkey") % 19 == 0).select("o_custkey")
+    table.delete(spark, delete_keys, keys=["o_custkey"])
+    return _present(table.read(spark))

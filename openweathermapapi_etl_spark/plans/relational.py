@@ -2310,3 +2310,47 @@ def b63_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — EXACT percentiles via percentile_disc (element pick)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b16_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16g: EXACT grouped percentiles — ``percentile_disc`` (SQL
+    standard WITHIN GROUP) picks the smallest actual element whose
+    cumulative distribution reaches p, so unlike the t-digest sketch
+    (b16_approx_percentile) there is no error envelope, and unlike
+    ``percentile_cont`` there is no interpolation arithmetic to differ
+    cross-engine in the last ulp — the result is a member of the input,
+    bit-identical by construction. Cost: exact per-group percentiles
+    hold the group's sorted values; right for bounded-cardinality
+    groups (the grouped-audit case here). For corpus-sized groups at
+    100 TB the t-digest flavor is the scale path — the two queries are
+    deliberately the two ends of that tradeoff."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                    AS DOUBLE) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)
+                    AS DOUBLE) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                    AS DOUBLE) AS p75,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

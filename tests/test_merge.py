@@ -485,3 +485,75 @@ if _HAVE_HYPOTHESIS:
             elif om[k] != nm[k]:
                 want[k] = "update"
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# M6: targeted delete (GDPR propagation)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_unpartitioned_removes_keys_atomically(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root)
+    table.overwrite(make_df(spark, [("a", 1, "x"), ("b", 1, "y"), ("c", 1, "z")]))
+    v1 = table.current_version()
+    keys = spark.createDataFrame([("b",), ("nope",)], "k string")
+    table.delete(spark, keys, keys=["k"])
+    assert table.current_version() == v1 + 1
+    assert _rows(table.read(spark)) == {("a", 1, "x"), ("c", 1, "z")}
+
+
+def test_delete_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root, partition_by="ds")
+    table.overwrite(
+        make_pdf(
+            spark,
+            [("a1", "d1", "x"), ("a2", "d1", "x"), ("b1", "d2", "x"),
+             ("c1", "d3", "x")],
+        )
+    )
+    v1 = table.current_version()
+
+    def inodes(version, part):
+        d = os.path.join(root, f"v={version}", f"ds={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d2, before_d3 = inodes(v1, "d2"), inodes(v1, "d3")
+    # delete key a2: only partition d1 contains it
+    table.delete(spark, spark.createDataFrame([("a2",)], "k string"), keys=["k"])
+    v2 = table.current_version()
+    assert inodes(v2, "d2") == before_d2  # hard links, no rewrite
+    assert inodes(v2, "d3") == before_d3
+    assert inodes(v2, "d1") != inodes(v1, "d1")  # rewritten
+    got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
+    assert got == {("a1", "d1", "x"), ("b1", "d2", "x"), ("c1", "d3", "x")}
+
+
+def test_delete_emptied_partition_is_not_resurrected(spark, tmp_path):
+    """Deleting every row of a partition must make the partition
+    disappear — the upsert-style link rule would silently restore the
+    old partition dir (and with it the deleted rows)."""
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root, partition_by="ds")
+    table.overwrite(make_pdf(spark, [("a1", "d1", "x"), ("b1", "d2", "x")]))
+    table.delete(spark, spark.createDataFrame([("b1",)], "k string"), keys=["k"])
+    v2 = table.current_version()
+    assert not os.path.exists(os.path.join(root, f"v={v2}", "ds=d2"))
+    got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
+    assert got == {("a1", "d1", "x")}
+
+
+def test_delete_no_matching_keys_links_everything(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root, partition_by="ds")
+    table.overwrite(make_pdf(spark, [("a1", "d1", "x"), ("b1", "d2", "x")]))
+    v1 = table.current_version()
+    table.delete(spark, spark.createDataFrame([("zz",)], "k string"), keys=["k"])
+    assert table.current_version() == v1 + 1
+    got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
+    assert got == {("a1", "d1", "x"), ("b1", "d2", "x")}
