@@ -226,3 +226,49 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """C6f — bounded k-core peeling over the undirected pair graph:
+    iteratively remove nodes of degree < ``k`` (with their incident
+    edges) for ``rounds`` rounds; return surviving (node, degree).
+
+    The density signal the dedup/link stack needs beyond components
+    (how big) and triangles (how cliquish): a node's core number
+    separates hub-of-boilerplate documents (deep core — aggressive
+    dedup is safe) from chains of borderline matches (peeled early —
+    dedup there is lossy). Each round is two semi-joins against the
+    surviving-node set + one degree agg — everything keyed on node id,
+    ONE shuffle family, no pair expansion. Bounded rounds keep the
+    output deterministic and SQL-expressible (the oracle unrolls the
+    same rounds); full-core fixpoint needs diameter-many rounds — run
+    with larger ``rounds`` and the same loud-failure discipline as
+    :func:`connected_components` when exactness matters. The edge list
+    is materialized once at loop entry (lineage lesson — see module
+    docstring); per-round results checkpoint so round r+1 does not
+    replay round r's joins.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        cur = (
+            cur.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy("u").agg(F.count("*").alias("degree")).select(
+        F.col("u").alias("node"), "degree"
+    )

@@ -266,3 +266,100 @@ def jaccard_pairs(
         union.alias("n_union"),
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    nbits: int = 60,
+    bands: int = 4,
+    max_dist: int = 10,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Banded HAMMING near-dup join over an n-bit integer code column
+    (SimHash / perceptual-hash family) → (id_a, id_b, hamming) pairs
+    with distance ≤ ``max_dist``.
+
+    The Hamming analogue of :func:`lsh_candidate_pairs`: split the code
+    into ``bands`` contiguous bit-bands; by pigeonhole, any pair within
+    distance < ``bands`` shares at least one band exactly, and pairs
+    within ``max_dist`` share one with high probability — so candidate
+    generation is a bucket groupBy on (band_no, band_value), ONE
+    shuffle, never an all-pairs join, and verification is a row-local
+    ``bit_count(a XOR b)`` popcount on the candidates only. Same
+    window-based ``max_bucket`` cap as LSH, enforced before any bucket
+    materializes (a degenerate band value — e.g. the all-zeros band of
+    near-empty payloads — is the skew hazard here too).
+
+    At 100 TB: shuffle volume is rows × bands small tuples; pair
+    expansion is bucket-bounded; the verify is a codegen'd bit op. The
+    code column is engine-agnostic — SimHash votes, pHash bits, or any
+    learned binary embedding.
+    """
+    from pyspark.sql import Window as W
+
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    bvals = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_no"),
+                F.shiftright(F.col(hash_col), band_bits * j)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(bvals).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.col("b.band_no").alias("band_no"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    if max_bucket is not None:
+        w = W.partitionBy("band_no", "band_val")
+        exploded = (
+            exploded.withColumn("_n", F.count("*").over(w))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+            .drop("_n")
+        )
+    buckets = (
+        exploded.groupBy("band_no", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col(hash_col)))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x: F.transform(
+                    F.col("ms"),
+                    lambda y: F.struct(
+                        x[id_col].alias("id_a"),
+                        y[id_col].alias("id_b"),
+                        x[hash_col].alias("ha"),
+                        y[hash_col].alias("hb"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )

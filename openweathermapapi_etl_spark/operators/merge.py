@@ -168,6 +168,35 @@ class VersionedParquetTable:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return spark.read.parquet(self._version_dir(version))
 
+    def versions(self) -> list[int]:
+        """Version numbers still on disk (ascending). The retention
+        window (``_vacuum`` retain=2) keeps the current version and its
+        predecessor, so the previous snapshot is always time-travel
+        readable while in-flight readers of it drain."""
+        out = []
+        for entry in os.listdir(self.root):
+            if entry.startswith("v="):
+                try:
+                    out.append(int(entry.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """M7 — time-travel read: the table AS OF ``version``. Reads the
+        retained snapshot directory directly (version dirs are
+        immutable once committed — upserts write a NEW dir and swap the
+        pointer, so an as-of read needs no log replay and no lock).
+        Raises ``FileNotFoundError`` for a vacuumed or never-written
+        version — loud, never a silent empty frame."""
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {version} not on disk under {self.root} "
+                f"(retained: {self.versions()}) — vacuumed or never written"
+            )
+        return spark.read.parquet(d)
+
     def _write(self, df: DataFrame, target: str) -> None:
         w = df.write.mode("overwrite")
         if self.partition_by:

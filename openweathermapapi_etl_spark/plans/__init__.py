@@ -110,6 +110,13 @@ _R6_WINDOW = [
 # rank instead of displacing real changes.
 _R7_HEAD = [
     "b23_distribution_windows",  # NEVER driver-checked (round-4 gap)
+    "b22_column_profile",  # NEW this round (relational)
+    "b20_grouping_id",  # NEW this round (relational)
+    "c05_phash_neardup",  # NEW this round (tier_c)
+    "m7_time_travel",  # NEW this round (merge_q)
+    "b51_stream_stream_full_join",  # NEW this round (streaming_q)
+    "c09_decontaminate_fuzzy",  # NEW this round (curation)
+    "c06_kcore",  # NEW this round (curation)
     "c02_semdedup",  # NEW this round (curation)
     "c03_sq8_encode",  # NEW this round (training_q)
     "c04_bigram_interp_score",  # NEW this round (curation)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cluster import dedup_clusters
+from ..operators.cluster import dedup_clusters, kcore_peel
 from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 from ..operators.sampling import (
     domain_mix_plan,
@@ -1438,3 +1438,106 @@ def c07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "temp_weight",
         (F.col("temp_weight") / total).alias("p_sample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 continued — FUZZY decontamination (near-dup vs the eval split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c09_decontaminate_fuzzy",
+    oracle=f"""
+    WITH pairs AS ({_lsh_oracle(max_bucket=10_000)}),
+    fl AS (SELECT doc_id, doc_id % 11 = 0 AS ev FROM documents),
+    x AS (SELECT CASE WHEN fa.ev THEN p.id_b ELSE p.id_a END AS train_id,
+                 CASE WHEN fa.ev THEN p.id_a ELSE p.id_b END AS eval_id
+          FROM pairs p
+          JOIN fl fa ON fa.doc_id = p.id_a
+          JOIN fl fb ON fb.doc_id = p.id_b
+          WHERE fa.ev <> fb.ev)
+    SELECT train_id AS doc_id,
+           CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_neardups
+    FROM x GROUP BY train_id
+    """,
+)
+def c09_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9b: FUZZY benchmark decontamination — training documents that
+    are MinHash-LSH near-duplicates of any eval document (eval set
+    doc_id % 11 = 0 — denser than c09's % 53 so eval×train crossings
+    exist at every test SF and the gate is non-vacuous). The 4-gram
+    rule (c09_decontaminate) misses paraphrased or lightly-edited
+    leaks; near-dup decontamination is the second gate every serious
+    release runs (GPT-3's 13-gram rule's fuzzy cousin; Dolma ships
+    both). Pipeline: ONE signature pass over the whole corpus (eval
+    and train rows together — no second scan for the eval side),
+    production-capped LSH banding, then the candidate pairs are
+    restricted to eval×train crossings and grouped to a per-train-doc
+    eval-match count. At 100 TB the banding shuffle dominates and is
+    shared with the dedup pipeline's candidates — a deployment
+    computes both from the same bucket pass; eval docs add ~0 volume.
+    """
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    fl = d.select("doc_id", (F.col("doc_id") % 11 == 0).alias("ev"))
+    fa = fl.select(F.col("doc_id").alias("id_a"), F.col("ev").alias("ev_a"))
+    fb = fl.select(F.col("doc_id").alias("id_b"), F.col("ev").alias("ev_b"))
+    x = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("ev_a") != F.col("ev_b"))
+        .select(
+            F.when(F.col("ev_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+            F.when(F.col("ev_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        )
+    )
+    return x.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.countDistinct("eval_id").alias("n_eval_neardups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — k-core peeling (graph density beyond components/triangles)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 3) -> str:
+    stages = []
+    prev = "e0"
+    for r in range(rounds):
+        stages.append(
+            f"""
+    d{r} AS (SELECT u, COUNT(*) AS deg FROM {prev} GROUP BY u),
+    k{r} AS (SELECT u FROM d{r} WHERE deg >= {k}),
+    e{r + 1} AS (SELECT e.u, e.v FROM {prev} e
+                 JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u)"""
+        )
+        prev = f"e{r + 1}"
+    return f"""
+    WITH pairs AS ({_lsh_oracle(max_bucket=10_000)}),
+    e0 AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    {",".join(stages)}
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY u
+    """
+
+
+@register("c06_kcore", oracle=_kcore_oracle())
+def c06_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6f: 2-core of the near-dup candidate graph after 3 peeling
+    rounds (operators/cluster.py::kcore_peel) — the graph-density
+    signal between components (c06_dedup_clusters: how BIG) and
+    triangles (c06_triangle_count: how CLIQUISH): documents peeled
+    out of the core matched only through low-degree chains, where
+    near-dup transitivity is weakest and aggressive cluster-level
+    dedup loses real content; deep-core documents sit in dense
+    boilerplate neighborhoods where it is safe. Every round is
+    node-keyed (semi-joins + degree agg) — no pair expansion beyond
+    the LSH candidates themselves; the oracle unrolls the identical
+    3 rounds as CTE stages."""
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    return kcore_peel(pairs, "id_a", "id_b", k=2, rounds=3)

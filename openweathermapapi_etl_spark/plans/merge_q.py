@@ -444,3 +444,59 @@ def m6_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_keys = orders.filter(F.col("o_custkey") % 19 == 0).select("o_custkey")
     table.delete(spark, delete_keys, keys=["o_custkey"])
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M7 — time-travel read (the table AS OF a previous version)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m7_time_travel",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal AS bal_before,
+           c_acctbal + 100.0 AS bal_after,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def m7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: time-travel read — the audit query every mutable table
+    eventually needs: "what did these keys look like BEFORE the merge
+    that just ran?". The versioned table's snapshot dirs are immutable
+    (upsert writes a new dir and atomically swaps the pointer), so
+    AS-OF is a direct parquet read of the retained predecessor —
+    no log replay, no lock, no interference with the current-version
+    readers (operators/merge.py::read_version; retention keeps the
+    previous version while its in-flight readers drain).
+
+    The query seeds v1 = customer, upserts +100 to every 7th key
+    (→ v2), then joins read_version(v1) against read() on the touched
+    keys — before/after balances from two physical snapshots, hash-
+    checked against the oracle's arithmetic reconstruction. Both sides
+    of the join are snapshot scans with key-pushdown; at 100 TB the
+    join is partition-pruned the same way the upsert was."""
+    cust = t(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m7_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    v1 = table.overwrite(cust)
+    delta = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    table.upsert(spark, delta, keys=["c_custkey"])
+    before = table.read_version(spark, v1).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_before"), "c_mktsegment"
+    )
+    after = table.read(spark).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_after")
+    )
+    touched = delta.select("c_custkey")
+    return (
+        before.join(after, "c_custkey")
+        .join(touched, "c_custkey", "semi")
+        .select("c_custkey", "bal_before", "bal_after", "c_mktsegment")
+    )

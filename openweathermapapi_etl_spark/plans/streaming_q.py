@@ -1154,3 +1154,107 @@ if tws_available():  # pragma: no cover — container lacks protobuf ≥ 6.33
         FROM events GROUP BY user_id, event_type
         """,
     )(b64_transform_with_state)
+
+
+@register(
+    "b51_stream_stream_full_join",
+    oracle=f"""
+    SELECT a.event_id AS click_id,
+           a.user_id AS click_user,
+           strftime(a.ts, '{_FMT_US}') AS click_ts,
+           b.event_id AS purchase_id,
+           b.user_id AS purchase_user,
+           strftime(b.ts, '{_FMT_US}') AS purchase_ts
+    FROM (SELECT * FROM {_EV} e1
+          WHERE event_type = 'click' AND ts IS NOT NULL) a
+    FULL JOIN (SELECT * FROM {_EV} e2
+               WHERE event_type = 'purchase' AND ts IS NOT NULL) b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def b51_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51d: stream-stream FULL OUTER join — completes the stream-join
+    matrix (inner b51, left-outer b51c): attributed pairs, unattributed
+    clicks (NULL purchase columns), AND orphan purchases with no
+    qualifying click in the preceding 30 minutes (NULL click columns) —
+    the funnel's "direct purchase" segment, invisible to the left
+    flavor. Emission of BOTH NULL sides is watermark-driven; state for
+    each side is held until the opposite watermark proves no match can
+    arrive. Same replay scaffold and close-the-books discipline as
+    b51c: two halves then two flush files whose sentinel click AND
+    purchase ride THROUGH the pushed event-type scans to advance the
+    watermark (a streaming-side sentinel filter would be pushed into
+    the scan and re-prune the flush file); sentinel removal is
+    batch-side, on both id columns since either can surface as an
+    unmatched outer row. NULL-ts rows excluded on both sides (an
+    event-time-less outer row has no horizon and pins state forever).
+    """
+    prep(spark)
+    events = load_table(spark, sf_dir, "events")
+    mid_ts = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
+    ).collect()[0][0]
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    tag = f"spark_graft_stream_b51f_{os.getpid()}"
+    d = os.path.join(tempfile.gettempdir(), tag)
+    split_events_files(
+        spark,
+        sf_dir,
+        d,
+        predicates=[
+            (F.col("ts") < F.lit(mid_ts)) | F.col("ts").isNull(),
+            F.col("ts") >= F.lit(mid_ts),
+        ],
+    )
+    import datetime as _dt
+
+    flush_ts = max_ts + _dt.timedelta(days=10)
+    flush = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "click", 0.0, None),
+            (-2, flush_ts, -2, "purchase", 0.0, None),
+        ],
+        EVENTS,
+    )
+    write_events_file(flush, d, 2)
+    write_events_file(flush, d, 3)
+
+    def side(alias_id: str, etype: str, uid: str, tscol: str):
+        return (
+            replay_files_stream(spark, d, EVENTS)
+            .filter(F.col("ts").isNotNull())
+            .withWatermark("ts", "2 hours")
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(alias_id),
+                F.col("user_id").alias(uid),
+                F.col("ts").alias(tscol),
+            )
+        )
+
+    clicks = side("click_id", "click", "click_user", "click_ts_t")
+    purchases = side("purchase_id", "purchase", "purchase_user", "purchase_ts_t")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts_t") >= F.col("click_ts_t"))
+        & (
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "click_user",
+        F.date_format("click_ts_t", _SPARK_FMT_US).alias("click_ts"),
+        "purchase_id",
+        "purchase_user",
+        F.date_format("purchase_ts_t", _SPARK_FMT_US).alias("purchase_ts"),
+    )
+    # Sentinel removal batch-side on BOTH ids (either side of a full
+    # outer row can be the sentinel); see docstring.
+    return run_to_memory(joined, "b51f_out", "append").filter(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     _affine_params,
     exact_dedup,
+    hamming_band_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
@@ -35,6 +36,8 @@ from ..operators.similarity import (
 from ..operators.text import (
     STOPWORDS,
     bpe_token_count,
+    char_fold_hash,
+    hash_scramble,
     fingerprint_md5,
     fingerprint_rolling,
     lang_id,
@@ -924,4 +927,62 @@ def c05_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 continued — perceptual-hash near-dup over binary payloads
+# ---------------------------------------------------------------------------
+
+_PH1 = _O_SCRAMBLE.format(h=_O_HASH.format(s="'ph1:' || text"))
+_PH2 = _O_SCRAMBLE.format(h=_O_HASH.format(s="'ph2:' || text"))
+
+
+@register(
+    "c05_phash_neardup",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id, ({_PH1} * 1073741824 + {_PH2}) AS ph
+      FROM documents),
+    bands AS (
+      SELECT doc_id, ph, j, (ph >> (15 * j)) & 32767 AS bv
+      FROM ph, (SELECT unnest(generate_series(0, 3)) AS j) js),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ph AS ha, b.ph AS hb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 22
+    """,
+)
+def c05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5h: perceptual-hash near-duplicate detection over opaque binary
+    payloads — the image-dedup pipeline shape: payload bytes → 60-bit
+    code → banded HAMMING bucket join → popcount verify
+    (operators/dedup.py::hamming_band_pairs). A real deployment
+    computes the code from decoded pixels (DCT pHash — decode stubbed
+    here, no codecs in this container); the stand-in code is two
+    salted scrambled fold-hashes of the payload bytes, so the
+    *pipeline* — binary column in, band buckets, one shuffle, bucket-
+    bounded pair expansion, row-local ``bit_count(xor)`` — is exactly
+    the production one and the oracle reproduces it bit-for-bit.
+    Pigeonhole: 4 bands over 60 bits catch every pair within distance
+    3 deterministically and near pairs with high probability. A real
+    pHash runs the gate at a semantic threshold (≤ 10 of 64); the
+    uniform stand-in has no near pairs at that distance (the corpus
+    holds no byte-identical payloads), so the gate sits at 22 — 2σ
+    below the random mean of 30 — proving the popcount arithmetic on
+    BOTH the accept and reject sides of the candidate set instead of
+    vacuously matching on empty."""
+    docs = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(docs, "text", "doc_id")
+    txt = F.col("payload").cast("string")
+    scr1 = hash_scramble(char_fold_hash(F.concat(F.lit("ph1:"), txt)))
+    scr2 = hash_scramble(char_fold_hash(F.concat(F.lit("ph2:"), txt)))
+    coded = wrapped.select(
+        "doc_id", (scr1 * F.lit(1 << 30) + scr2).alias("ph")
+    )
+    return hamming_band_pairs(
+        coded, "doc_id", "ph", nbits=60, bands=4, max_dist=22
     )

@@ -482,3 +482,71 @@ def test_sequence_pack_empty_and_single_row(spark):
     one = spark.createDataFrame([(7, 100)], "doc_id bigint, n_tokens bigint")
     r = sequence_pack(one, "doc_id", "n_tokens", 64).collect()[0]
     assert (r.stream_offset, r.pack_id) == (0, 0)
+
+
+if _HAVE_HYP:
+
+    @given(edges=st.lists(_edge, min_size=1, max_size=14))
+    @settings(max_examples=8, deadline=None)
+    def test_kcore_matches_python_peeling_model(spark, edges):
+        """Bounded k-core peeling must equal the same bounded rounds in
+        pure Python on any graph shape (multi-edges collapse, both
+        orientations, chains that peel completely, cliques that don't)."""
+        from openweathermapapi_etl_spark.operators.cluster import kcore_peel
+
+        k, rounds = 2, 3
+        adj = set()
+        for a, b in edges:
+            adj.add((a, b))
+            adj.add((b, a))
+        cur = set(adj)
+        for _ in range(rounds):
+            deg = {}
+            for u, _v in cur:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            cur = {(u, v) for u, v in cur if u in keep and v in keep}
+        expected = {}
+        for u, _v in cur:
+            expected[u] = expected.get(u, 0) + 1
+
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {
+            r.node: r.degree
+            for r in kcore_peel(df, k=k, rounds=rounds).collect()
+        }
+        assert got == expected
+
+    _code = st.integers(min_value=0, max_value=(1 << 60) - 1)
+
+    @given(codes=st.lists(_code, min_size=2, max_size=12, unique=True))
+    @settings(max_examples=8, deadline=None)
+    def test_hamming_band_pairs_match_python_model(spark, codes):
+        """Banded-Hamming candidate generation + popcount verify must
+        equal the brute-force Python model restricted to pairs sharing
+        at least one band (the candidate contract), at any distance."""
+        from openweathermapapi_etl_spark.operators.dedup import hamming_band_pairs
+
+        nbits, bands, max_dist = 60, 4, 59
+        bb = nbits // bands
+        mask = (1 << bb) - 1
+        rows = list(enumerate(codes))
+        expected = {}
+        for i, (ia, ca) in enumerate(rows):
+            for ib, cb in rows[i + 1:]:
+                shares = any(
+                    (ca >> (bb * j)) & mask == (cb >> (bb * j)) & mask
+                    for j in range(bands)
+                )
+                d = bin(ca ^ cb).count("1")
+                if shares and d <= max_dist:
+                    expected[(ia, ib)] = d
+
+        df = spark.createDataFrame(rows, "doc_id bigint, ph bigint")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(
+                df, "doc_id", "ph", nbits=nbits, bands=bands, max_dist=max_dist
+            ).collect()
+        }
+        assert got == expected

@@ -557,3 +557,28 @@ def test_delete_no_matching_keys_links_everything(spark, tmp_path):
     assert table.current_version() == v1 + 1
     got = {(r.k, r.ds, r.val) for r in table.read(spark).collect()}
     assert got == {("a1", "d1", "x"), ("b1", "d2", "x")}
+
+
+def test_time_travel_and_retention(spark, tmp_path):
+    """M7: read_version returns the immutable predecessor snapshot;
+    the retention window keeps exactly {current, previous}; a vacuumed
+    version raises loudly instead of returning an empty frame."""
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "m7"))
+    base = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v1 = t.overwrite(base)
+    t.upsert(spark, base.withColumn("v", F.col("v") + 1), keys=["k"])
+    assert t.versions() == [1, 2]
+    assert t.read_version(spark, v1).agg(F.sum("v")).collect()[0][0] == 100
+    assert t.read(spark).agg(F.sum("v")).collect()[0][0] == 105
+
+    t.upsert(spark, base.withColumn("v", F.col("v") + 2), keys=["k"])
+    assert t.versions() == [2, 3]  # v1 vacuumed by retention
+    with pytest.raises(FileNotFoundError, match="vacuumed or never written"):
+        t.read_version(spark, v1)
+    assert t.read_version(spark, 2).agg(F.sum("v")).collect()[0][0] == 105
