@@ -217,6 +217,47 @@ class VersionedParquetTable:
         self._write(df, self._version_dir(new_version))
         return self._commit(new_version)
 
+    # -- M8: write-audit-publish -------------------------------------
+    #
+    # The reference's staging-table discipline
+    # (/root/reference/dags/weather-etl.py:85-93: load into staging,
+    # audit implicitly via merge success, then one transactional
+    # commit) generalized to the lakehouse WAP pattern: write the
+    # candidate version to disk, run ARBITRARY audit queries against
+    # it while production readers still see the old version, and only
+    # then swing the pointer — or abandon, leaving zero trace.
+
+    def stage(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version directory WITHOUT
+        committing the pointer. Readers are unaffected; the staged
+        snapshot is a normal parquet dir that audit queries can read
+        via :meth:`read_version`. Returns the staged version number
+        for :meth:`publish` / :meth:`abandon`."""
+        staged = (self.current_version() or 0) + 1
+        self._write(df, self._version_dir(staged))
+        return staged
+
+    def publish(self, staged_version: int) -> int:
+        """Atomically make a staged version current (the audit passed).
+        Refuses to publish a version that isn't on disk or is older
+        than the current pointer — a stale publish would silently roll
+        production back."""
+        cur = self.current_version() or 0
+        if staged_version <= cur:
+            raise ValueError(
+                f"refusing to publish v{staged_version}: current is v{cur}"
+            )
+        if not os.path.isdir(self._version_dir(staged_version)):
+            raise FileNotFoundError(f"no staged dir v={staged_version}")
+        return self._commit(staged_version)
+
+    def abandon(self, staged_version: int) -> None:
+        """Drop a staged version after a failed audit. Guarded: never
+        removes the committed current version."""
+        if staged_version == (self.current_version() or 0):
+            raise ValueError(f"v{staged_version} is published; not removable")
+        shutil.rmtree(self._version_dir(staged_version), ignore_errors=True)
+
     def upsert(
         self,
         spark: SparkSession,

@@ -117,6 +117,10 @@ _R7_HEAD = [
     "b51_stream_stream_full_join",  # NEW this round (streaming_q)
     "c09_decontaminate_fuzzy",  # NEW this round (curation)
     "c06_kcore",  # NEW this round (curation)
+    "b16_corr_regression",  # NEW this round (relational)
+    "b14_interval_overlap_join",  # NEW this round (relational)
+    "c02_containment",  # NEW this round (tier_c)
+    "m8_write_audit_publish",  # NEW this round (merge_q)
     "c02_semdedup",  # NEW this round (curation)
     "c03_sq8_encode",  # NEW this round (training_q)
     "c04_bigram_interp_score",  # NEW this round (curation)

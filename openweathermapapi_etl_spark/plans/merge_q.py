@@ -500,3 +500,49 @@ def m7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(touched, "c_custkey", "semi")
         .select("c_custkey", "bal_before", "bal_after", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# M8 — write-audit-publish (staged version + audit gate + atomic swing)
+# ---------------------------------------------------------------------------
+
+
+@register("m8_write_audit_publish", oracle=M1_ORACLE)
+def m8_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the WAP (write-audit-publish) release gate — the lakehouse
+    generalization of the reference's staging-then-transactional-merge
+    (/root/reference/dags/weather-etl.py:85-93): the merged candidate
+    is STAGED as an uncommitted version directory, audit queries run
+    against that snapshot while production readers still see the old
+    version, and only a passing audit swings the pointer
+    (operators/merge.py::stage/publish/abandon). Audits here are the
+    B22 battery run at snapshot scope: row count must not shrink, the
+    merge key must stay unique, and no key may be NULL — each a plain
+    aggregate over the staged parquet (full pushdown, no production
+    interference). The oracle is M1's MERGE semantics: a hash-identical
+    result proves the staged-then-published path altered nothing. The
+    failed-audit path (abandon: pointer untouched, staged dir removed)
+    is pinned by tests/test_merge.py."""
+    base, updates = _base_and_updates(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m8_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(base)
+    merged = keyed_upsert(table.read(spark), updates, keys=["o_orderkey"])
+    staged = table.stage(merged)
+
+    snap = table.read_version(spark, staged)
+    audit = snap.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_null_keys"),
+    ).collect()[0]
+    n_before = table.read(spark).count()
+    if audit.n >= n_before and audit.n_keys == audit.n and audit.n_null_keys == 0:
+        table.publish(staged)
+    else:  # pragma: no cover — this corpus always passes; path pinned in pytest
+        table.abandon(staged)
+        raise AssertionError("WAP audit failed; staged version abandoned")
+    return _present(table.read(spark))

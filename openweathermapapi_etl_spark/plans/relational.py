@@ -2468,3 +2468,168 @@ def b20_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — correlation / least-squares regression per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_corr_regression",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0))
+               AS xi,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(12,0)) AS yi
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xi) AS DOUBLE) AS sx,
+             CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+             CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+             CAST(SUM(xi * yi) AS DOUBLE) AS sxy
+      FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy) AS corr,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0
+             AS intercept
+    FROM s
+    """,
+)
+def b16_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16h: Pearson correlation + least-squares slope/intercept per
+    group — NOT via the built-in ``corr``/``regr_slope`` aggregates:
+    their streaming covariance accumulation is order-dependent float
+    arithmetic, so two runs on different partitionings (or Spark vs
+    any other engine) disagree in the last ulps. Determinism recipe,
+    the moment-sum application of SCALE.md lesson 9: quantize inputs
+    to integer CENTS (their true data scale), so every moment product
+    and sum is EXACT integer decimal arithmetic (associative — partial
+    order irrelevant, bounded precision: (12,0)² → (25,0) products,
+    (35,0) sums); the only float steps are the final integer→double
+    casts (correctly rounded in both engines — unlike scaled-decimal→
+    double, which double-rounds differently past 2^53; measured on
+    this very query in both the double-product and scaled-decimal
+    formulations) and one fixed row-local IEEE expression tree.
+    corr and slope are scale-invariant under the cents transform;
+    the intercept divides back by 100 at the end. Same
+    single-exchange partial+final hash agg as any grouped aggregate.
+    The division order (÷sqrt ÷sqrt, not ÷(a·b)) is part of the
+    cross-engine contract."""
+    li = t(spark, sf_dir, "lineitem")
+    xi = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(12,0)")
+    yi = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(12,0)"
+    )
+    s = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (cov_n / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)).alias(
+            "corr"
+        ),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n / F.lit(100.0)).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 continued — interval×interval OVERLAP join (binned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b14_interval_overlap_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type FROM events),
+    a AS (SELECT event_id AS a_id, user_id,
+                 epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+          FROM ev WHERE event_type = 'view'),
+    b AS (SELECT event_id AS b_id, user_id,
+                 epoch_us(ts) - 300000000 AS s, epoch_us(ts) + 300000000 AS e
+          FROM ev WHERE event_type = 'purchase')
+    SELECT a.a_id, b.b_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def b14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14c: interval×INTERVAL overlap join — view windows [ts, ts+10m)
+    against purchase attribution windows [ts−5m, ts+5m) per user, with
+    the exact overlap duration. The general form of b14's
+    point-in-interval: both sides are ranges (ad flights × sessions,
+    IP blocks × scans, shifts × incidents). Binned rewrite: each side
+    explodes to the W=10-minute bins its interval touches (≤ 2 each,
+    since both intervals are ≤ W long — `sequence` handles the general
+    case), the join runs on (user, bin) equi-keys, and a DISTINCT
+    collapses pairs that met in two shared bins. Join group size is
+    bounded by per-(user, bin) activity, never by history length; at
+    100 TB pick W ≈ the typical interval span so the explode factor
+    stays ≈ 2 while bins stay selective. Overlap arithmetic is exact
+    integer microseconds. Semantics-preserving, so the oracle is the
+    PLAIN overlap join — the hash match proves the rewrite neither
+    loses nor duplicates pairs (the b10_salted_join discipline)."""
+    w_us = 600 * 1_000_000
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+
+    def side(etype: str, idname: str, lo_off: int, hi_off: int):
+        s = F.unix_micros("ts") + F.lit(lo_off)
+        e = F.unix_micros("ts") + F.lit(hi_off)
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(idname),
+                "user_id",
+                s.alias("s"),
+                e.alias("e"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("s") / w_us),
+                        F.floor((F.col("e") - 1) / w_us),
+                    )
+                ),
+            )
+        )
+
+    a = side("view", "a_id", 0, w_us).alias("a")
+    b = side("purchase", "b_id", -300 * 1_000_000, 300 * 1_000_000).alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e")),
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("overlap_us"),
+    ).distinct()

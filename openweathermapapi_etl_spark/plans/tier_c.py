@@ -986,3 +986,69 @@ def c05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(
         coded, "doc_id", "ph", nbits=60, bands=4, max_dist=22
     )
+
+
+# ---------------------------------------------------------------------------
+# C2 continued — asymmetric CONTAINMENT on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c02_containment",
+    oracle=f"""
+    WITH pairs AS ({{lsh}}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_O_SHINGLES}) AS s FROM toks),
+    j AS (SELECT p.id_a, p.id_b, a.s AS sa, b.s AS sb,
+                 len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_common
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b)
+    SELECT id_a, id_b,
+           CAST(len(sa) AS INT) AS n_a,
+           CAST(len(sb) AS INT) AS n_b,
+           CAST(n_common AS INT) AS n_common,
+           CASE WHEN least(len(sa), len(sb)) > 0
+                THEN CAST(n_common AS DOUBLE) / least(len(sa), len(sb))
+                ELSE 0.0 END AS containment
+    FROM j
+    """.format(lsh=_lsh_oracle(max_bucket=10_000)),
+)
+def c02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2h: asymmetric shingle CONTAINMENT over LSH candidates —
+    max(|A∩B|/|A|, |B∩A|/|B|) = |A∩B|/min(|A|,|B|): a short document
+    quoted whole inside a long one scores ~1.0 here but low symmetric
+    Jaccard (the union is dominated by the long side), so containment
+    is the gate that catches quote/boilerplate INCLUSION, which
+    training-data dedup treats differently from near-identity (drop
+    the contained copy, keep the container). Runs only on the capped
+    LSH candidate pairs — candidate-pair-sized like the edit-distance
+    verify, never corpus²; shingle sets join in by doc id (two
+    id-keyed joins), intersection is row-local array arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    from ..operators.text import word_shingles
+
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    n_a, n_b = F.size("sa"), F.size("sb")
+    return j.select(
+        "id_a",
+        "id_b",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_common.alias("n_common"),
+        F.when(
+            F.least(n_a, n_b) > 0,
+            n_common.cast("double") / F.least(n_a, n_b),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment"),
+    )

@@ -582,3 +582,36 @@ def test_time_travel_and_retention(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed or never written"):
         t.read_version(spark, v1)
     assert t.read_version(spark, 2).agg(F.sum("v")).collect()[0][0] == 105
+
+
+def test_wap_failed_audit_abandon_leaves_production_untouched(spark, tmp_path):
+    """M8's rollback half: a staged version that fails its audit is
+    abandoned — the pointer never moves, readers keep the old data,
+    and the staged directory is gone. Guards: publishing a stale
+    version and abandoning the published version both refuse."""
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "m8"))
+    base = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    v1 = t.overwrite(base)
+
+    # Candidate drops half the rows — the shrink audit must catch it.
+    bad = base.filter(F.col("k") < 5)
+    staged = t.stage(bad)
+    assert t.current_version() == v1  # staging never moves the pointer
+    n_before, n_staged = t.read(spark).count(), t.read_version(spark, staged).count()
+    assert n_staged < n_before  # audit verdict: fail
+    t.abandon(staged)
+    assert t.current_version() == v1
+    assert t.read(spark).count() == 10
+    assert staged not in t.versions()
+
+    # Guards.
+    good = t.stage(base.withColumn("v", F.lit(2)))
+    t.publish(good)
+    with pytest.raises(ValueError, match="refusing to publish"):
+        t.publish(v1)
+    with pytest.raises(ValueError, match="not removable"):
+        t.abandon(good)
