@@ -110,6 +110,13 @@ _R6_WINDOW = [
 # rank instead of displacing real changes.
 _R7_HEAD = [
     "b23_distribution_windows",  # NEVER driver-checked (round-4 gap)
+    # The round-6 RED row and the two ops whose OUTPUT changed this
+    # round rank immediately after: the 50-slot window must re-check
+    # them (47 never-checked + these would otherwise push the red row
+    # to position 53, leaving round 6's only failing hard signal
+    # unverified for another round).
+    "c03_pq_encode",  # round-6 red row: query surface stringified
+    "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "b22_column_profile",  # NEW this round (relational)
     "b20_grouping_id",  # NEW this round (relational)
     "c05_phash_neardup",  # NEW this round (tier_c)
@@ -161,8 +168,6 @@ _R7_HEAD = [
     "c07_sequence_pack",  # split_bucket hash_scramble rework
     "c07_group_split",  # split_bucket hash_scramble rework
     "c07_weighted_sample",  # split_bucket hash_scramble rework
-    "c03_pq_encode",  # round-6 red row: query surface stringified
-    "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
     "c03_ivf_pq_topk",  # pq_codebook seeds window partitioning
     "b24_anomaly_zscore",  # rolling_zscore var>0 guard (both engines)
     "m5_compaction_plan",  # compaction col-name validation + prefix_sum widen
