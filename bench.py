@@ -102,6 +102,13 @@ BENCH_QUERIES = [
     "c06_cc_alternating_star",
     "c04_ppl_buckets",
     "m6_targeted_delete",
+    # Round-7d additions: the exact prefix-filter set-similarity join
+    # (rarest-shingle candidate join + rank-array verify — the only
+    # operator whose hot path carries sorted int arrays through a
+    # join) and the wedge-enumeration neighbor similarity (shared-
+    # neighbor self-join — degree-bounded bucket expansion).
+    "c02_setsim_exact",
+    "c06_jaccard_neighbors",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

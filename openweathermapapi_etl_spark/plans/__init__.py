@@ -19,6 +19,7 @@ from . import curation  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import training_q  # noqa: E402,F401
 from . import serving_q  # noqa: E402,F401
+from . import analytics_q  # noqa: E402,F401
 
 # The correctness driver records rows for the FIRST 50 registered names
 # only (observed in rounds 1-4: CORRECTNESS_r0{1,2,3,4}.json each held
@@ -117,6 +118,16 @@ _R7_HEAD = [
     # unverified for another round).
     "c03_pq_encode",  # round-6 red row: query surface stringified
     "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
+    # Round-7d batch (analytics_q.py) — brand-new query surfaces rank
+    # directly after the never-checked/red-row priorities:
+    "c02_setsim_exact",  # NEW this round (analytics_q)
+    "b64_sequence_islands",  # NEW this round (analytics_q)
+    "b24_max_drawdown",  # NEW this round (analytics_q)
+    "b16_mad",  # NEW this round (analytics_q)
+    "b65_windowed_distinct",  # NEW this round (analytics_q)
+    "c07_quantile_normalize",  # NEW this round (analytics_q)
+    "c06_jaccard_neighbors",  # NEW this round (analytics_q)
+    "m9_cdc_apply",  # NEW this round (analytics_q)
     "b22_column_profile",  # NEW this round (relational)
     "b20_grouping_id",  # NEW this round (relational)
     "c05_phash_neardup",  # NEW this round (tier_c)

@@ -1,0 +1,367 @@
+"""Round-7 analytics batch: exact set-similarity join (prefix
+filtering), integer-sequence islands, per-key drawdown, robust
+dispersion (MAD), moving distinct counts, per-source quantile
+normalization, common-neighbor graph similarity, and CDC changelog
+compaction.
+
+Reference basis: all are queries the reference's ad-hoc PGAdmin SQL
+surface invites over its loaded tables
+(/root/reference/README.md:62-78) — sequence audits, latest-state
+reads of the keyed weather table, windowed statistics — re-expressed
+so no step funnels the corpus through one task. Float policy as in
+util.py: integer arithmetic up to a final single IEEE division where
+possible; exact-percentile interpolation is (a+b)·frac arithmetic on
+identical operands in both engines.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+from ..operators.rank import global_rank
+from ..operators.sequences import cdc_latest_state, max_drawdown, sequence_islands
+from ..operators.setsim import setsim_join
+from .registry import register
+from .tier_c import _O_SHINGLES, _lsh_oracle
+from .util import t
+
+# ---------------------------------------------------------------------------
+# C2 continued — EXACT set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+_TAU = Fraction(4, 5)
+
+
+@register(
+    "c02_setsim_exact",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sets AS (SELECT doc_id, list_distinct({_O_SHINGLES}) AS s FROM toks),
+    ne AS (SELECT * FROM sets WHERE len(s) > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+            CAST(len(a.s) + len(b.s) AS BIGINT) AS ssum
+          FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, inter, ssum - inter AS uni,
+           CAST(inter AS DOUBLE) / (ssum - inter) AS jaccard
+    FROM p WHERE inter * {_TAU.denominator} >= (ssum - inter) * {_TAU.numerator}
+    """,
+)
+def c02_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g: EXACT Jaccard >= 4/5 self-join on 3-gram shingle sets via
+    prefix filtering (operators/setsim.py) — the no-false-negative
+    complement of the LSH family: banding can miss true near-dups,
+    this cannot, and it still never runs the all-pairs join. Join keys
+    are each document's RAREST shingles (global frequency order via
+    the exchange-aware total-order rank), so candidate buckets shrink
+    exactly where a naive token join explodes; the threshold test is
+    pure integer arithmetic, the output jaccard one IEEE division.
+    The oracle is the brute-force all-pairs join — feasible at oracle
+    SF only, which is the point: same answer, quadratic vs near-linear
+    candidate work."""
+    docs = t(spark, sf_dir, "documents")
+    return setsim_join(docs, "doc_id", "text", tau=_TAU, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# B64 — integer-sequence islands (gap audit)
+# ---------------------------------------------------------------------------
+
+_ISLAND_MIN_PRICE = 250_000
+
+
+@register(
+    "b64_sequence_islands",
+    oracle=f"""
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_totalprice > {_ISLAND_MIN_PRICE}),
+    r AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids)
+    SELECT MIN(id) AS island_start, MAX(id) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_ids
+    FROM r GROUP BY id - rn
+    """,
+)
+def b64_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64: gaps-and-islands over an integer id sequence — the audit
+    query behind "which ingest batches are missing?" (the reference's
+    keyed weather table invites exactly this over its batch
+    timestamps, README.md:62-78). The ``id - row_number`` delta trick
+    turns consecutive runs into groupBy keys — no self-join, no
+    lead/lag; the row_number is operators/rank.py's range-partitioned
+    global rank, so unlike the oracle's single-reducer ``OVER (ORDER
+    BY id)`` no task ever holds the whole sequence."""
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _ISLAND_MIN_PRICE
+    )
+    return sequence_islands(orders, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — per-key maximum drawdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_max_drawdown",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, value FROM events),
+    w AS (SELECT user_id, value,
+            max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+          FROM ev)
+    SELECT user_id, max(pk) AS peak, max(pk - value) AS max_drawdown
+    FROM w GROUP BY user_id
+    """,
+)
+def b24_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24h: largest peak-to-trough drop per user's value series
+    (operators/sequences.py::max_drawdown) — the running-extreme
+    analytic window in its hardest-to-fake form (cummax then a global
+    max of differences; any ordering error changes the answer). One
+    key-partitioned cumulative window + one agg; running max and the
+    subtraction are order-exact IEEE ops, bit-identical to the oracle
+    walking the same (ts, event_id) total order."""
+    ev = t(spark, sf_dir, "events")
+    return max_drawdown(ev, "user_id", ["ts", "event_id"], "value")
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — median absolute deviation (robust dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_mad",
+    oracle="""
+    WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+                 FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, m.med,
+           quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def b16_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16h: exact median absolute deviation per group — the robust
+    twin of stddev (outlier-immune dispersion, what c07_outlier_filter
+    would use on heavy-tailed quality scores). Two exact-percentile
+    aggregations bridged by a BROADCAST of the per-group medians
+    (group-count rows); Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)·p linear-interpolation
+    definition, and every interpolated operand is identical on both
+    sides, so the doubles match bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+        .select("l_returnflag", "med", "mad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B65 — moving distinct count (windowed COUNT(DISTINCT))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b65_windowed_distinct",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type FROM events)
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_distinct_10
+    FROM ev
+    """,
+)
+def b65_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65: distinct event types over each user's trailing 10 events —
+    engagement breadth. Spark windows refuse DISTINCT aggregates, so
+    the engine spells it ``size(collect_set() OVER w)``: exact, stays
+    JVM-side, and state is bounded by the ROWS frame (10 rows), so
+    per-row cost is O(frame), not O(history) — the reason this
+    formulation survives where ``collect_set`` over an UNBOUNDED frame
+    would not. One key-partitioned exchange."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_distinct_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — per-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_quantile_normalize",
+    oracle="""
+    SELECT doc_id, source,
+           percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+             AS qnorm
+    FROM documents
+    """,
+)
+def c07_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7m: per-source quantile normalization of a quality signal —
+    maps each source's score distribution onto uniform [0,1] so a
+    cross-source mixture (c07_domain_mix) can threshold "top 20% of
+    EACH source" instead of comparing raw scores across differently
+    calibrated sources. NOT the oracle's per-source window: a corpus
+    with 5 sources would run on 5 reducers at 100 TB. Instead ONE
+    range-partitioned global rank on (source, score, id) — source as
+    the leading key makes per-source rank = global rank − the
+    source's first rank, recovered by a broadcast join of a
+    source-count aggregate (n_sources rows). percent_rank's
+    (rank−1)/(n−1) is a single integer-operand IEEE division."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = global_rank(docs, ["source", "n_chars", "doc_id"], rank_name="_rnk")
+    per_src = ranked.groupBy("source").agg(
+        F.min("_rnk").alias("_lo"), F.count("*").alias("_n")
+    )
+    return ranked.join(F.broadcast(per_src), "source").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("_n") > 1,
+            (F.col("_rnk") - F.col("_lo")).cast("double") / (F.col("_n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — common-neighbor (Jaccard) node similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c06_jaccard_neighbors",
+    oracle=f"""
+    WITH pairs AS ({_lsh_oracle(max_bucket=10_000).strip()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    wedge AS (SELECT e1.src AS id_a, e2.src AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS common
+              FROM edges e1 JOIN edges e2
+                ON e1.dst = e2.dst AND e1.src < e2.src
+              GROUP BY e1.src, e2.src)
+    SELECT w.id_a, w.id_b, w.common, da.d AS deg_a, db.d AS deg_b,
+           CAST(w.common AS DOUBLE) / (da.d + db.d - w.common) AS jaccard
+    FROM wedge w
+    JOIN deg da ON da.src = w.id_a
+    JOIN deg db ON db.src = w.id_b
+    WHERE w.common >= 2
+    """,
+)
+def c06_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6e: neighbor-set Jaccard over the near-dup graph — the link-
+    prediction / cluster-densification signal ("these two docs share
+    most of their near-dup neighbors but no direct edge yet"), the
+    standard precursor to SemDeDup-style cluster merging. Wedge
+    enumeration is an equi-join on the shared neighbor (bucket size =
+    that node's degree, bounded upstream by LSH's ``max_bucket`` hub
+    cap — same edge source as c06_pagerank) + one pair-keyed count;
+    degrees join back broadcast-eligible. ``common >= 2`` keeps the
+    output to genuinely clustered pairs and is an integer filter."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    prs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    edges = prs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        prs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.dst")) & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(F.col("e1.src").alias("id_a"), F.col("e2.src").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("src").alias("id_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("id_b"), F.col("d").alias("deg_b"))
+    return (
+        wedge.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M9 — CDC changelog compaction (latest surviving state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m9_cdc_apply",
+    oracle="""
+    WITH log AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                   event_id, value,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+                 FROM events),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn,
+            CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
+          FROM log)
+    SELECT user_id, ts, value, n_versions FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def m9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: replay a whole CDC changelog to latest surviving state per
+    key (operators/sequences.py::cdc_latest_state) — the batch twin of
+    M1's incremental upsert (operators/merge.py) and the semantics of
+    every log-compacted store: last change by (ts, event_id) wins, a
+    trailing delete tombstones the key. The events stream stands in as
+    the changelog ('error' = tombstone). One row_number window on the
+    key partition (single hash shuffle — embarrassingly parallel per
+    key at 100 TB) + a filter; ``n_versions`` reports the compaction
+    ratio M5's planner consumes."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    latest = cdc_latest_state(ev, "user_id", ["ts", "event_id"], "op")
+    return latest.select("user_id", "ts", "value", F.col("n_versions").cast("long").alias("n_versions"))

@@ -1,0 +1,148 @@
+"""Unit tests for the round-7 analytics batch: exact set-similarity
+join (prefix filtering), sequence islands, drawdown, and CDC
+changelog compaction — the operator-level pins behind analytics_q.py
+(the oracle suite covers the registered query surfaces)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from openweathermapapi_etl_spark.operators.sequences import (
+    cdc_latest_state,
+    max_drawdown,
+    sequence_islands,
+)
+from openweathermapapi_etl_spark.operators.setsim import setsim_join
+
+
+# ---------------------------------------------------------------------------
+# setsim_join — exact, no false negatives, tau boundary
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(docs: list[tuple[int, str]], tau: Fraction, n: int = 3):
+    """Pure-Python all-pairs Jaccard on distinct word n-gram sets."""
+
+    def sset(text: str) -> frozenset[str]:
+        tk = text.split(" ")
+        return frozenset(
+            " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+        )
+
+    out = {}
+    for (ia, ta), (ib, tb) in combinations(sorted(docs), 2):
+        sa, sb = sset(ta), sset(tb)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if inter * tau.denominator >= uni * tau.numerator:
+            out[(ia, ib)] = (inter, uni)
+    return out
+
+
+def test_setsim_matches_bruteforce(spark):
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # exact dup of 1
+        (3, "a b c d e f g x"),          # near dup of 1 (shares 5/7+ shingles)
+        (4, "x y z w v u t s"),          # unrelated
+        (5, "q r"),                      # too short: empty shingle set
+        (6, "x y z w v u t r"),          # near dup of 4
+    ]
+    tau = Fraction(1, 2)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in setsim_join(df, "doc_id", "text", tau=tau).collect()
+    }
+    assert got == _brute_pairs(docs, tau)
+
+
+def test_setsim_tau_boundary_is_exact(spark):
+    # Sets engineered to land EXACTLY on tau: inter=4, uni=8, tau=1/2.
+    # 'a b c d e f' -> shingles {abc,bcd,cde,def}; adding ' x a b c d e f'
+    # style suffixes shifts the set. Construct via explicit shingle
+    # control: 6 shared tokens + 2 private per side gives inter=4, and
+    # each side has 6 shingles -> uni = 8.
+    a = "s1 s2 s3 s4 s5 s6 a1 a2"  # shingles: 6 total, 4 shared (s1..s4 starts)
+    b = "s1 s2 s3 s4 s5 s6 b1 b2"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = setsim_join(df, "doc_id", "text", tau=Fraction(1, 2)).collect()
+    assert [(r["inter"], r["uni"]) for r in rows] == [(4, 8)]
+    # One notch above the boundary excludes the pair: integer compare,
+    # no float epsilon at the threshold.
+    assert setsim_join(df, "doc_id", "text", tau=Fraction(9, 16)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence_islands — partition-boundary correctness
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_islands_across_partitions(spark):
+    # Islands: [1..5], [8..9], [100], [102..104]. Force few-row range
+    # partitions so islands span partition boundaries — the rank-based
+    # construction must still merge them (no per-partition seams).
+    ids = [1, 2, 3, 4, 5, 8, 9, 100, 102, 103, 104]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_ids"])
+        for r in sequence_islands(df, "id", num_partitions=4).collect()
+    )
+    assert got == [(1, 5, 5), (8, 9, 2), (100, 100, 1), (102, 104, 3)]
+
+
+def test_sequence_islands_dedups_ids(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (4,)], ["id"])
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_ids"])
+        for r in sequence_islands(df, "id").collect()
+    )
+    assert got == [(1, 2, 2), (4, 4, 1)]
+
+
+# ---------------------------------------------------------------------------
+# max_drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_max_drawdown_hand_case(spark):
+    # Series: 10, 7, 12, 4, 9 -> peaks 10,10,12,12,12; drawdowns
+    # 0,3,0,8,3 -> max 8. A key that only rises has drawdown 0.
+    rows = [("u", i, v) for i, v in enumerate([10.0, 7.0, 12.0, 4.0, 9.0])]
+    rows += [("v", i, v) for i, v in enumerate([1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, ["k", "seq", "val"])
+    got = {
+        r["k"]: (r["peak"], r["max_drawdown"])
+        for r in max_drawdown(df, "k", ["seq"], "val").collect()
+    }
+    assert got == {"u": (12.0, 8.0), "v": (3.0, 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# cdc_latest_state
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_latest_state_semantics(spark):
+    log = [
+        # key 1: U, U -> survives with last value, 2 versions
+        (1, 1, "U", 10.0),
+        (1, 2, "U", 11.0),
+        # key 2: U then D -> tombstoned
+        (2, 1, "U", 20.0),
+        (2, 2, "D", None),
+        # key 3: D then U -> the delete is NOT last, key survives
+        (3, 1, "D", None),
+        (3, 2, "U", 30.0),
+    ]
+    df = spark.createDataFrame(log, ["k", "seq", "op", "val"])
+    got = {
+        r["k"]: (r["val"], r["n_versions"])
+        for r in cdc_latest_state(df, "k", ["seq"], "op").collect()
+    }
+    assert got == {1: (11.0, 2), 3: (30.0, 2)}
