@@ -1541,3 +1541,114 @@ def c06_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
     return kcore_peel(pairs, "id_a", "id_b", k=2, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — term co-occurrence / PMI lift (collocation mining)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_pmi_lift",
+    oracle="""
+    WITH ds AS (SELECT doc_id,
+                       list_distinct(list_filter(string_split(text, ' '),
+                                                 t -> t <> '')) AS s
+                FROM documents),
+    tok AS (SELECT doc_id, unnest(s) AS token FROM ds),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM tok GROUP BY token),
+    vocab AS (SELECT token, n_docs FROM dfreq
+              ORDER BY n_docs DESC, token LIMIT 40),
+    vt AS (SELECT tok.doc_id, tok.token FROM tok JOIN vocab USING (token)),
+    pr AS (SELECT a.token AS term_a, b.token AS term_b
+           FROM vt a JOIN vt b
+             ON a.doc_id = b.doc_id AND a.token < b.token),
+    c AS (SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM pr GROUP BY term_a, term_b),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT term_a, term_b, n_ab,
+           va.n_docs AS n_a, vb.n_docs AS n_b,
+           CAST(n_ab * n_corpus AS DOUBLE)
+             / CAST(va.n_docs * vb.n_docs AS DOUBLE) AS lift
+    FROM c CROSS JOIN n
+    JOIN vocab va ON va.token = term_a
+    JOIN vocab vb ON vb.token = term_b
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, term_a, term_b LIMIT 50
+    """,
+)
+def c04_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4l: collocation mining — document-level co-occurrence lift
+    (the exp of PMI: p(a,b) / p(a)p(b)) over a pruned vocabulary; the
+    corpus statistic behind multi-word-expression detection and
+    tokenizer merge decisions. The naive spelling is a token-table
+    self-join — corpus² on stopword keys. The scale shape here:
+
+    1. one doc-frequency agg → top-V vocabulary (V=40), collected
+       into a single broadcast ARRAY row (vocab tables are small by
+       construction after pruning — the c04_unigram_logprob_topk
+       argument);
+    2. per-document ``array_intersect`` against the broadcast vocab +
+       higher-order ``transform``/``filter`` pair expansion — pair
+       generation is MAP-SIDE, bounded by V²/2 per doc, no join;
+    3. one (a,b)-keyed count whose output is ≤ V²/2 rows, then two
+       broadcast vocab lookups for the marginals.
+
+    The lift is one IEEE division of exact integer products (doc
+    counts), so ranking ties and values are engine-exact — the same
+    last-ulp dodge as the c04 LM family's quantized logs."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(tokens("text"), lambda x: x != F.lit(""))
+    )
+    ds = d.select("doc_id", toks.alias("s"))
+    tok = ds.select("doc_id", F.explode("s").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("n_docs"))
+    vocab = dfreq.orderBy(F.col("n_docs").desc(), "token").limit(40)
+    vlist = vocab.agg(F.sort_array(F.collect_list("token")).alias("v"))
+    pruned = ds.crossJoin(F.broadcast(vlist)).select(
+        "doc_id", F.sort_array(F.array_intersect("s", "v")).alias("p")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "p",
+                lambda x: F.transform(
+                    F.col("p"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    pairs = pruned.select(F.explode(pair_structs).alias("pr")).select(
+        F.col("pr.a").alias("term_a"), F.col("pr.b").alias("term_b")
+    )
+    c = pairs.groupBy("term_a", "term_b").agg(F.count("*").alias("n_ab"))
+    n = d.agg(F.count("*").alias("n_corpus"))
+    va = vocab.select(
+        F.col("token").alias("term_a"), F.col("n_docs").alias("n_a")
+    )
+    vb = vocab.select(
+        F.col("token").alias("term_b"), F.col("n_docs").alias("n_b")
+    )
+    return (
+        c.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_corpus")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "term_a", "term_b")
+        .limit(50)
+    )

@@ -11,7 +11,7 @@ streaming_q).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sessions import session_stats, sessionize
@@ -258,4 +258,65 @@ def b25_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("n_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_event_transitions",
+    oracle=f"""
+    WITH e AS (SELECT * FROM {_EV}
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM e),
+    c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+          FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_trans
+    FROM c
+    """,
+)
+def b24_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24g: first-order Markov transition matrix over the event log —
+    "after a user does X, what do they do next?", the input to funnel
+    design, anomaly detection (improbable transitions), and session
+    simulators. Shape: one lead() window partitioned by user_id (high
+    cardinality — the partitioning that scales), a (from, to)-keyed
+    count whose output is bounded by |event_type|², and a share window
+    over the tiny transition table. The probability is a single IEEE
+    division of exact integer counts — no accumulation-order exposure.
+    At 100 TB the only corpus-sized work is the per-user window, which
+    shuffles once on the same user_id key the sessionizer (B42) and
+    funnel (B24c) already use — a shared, reusable partitioning."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wt).cast("double")
+        ).alias("p_trans"),
     )

@@ -15,7 +15,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.manifest import file_stats, skipping_read
 from ..operators.merge import VersionedParquetTable, keyed_upsert
+from ..operators.reconcile import reconcile
 from .registry import register
 from .util import t
 
@@ -546,3 +548,137 @@ def m8_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.abandon(staged)
         raise AssertionError("WAP audit failed; staged version abandoned")
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M10 — bucketed-checksum reconciliation (migration / replica audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m10_reconcile_checksum",
+    oracle="""
+    WITH dst AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 971 = 3 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 997 <> 5
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'X', o_totalprice,
+             o_orderdate, 'EXTRA'
+      FROM orders WHERE o_orderkey % 991 = 7),
+    j AS (
+      SELECT s.o_orderkey AS sk, d.o_orderkey AS dk,
+             CASE WHEN d.o_orderkey IS NULL THEN 'missing'
+                  WHEN s.o_orderkey IS NULL THEN 'extra'
+                  WHEN s.o_custkey IS DISTINCT FROM d.o_custkey
+                    OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                    OR CAST(s.o_totalprice AS DECIMAL(38,6))
+                       IS DISTINCT FROM CAST(d.o_totalprice AS DECIMAL(38,6))
+                    OR s.o_orderdate IS DISTINCT FROM d.o_orderdate
+                    OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+                  THEN 'changed' END AS status
+      FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey)
+    SELECT COALESCE(sk, dk) AS o_orderkey, status
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def m10_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: bucketed-checksum reconciliation
+    (operators/reconcile.py) — "is the migrated copy EXACTLY the
+    source, and if not, which rows?" answered WITHOUT a row-level
+    full-table join: per-bucket COUNT + BIT_XOR of portable 60-bit
+    row fingerprints (a partial agg — each executor ships n_buckets
+    rows, no row data crosses the network), equal buckets proven
+    equal and pruned, row-level drill-down only inside the
+    (corruption-sized) mismatched bucket set. The destination here is
+    the source with three seeded defects — every 997th key dropped,
+    every 971st repriced, every 991st duplicated under a shifted key —
+    and the report must name exactly those keys. The oracle is the
+    direct full-outer IS DISTINCT FROM comparison: identical results
+    prove the checksum shortcut loses nothing. Doubles enter the
+    fingerprint through DECIMAL(38,6) rendering (util.py float
+    policy); fingerprint/bucket portability (Spark conv(md5) ==
+    DuckDB '0x'||md5 cast) is pinned in tests so either side of a
+    REAL migration can checksum itself in its own engine."""
+    orders = t(spark, sf_dir, "orders")
+    changed = F.col("o_orderkey") % 971 == 3
+    dst = (
+        orders.filter(F.col("o_orderkey") % 997 != 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(changed, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 991 == 7).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("X").alias("o_orderstatus"),
+                "o_totalprice",
+                "o_orderdate",
+                F.lit("EXTRA").alias("o_orderpriority"),
+            )
+        )
+    )
+    fp_cols = [
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(38,6)"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    ]
+    return reconcile(orders, dst, ["o_orderkey"], fp_cols, n_buckets=1024)
+
+
+# ---------------------------------------------------------------------------
+# M11 — min/max manifest data skipping (Iceberg-style file pruning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m11_manifest_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+    FROM orders
+    WHERE o_orderdate >= '1998-03-01' AND o_orderdate <= '1998-09-30'
+    """,
+)
+def m11_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: file-level min/max data skipping (operators/manifest.py) —
+    the read-side complement of B4c partition pruning and B4d
+    Z-ordering: the table is laid out range-clustered on o_orderdate
+    (repartitionByRange → each file owns a tight date interval), a
+    manifest of per-file [min, max, count] is derived, and a 7-month
+    range scan opens ONLY the files whose interval intersects the
+    predicate — at 100 TB this is the difference between reading the
+    table and reading the week you asked for. The survivor list is
+    the only collect (control-plane, bounded by file count); the
+    residual predicate is always reapplied row-level, so manifest
+    width can never cost correctness — proven by the oracle being the
+    plain full-table filter. pytest additionally pins that the pruned
+    scan opens strictly fewer files than the table has."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m11_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        orders.repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    manifest = file_stats(spark, root, "o_orderdate")
+    lo, hi = F.lit("1998-03-01").cast("timestamp"), F.lit("1998-09-30").cast(
+        "timestamp"
+    )
+    return skipping_read(spark, root, manifest, "o_orderdate", lo, hi).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+    )

@@ -2633,3 +2633,67 @@ def b14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("a.s"), F.col("b.s"))
         ).alias("overlap_us"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — EXACT weighted median (cumulative-weight threshold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_weighted_median",
+    oracle="""
+    WITH cw AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem)
+    SELECT l_returnflag,
+           MIN(l_extendedprice)         AS weighted_median,
+           CAST(MIN(tot) AS DOUBLE)     AS total_weight
+    FROM cw WHERE 2 * cum >= tot GROUP BY l_returnflag
+    """,
+)
+def b16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16h: EXACT weighted median — the smallest price v such that
+    rows with price <= v carry at least half the group's total
+    quantity-weight. The unweighted percentile family (B16b/B16g)
+    cannot express this: every row counts equally there, while
+    "median price weighted by volume" is the actual audit question.
+    Shape: one RANGE-framed cumulative window (ties share a frame
+    position, so equal prices accumulate together — the weighted-CDF
+    definition), a same-partition total, and the threshold pick
+    ``2*cum >= tot`` in EXACT decimal arithmetic (no division, no
+    float compare — the boundary row is engine-independent).
+
+    Scale note: like percentile_disc this totals-orders each group —
+    right for bounded-cardinality grouped audits (3 groups here). For
+    corpus-sized groups the same threshold pick runs on the
+    distributed total order (operators/rank.py::global_rank range
+    machinery) with the cumulative weight from prefix_sum — the
+    operators exist; this surface is the grouped-audit flavor."""
+    li = t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast(DEC)
+    wv = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("l_returnflag")
+    cw = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qd).over(wv).alias("cum"),
+        F.sum(qd).over(wp).alias("tot"),
+    )
+    return (
+        cw.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tot").cast("double").alias("total_weight"),
+        )
+    )
