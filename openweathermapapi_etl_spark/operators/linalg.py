@@ -1,0 +1,135 @@
+"""Distributed second-moment aggregation + PCA projection.
+
+PCA over an embedding column is the canonical "d is small, n is
+huge" distributed computation (Chen et al., "Large-scale PCA", and
+every MLlib/Mahout implementation — public literature): the d×d
+covariance matrix is an ASSOCIATIVE aggregate (n, Σx, ΣxxT), so it
+reduces map-side — each partition emits d² floats no matter how many
+rows it holds — and the eigendecomposition runs on the driver on a
+d×d matrix (d = 64 here; the driver-side work is bounded by the
+VECTOR dimension, never by n). The projection back over the corpus
+is a broadcast matmul — one Arrow-batched pass, no shuffle at all.
+
+The partial Gram runs in numpy via ``mapInPandas`` (a per-partition
+``X.T @ X`` is exactly what BLAS is for — this is the documented
+"genuinely can't express in built-ins" case: a 64×64 running matrix
+product per partition); everything before and after stays in the
+DataFrame API. The exact-decimal oracle-checkable covariance twin
+(d=8, one agg statement, no Python) lives in plans/training_q.py —
+same math, built-ins only, for the parity gate.
+
+Reference basis: the reference stores no vector data; this extends
+the engine's C3 family (ANN/quantization) with the standard
+decorrelation/compaction preprocessing those indexes assume.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One row PER PARTITION: (pid, n, sum vector, flattened Gram).
+
+    Map-side reduction: output size = partitions × (d² + d + 2)
+    doubles — metadata-sized at any corpus size. ``pid`` makes the
+    driver-side combine order deterministic (float addition is not
+    associative; a fixed combine order keeps reruns bit-identical).
+    """
+    schema = "pid long, n long, s array<double>, g array<double>"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        pid = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                [{"pid": pid, "n": n, "s": s.tolist(), "g": g.ravel().tolist()}]
+            )
+
+    return (
+        df.select(F.col(vec_col), F.spark_partition_id().alias("_pid"))
+        .mapInPandas(part, schema)
+    )
+
+
+def covariance(df: DataFrame, vec_col: str, dim: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, cov) — population covariance of the vector column.
+
+    The collect is control-plane: one row per PARTITION (bounded by
+    cluster parallelism × d², not by n), combined in pid order.
+    """
+    rows = sorted(gram_partials(df, vec_col, dim).collect(), key=lambda r: r.pid)
+    n = sum(r.n for r in rows)
+    if n == 0:
+        raise ValueError("covariance of an empty vector column")
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_components(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(eigvals desc [k], components [k×d]) with deterministic signs.
+
+    Driver-side ``eigh`` on the d×d covariance — O(d³), independent
+    of corpus size. Eigenvector sign is arbitrary; fixing the
+    largest-|component| coordinate positive makes reruns and
+    resumed jobs produce identical projections.
+    """
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k × d
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return vals[order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+) -> DataFrame:
+    """(id, p0..p{k-1}) — mean-centered projection onto components.
+
+    The (k×d) component matrix and mean ride in the UDF closure
+    (broadcast with the task binary — a few KB); the projection is
+    one Arrow-batched matmul per partition, no shuffle, no
+    corpus-sized driver traffic.
+    """
+    k = components.shape[0]
+    comp_t = components.T.copy()  # d × k, contiguous for the matmul
+    mu = mean.copy()
+    schema = ", ".join([f"{id_col} long"] + [f"p{i} double" for i in range(k)])
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = (X - mu) @ comp_t
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+            for i in range(k):
+                out[f"p{i}"] = P[:, i]
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(proj, schema)

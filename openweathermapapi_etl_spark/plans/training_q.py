@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.compaction import compaction_plan
+from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
     adc_topk,
@@ -1035,3 +1036,115 @@ def c03_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "distortion",
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — covariance matrix (exact-decimal twin) + PCA projection
+# ---------------------------------------------------------------------------
+
+_COV_D = 8
+
+
+def _cov_oracle() -> str:
+    sums = ",\n           ".join(
+        f"CAST(SUM(CAST(CAST(e[{i + 1}] AS DOUBLE) AS DECIMAL(38,6))) "
+        f"AS DOUBLE) AS s{i}"
+        for i in range(_COV_D)
+    )
+    moments = ",\n           ".join(
+        f"CAST(SUM(CAST(CAST(e[{i + 1}] AS DOUBLE) * CAST(e[{j + 1}] AS "
+        f"DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS m{i}_{j}"
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"(m{i}_{j} - (s{i} * s{j}) / n) / n AS cov FROM agg"
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    )
+    return f"""
+    WITH x AS (SELECT embedding AS e FROM embeddings),
+    agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           {sums},
+           {moments}
+    FROM x)
+    {rows}
+    """
+
+
+@register("c03_covariance_matrix", oracle=_cov_oracle())
+def c03_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3i: population covariance of the leading 8 embedding
+    coordinates in ONE aggregate pass — the exact-decimal,
+    oracle-checkable twin of the PCA operator's Gram reduction
+    (operators/linalg.py): same math (cov = E[xxT] − E[x]E[x]T),
+    expressed entirely in built-ins so the parity gate can pin it.
+    All d sums and d(d+1)/2 second moments are columns of a SINGLE
+    partial+final agg — one map-side-reduced pass, output size d²,
+    independent of n; the 36 upper-triangle entries then unpivot from
+    the one-row aggregate (row-local explode, no second scan). Sums
+    run in DECIMAL(38,6) (util.py float policy) and the final
+    centering arithmetic is the identical IEEE sequence
+    ``(m − (s·s)/n)/n`` on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = [
+        F.element_at("embedding", i + 1).cast("double") for i in range(_COV_D)
+    ]
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [
+        F.sum(x[i].cast("decimal(38,6)")).cast("double").alias(f"s{i}")
+        for i in range(_COV_D)
+    ]
+    aggs += [
+        F.sum((x[i] * x[j]).cast("decimal(38,6)"))
+        .cast("double")
+        .alias(f"m{i}_{j}")
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    ]
+    agg = emb.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                (
+                    (
+                        F.col(f"m{i}_{j}")
+                        - (F.col(f"s{i}") * F.col(f"s{j}")) / F.col("n")
+                    )
+                    / F.col("n")
+                ).alias("cov"),
+            )
+            for i in range(_COV_D)
+            for j in range(i, _COV_D)
+        ]
+    )
+    return agg.select(F.explode(entries).alias("e")).select(
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.cov").alias("cov")
+    )
+
+
+_PCA_DIM = 64
+_PCA_K = 4
+
+
+@register("c03_pca_project")  # rows-only: eigendecomposition is not SQL
+def c03_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3j: PCA projection of the embedding corpus to its top-4
+    principal components (operators/linalg.py) — the standard
+    decorrelation/compaction step upstream of the quantizers (C3f
+    SQ8/PQ assume axis-aligned energy; PCA concentrates it). Shape:
+    per-partition numpy Gram via mapInPandas (d² floats per partition
+    out — map-side reduction), driver eigh on the 64×64 covariance
+    (O(d³), corpus-independent), then one broadcast-matmul Arrow pass
+    for the projection — no shuffle anywhere. Deterministic: partials
+    combine in partition order and component signs are normalized, so
+    reruns are bit-identical. No SQL oracle (eigendecomposition);
+    invariants pinned in pytest instead: components orthonormal, and
+    captured variance ≥ the best any 4 coordinate axes achieve."""
+    emb = t(spark, sf_dir, "embeddings")
+    _, mean, cov = covariance(emb, "embedding", _PCA_DIM)
+    _, comps = pca_components(cov, _PCA_K)
+    return pca_project(emb, "vec_id", "embedding", mean, comps)

@@ -615,3 +615,147 @@ def test_wap_failed_audit_abandon_leaves_production_untouched(spark, tmp_path):
         t.publish(v1)
     with pytest.raises(ValueError, match="not removable"):
         t.abandon(good)
+
+
+# ---------------------------------------------------------------------------
+# reconcile: bucketed-checksum divergence audit (operators/reconcile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_row_fingerprint_is_engine_portable(spark):
+    """The documented contract: Spark's conv(md5) fingerprint equals
+    DuckDB's '0x'||md5 cast — either side of a real migration can
+    checksum itself in its own engine."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import row_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (3, "x\x1fy", 0.0)],
+        "k int, s string, v double",
+    )
+    got = {
+        r.k: r.fp
+        for r in df.select(
+            "k",
+            row_fingerprint(
+                [F.col("k"), F.col("s"), F.col("v").cast("decimal(38,6)")]
+            ).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        k: con.execute(
+            """
+            SELECT CAST(('0x' || substr(md5(
+              concat_ws(chr(31),
+                coalesce(CAST(? AS VARCHAR), chr(0)||chr(0)),
+                coalesce(CAST(? AS VARCHAR), chr(0)||chr(0)),
+                coalesce(CAST(CAST(? AS DECIMAL(38,6)) AS VARCHAR),
+                         chr(0)||chr(0)))), 1, 15)) AS BIGINT)
+            """,
+            [k, s, v],
+        ).fetchone()[0]
+        for k, s, v in [(1, "a", None), (2, None, 3.5), (3, "x\x1fy", 0.0)]
+    }
+    assert got == want
+
+
+def test_reconcile_identical_tables_report_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = reconcile(df, df, ["k"], [F.col("v")], n_buckets=16)
+    assert out.count() == 0
+
+
+def test_reconcile_classifies_missing_extra_changed(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    dst = (
+        src.filter(F.col("k") != 10)  # 10 missing
+        .withColumn("v", F.when(F.col("k") == 20, F.lit(99)).otherwise(F.col("v")))
+        .unionAll(
+            spark.createDataFrame([(1000, 1)], "k long, v long")  # extra
+        )
+    )
+    got = {(r.k, r.status) for r in reconcile(src, dst, ["k"], [F.col("v")], 8).collect()}
+    assert got == {(10, "missing"), (20, "changed"), (1000, "extra")}
+
+
+def test_reconcile_null_vs_absent_column_value_differ(spark):
+    """(a, NULL) must not fingerprint-collide with ('aNULL',) nor with
+    the null sentinel appearing literally."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.createDataFrame([(1, "a", None)], "k int, a string, b string")
+    dst = spark.createDataFrame([(1, "a\x00\x00", None)], "k int, a string, b string")
+    out = reconcile(src, dst, ["k"], [F.col("a"), F.col("b")], 4).collect()
+    assert [(r.k, r.status) for r in out] == [(1, "changed")]
+
+
+# ---------------------------------------------------------------------------
+# manifest: min/max file skipping (operators/manifest.py)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_prunes_files_and_loses_no_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.manifest import (
+        file_stats,
+        pruned_files,
+        skipping_read,
+    )
+
+    path = str(tmp_path / "t")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = file_stats(spark, path, "o_orderdate")
+    n_files = manifest.count()
+    lo = F.lit("1998-03-01").cast("timestamp")
+    hi = F.lit("1998-09-30").cast("timestamp")
+    survivors = pruned_files(manifest, lo, hi)
+    # Range clustering makes a 7-month slice of a 6.5-year span skip
+    # most files.
+    assert 0 < len(survivors) < n_files
+    got = skipping_read(spark, path, manifest, "o_orderdate", lo, hi)
+    want = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_manifest_empty_survivor_set_keeps_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.manifest import (
+        file_stats,
+        skipping_read,
+    )
+
+    path = str(tmp_path / "t2")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.write.mode("overwrite").parquet(path)
+    manifest = file_stats(spark, path, "o_orderdate")
+    lo = F.lit("2050-01-01").cast("timestamp")
+    hi = F.lit("2050-12-31").cast("timestamp")
+    out = skipping_read(spark, path, manifest, "o_orderdate", lo, hi)
+    assert out.count() == 0
+    assert out.schema == orders.schema

@@ -957,3 +957,81 @@ if _HAVE_HYP:
         }
         assert {i: a for i, (a, _) in got.items()} == assign
         assert {i for i, (_, k) in got.items() if not k} == dropped
+
+
+# ---------------------------------------------------------------------------
+# linalg: distributed covariance + PCA (operators/linalg.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb_np(spark):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from openweathermapapi_etl_spark.operators.linalg import covariance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n, mean, cov = covariance(emb, "embedding", 64)
+    X = _emb_np(spark)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X, rowvar=False, bias=True), atol=1e-9)
+
+
+def test_pca_components_orthonormal_and_variance_beats_axes(spark):
+    import numpy as np
+
+    from openweathermapapi_etl_spark.operators.linalg import (
+        covariance,
+        pca_components,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, _, cov = covariance(emb, "embedding", 64)
+    k = 4
+    vals, comps = pca_components(cov, k)
+    assert comps.shape == (k, 64)
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    # Eigenvalues descending, all >= 0 (covariance is PSD).
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(k - 1))
+    assert vals[-1] >= -1e-9
+    # Captured variance >= the best any k coordinate axes achieve.
+    best_axes = np.sort(np.diag(cov))[::-1][:k].sum()
+    assert vals.sum() >= best_axes - 1e-9
+    # Sign convention: largest-|coord| entry of each component positive.
+    for row in comps:
+        assert row[np.argmax(np.abs(row))] > 0
+
+
+def test_pca_projection_matches_numpy_and_centers(spark):
+    import numpy as np
+
+    from openweathermapapi_etl_spark.operators.linalg import (
+        covariance,
+        pca_components,
+        pca_project,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, mean, cov = covariance(emb, "embedding", 64)
+    _, comps = pca_components(cov, 4)
+    out = (
+        pca_project(emb, "vec_id", "embedding", mean, comps)
+        .orderBy("vec_id")
+        .collect()
+    )
+    P = np.array([[r.p0, r.p1, r.p2, r.p3] for r in out])
+    X = _emb_np(spark)
+    assert np.allclose(P, (X - mean) @ comps.T, atol=1e-9)
+    # Projection of centered data has ~zero mean per component.
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-9)
