@@ -109,6 +109,16 @@ BENCH_QUERIES = [
     # neighbor self-join — degree-bounded bucket expansion).
     "c02_setsim_exact",
     "c06_jaccard_neighbors",
+    # Round-7e additions: the bucketed-checksum reconciliation (two
+    # metadata-sized partial aggs + corruption-bounded drill-down),
+    # the mapInPandas Gram reduction + broadcast-matmul PCA (the only
+    # numpy-BLAS hot path), the broadcast-vocab PMI pair expansion,
+    # and the RANGE-framed cumulative-weight median — each a new
+    # execution pattern worth regression-tracking.
+    "m10_reconcile_checksum",
+    "c03_pca_project",
+    "c04_pmi_lift",
+    "b16_weighted_median",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

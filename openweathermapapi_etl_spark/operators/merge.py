@@ -84,6 +84,7 @@ def keyed_upsert(
     keys: list[str],
     order_col: str | None = None,
     broadcast_updates: bool = False,
+    allow_new_columns: bool = False,
 ) -> DataFrame:
     """MERGE: rows from ``updates`` win on key collision (A11).
 
@@ -99,6 +100,30 @@ def keyed_upsert(
     key for Spark's hash joins, so the plan is unchanged.
     """
     deduped = dedup_last_write_wins(updates, keys, order_col)
+    if allow_new_columns:
+        # Additive schema evolution (Delta/Iceberg mergeSchema
+        # semantics): updates may CARRY new columns — survivors
+        # NULL-fill them — but must still provide every existing
+        # column (a silently-dropped column is a data-loss bug, not
+        # evolution; widen-only).
+        missing = [c for c in old.columns if c not in deduped.columns]
+        if missing:
+            raise ValueError(
+                f"updates missing existing columns {missing}; schema "
+                "evolution is additive-only"
+            )
+        new_cols = [c for c in deduped.columns if c not in old.columns]
+        deduped = deduped.select(*old.columns, *new_cols)
+        anti_keys = deduped.select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys]
+        )
+        anti_right = F.broadcast(anti_keys) if broadcast_updates else anti_keys
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+            cond = c if cond is None else cond & c
+        survivors = old.join(anti_right, on=cond, how="left_anti")
+        return deduped.unionByName(survivors, allowMissingColumns=True)
     deduped = deduped.select(*old.columns)  # align column order
     # Rename the anti side's keys so the null-safe condition is
     # unambiguous even when ``updates`` shares lineage with ``old``.

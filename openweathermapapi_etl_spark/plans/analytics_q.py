@@ -25,6 +25,7 @@ from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 from ..operators.rank import global_rank
 from ..operators.sequences import cdc_latest_state, max_drawdown, sequence_islands
 from ..operators.setsim import setsim_join
+from ..operators.spatial import grid_radius_join, hash_coord
 from .registry import register
 from .tier_c import _O_SHINGLES, _lsh_oracle
 from .util import t
@@ -365,3 +366,81 @@ def m9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = cdc_latest_state(ev, "user_id", ["ts", "event_id"], "op")
     return latest.select("user_id", "ts", "value", F.col("n_versions").cast("long").alias("n_versions"))
+
+
+# ---------------------------------------------------------------------------
+# B66 — grid-bucketed spatial radius join (2-D twin of the binned
+# range join)
+# ---------------------------------------------------------------------------
+
+_O_COORD = (
+    "CAST(CAST(('0x' || substr(md5('{p}' || chr(31) "
+    "|| CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) "
+    "/ 1000000.0"
+)
+
+
+@register(
+    "b66_spatial_grid_join",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey,
+                      {_O_COORD.format(p="x", k="c_custkey")} AS cx,
+                      {_O_COORD.format(p="y", k="c_custkey")} AS cy
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 {_O_COORD.format(p="x", k="s_suppkey")} AS sx,
+                 {_O_COORD.format(p="y", k="s_suppkey")} AS sy
+          FROM supplier),
+    p AS (SELECT c.c_custkey, s.s_suppkey,
+                 (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) AS dist2
+          FROM c CROSS JOIN s
+          WHERE (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) <= 0.05*0.05),
+    r AS (SELECT c_custkey, s_suppkey, dist2,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                    ORDER BY dist2, s_suppkey) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY c_custkey) AS BIGINT)
+                   AS n_within
+          FROM p)
+    SELECT c_custkey, n_within, s_suppkey AS nearest_suppkey,
+           dist2 AS nearest_d2
+    FROM r WHERE rn = 1
+    """,
+)
+def b66_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66: spatial radius join via grid bucketing
+    (operators/spatial.py) — "suppliers within r of each customer"
+    WITHOUT the cross product: both sides land in r-sided grid cells,
+    the smaller side replicates to its 3×3 neighborhood (row-local,
+    constant 9×), and a hash equi-join on the cell key + the exact
+    ``dx²+dy² <= r²`` predicate does the rest — no false negatives
+    (a disc of radius r only reaches adjacent cells), and the
+    candidate set is density-bounded instead of corpus². The oracle
+    IS the cross product (fine at sf0.01) — identical results prove
+    the grid rewrite exact. Coordinates are engine-portable hash
+    positions (hash_coord; production swaps real geometry, the join
+    is unchanged). Output: per-customer neighbor count + nearest
+    supplier by (dist2, suppkey) — deterministic ties."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        hash_coord("x", "c_custkey").alias("cx"),
+        hash_coord("y", "c_custkey").alias("cy"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        hash_coord("x", "s_suppkey").alias("sx"),
+        hash_coord("y", "s_suppkey").alias("sy"),
+    )
+    pairs = grid_radius_join(cust, supp, ("cx", "cy"), ("sx", "sy"), 0.05)
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_within"),
+            F.min(F.struct("dist2", "s_suppkey")).alias("_near"),
+        )
+        .select(
+            "c_custkey",
+            "n_within",
+            F.col("_near.s_suppkey").alias("nearest_suppkey"),
+            F.col("_near.dist2").alias("nearest_d2"),
+        )
+    )

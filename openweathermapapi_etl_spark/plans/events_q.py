@@ -320,3 +320,72 @@ def b24_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(wt).cast("double")
         ).alias("p_trans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — last-touch attribution (windowed as-of within one
+# stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_last_touch_attribution",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(ts) AS us, ts
+               FROM {_EV}
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT *,
+                 MAX(CASE WHEN event_type = 'view'
+                          THEN {{'u': us, 'e': event_id}} END) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+                   AS lv
+          FROM e)
+    SELECT event_id, user_id,
+           strftime(ts, '{_FMT_US}') AS purchase_ts,
+           lv.e AS attributed_view_id,
+           us - lv.u AS gap_us
+    FROM a WHERE event_type = 'purchase'
+    """,
+)
+def b24_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24h: last-touch attribution — every purchase credits the most
+    recent 'view' by the same user within the preceding hour; the
+    single-stream as-of join marketing analytics runs hourly. Shape:
+    ONE event-time RANGE window per user (the B25b frame), carrying a
+    (time, id) STRUCT max so ties at the same microsecond resolve by
+    event id — deterministic in both engines (struct comparison is
+    lexicographic in Spark and DuckDB alike), where last()-in-frame
+    order would be engine-dependent. The frame ends at 1 PRECEDING so
+    a view sharing the purchase's exact timestamp is NOT credited
+    (attribution must precede conversion). No self-join, no shuffle
+    beyond the user_id partitioning the rest of the event family
+    already uses; un-attributed purchases surface with NULLs rather
+    than vanishing (the funnel-debugging signal)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    e = e.withColumn("us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    lv = F.max(
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("us").alias("u"), F.col("event_id").alias("e")),
+        )
+    ).over(w)
+    return (
+        e.withColumn("lv", lv)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _SPARK_FMT_US).alias("purchase_ts"),
+            F.col("lv.e").alias("attributed_view_id"),
+            (F.col("us") - F.col("lv.u")).alias("gap_us"),
+        )
+    )

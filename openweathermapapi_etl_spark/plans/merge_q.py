@@ -682,3 +682,52 @@ def m11_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M12 — additive schema evolution through the MERGE path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m12_merge_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 10 < 8),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100000 AS o_totalprice,
+             'web' AS o_channel
+      FROM orders WHERE o_orderkey % 10 >= 7)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_channel FROM upd
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, NULL AS o_channel
+    FROM base b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def m12_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: additive schema evolution through MERGE — the day-2 merge
+    reality: the upstream added a column (here ``o_channel``) and the
+    upsert batch carries it, while the table does not. With
+    ``allow_new_columns`` the merge NULL-fills survivors (Delta/Iceberg
+    mergeSchema semantics) in the same one-anti-join plan — no table
+    rewrite, no second pass; a batch MISSING an existing column still
+    fails loudly (additive-only — a dropped column is data loss, not
+    evolution; pinned in pytest). The versioned table needs no
+    mergeSchema read flag: each version dir carries the whole new
+    schema wholesale. The oracle is the UNION reconstruction; hash
+    equality pins both the merge semantics and the NULL-fill."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 >= 7).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+        F.lit("web").alias("o_channel"),
+    )
+    return keyed_upsert(
+        base, upd, keys=["o_orderkey"], allow_new_columns=True
+    )

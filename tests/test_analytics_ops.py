@@ -146,3 +146,59 @@ def test_cdc_latest_state_semantics(spark):
         for r in cdc_latest_state(df, "k", ["seq"], "op").collect()
     }
     assert got == {1: (11.0, 2), 3: (30.0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# spatial: grid radius join (operators/spatial.py)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_radius_join_matches_cross_product(spark):
+    """The grid rewrite must equal the naive cross join + distance
+    filter exactly — no false negatives at cell borders."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.spatial import (
+        grid_radius_join,
+        hash_coord,
+    )
+
+    left = spark.range(200).select(
+        F.col("id").alias("lid"),
+        hash_coord("x", "id").alias("lx"),
+        hash_coord("y", "id").alias("ly"),
+    )
+    right = spark.range(300, 380).select(
+        F.col("id").alias("rid"),
+        hash_coord("x", "id").alias("rx"),
+        hash_coord("y", "id").alias("ry"),
+    )
+    r = 0.11
+    got = {
+        (x.lid, x.rid)
+        for x in grid_radius_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), r
+        ).collect()
+    }
+    d2 = (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx")) + (
+        F.col("ly") - F.col("ry")
+    ) * (F.col("ly") - F.col("ry"))
+    want = {
+        (x.lid, x.rid)
+        for x in left.crossJoin(right)
+        .filter(d2 <= F.lit(r) * F.lit(r))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_grid_radius_join_exact_boundary_pair_included(spark):
+    """dist == r exactly (axis-aligned, adjacent cells) must match."""
+    from openweathermapapi_etl_spark.operators.spatial import grid_radius_join
+
+    left = spark.createDataFrame([(1, 0.10, 0.50)], "lid int, lx double, ly double")
+    right = spark.createDataFrame(
+        [(9, 0.15, 0.50), (8, 0.1500001, 0.50)], "rid int, rx double, ry double"
+    )
+    out = grid_radius_join(left, right, ("lx", "ly"), ("rx", "ry"), 0.05)
+    assert [r.rid for r in out.collect()] == [9]

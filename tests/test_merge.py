@@ -759,3 +759,35 @@ def test_manifest_empty_survivor_set_keeps_schema(spark, tmp_path):
     out = skipping_read(spark, path, manifest, "o_orderdate", lo, hi)
     assert out.count() == 0
     assert out.schema == orders.schema
+
+
+# ---------------------------------------------------------------------------
+# keyed_upsert schema evolution (allow_new_columns)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_schema_evolution_null_fills_survivors(spark):
+    from openweathermapapi_etl_spark.operators.merge import keyed_upsert
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upd = spark.createDataFrame([(2, "B", "web")], "k int, v string, ch string")
+    out = keyed_upsert(old, upd, ["k"], allow_new_columns=True)
+    assert out.columns == ["k", "v", "ch"]
+    rows = {r.k: (r.v, r.ch) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B", "web")}
+    # Without the flag the legacy contract holds: the batch aligns to
+    # the TABLE's schema (extra columns projected away, no evolution).
+    legacy = keyed_upsert(old, upd, ["k"])
+    assert legacy.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in legacy.collect()} == {(1, "a"), (2, "B")}
+
+
+def test_upsert_schema_evolution_rejects_dropped_columns(spark):
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.merge import keyed_upsert
+
+    old = spark.createDataFrame([(1, "a")], "k int, v string")
+    upd = spark.createDataFrame([(1, "web")], "k int, ch string")  # no v
+    with pytest.raises(ValueError, match="additive-only"):
+        keyed_upsert(old, upd, ["k"], allow_new_columns=True)
