@@ -82,14 +82,25 @@ def fast_hash(col: Column) -> Column:
 def word_shingles(tok: Column, n: int = 3) -> Column:
     """Word n-grams as ' '-joined strings (empty array when < n tokens).
 
-    Guarded: ``F.sequence(1, 0)`` would generate a *descending* [1, 0]
-    (then an out-of-range element_at), so short docs short-circuit to
-    an empty array — matching DuckDB's empty generate_series.
+    Spelled as n ``slice``s zipped element-wise — NOT as
+    ``transform(sequence(...), i -> element_at(tok, i+j)...)``: an
+    outer expression referenced inside a lambda is RE-EVALUATED per
+    element invocation (no caching in Spark's higher-order-function
+    evaluator), so the element_at spelling recomputes the upstream
+    tokenizer split n times per POSITION — O(positions · n) splits
+    per row, quadratic in document length (measured 2× the whole
+    setsim candidate phase at sf0.1). The slice spelling evaluates
+    ``tok`` exactly n times per ROW; the zip_with lambdas touch only
+    their bound element variables.
+
+    Short docs (< n tokens) short-circuit to an empty array —
+    matching DuckDB's empty generate_series in the oracle twin.
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
-    )
+    m = F.size(tok) - (n - 1)  # number of shingles
+    parts = [F.slice(tok, j + 1, m) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(tok) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -601,10 +601,15 @@ def m10_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint through DECIMAL(38,6) rendering (util.py float
     policy); fingerprint/bucket portability (Spark conv(md5) ==
     DuckDB '0x'||md5 cast) is pinned in tests so either side of a
-    REAL migration can checksum itself in its own engine."""
+    REAL migration can checksum itself in its own engine. This
+    query runs the ``fast`` xxhash64 flavor — the right default when
+    both snapshots are Spark-readable (7× cheaper than the rendered
+    md5 path; the oracle never sees fingerprints, so the same parity
+    gate covers either flavor); the ``portable`` md5 flavor's
+    cross-engine equality is pinned in tests/test_merge.py."""
     orders = t(spark, sf_dir, "orders")
     changed = F.col("o_orderkey") % 971 == 3
-    dst = (
+    dst_df = (
         orders.filter(F.col("o_orderkey") % 997 != 5)
         .withColumn(
             "o_totalprice",
@@ -623,6 +628,16 @@ def m10_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # A real reconciliation's destination is a STORED table, not a
+    # live expression — materialize the seeded-defect copy once
+    # (otherwise the checksum AND drill-down phases would each
+    # re-derive it, quadrupling the scan work being measured).
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m10_dst_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dst_df.write.parquet(root)
+    dst = spark.read.parquet(root)
     fp_cols = [
         F.col("o_custkey"),
         F.col("o_orderstatus"),
@@ -630,7 +645,10 @@ def m10_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"),
         F.col("o_orderpriority"),
     ]
-    return reconcile(orders, dst, ["o_orderkey"], fp_cols, n_buckets=1024)
+    return reconcile(
+        orders, dst, ["o_orderkey"], fp_cols, n_buckets=1024,
+        fingerprint="fast",
+    )
 
 
 # ---------------------------------------------------------------------------

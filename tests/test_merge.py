@@ -791,3 +791,22 @@ def test_upsert_schema_evolution_rejects_dropped_columns(spark):
     upd = spark.createDataFrame([(1, "web")], "k int, ch string")  # no v
     with pytest.raises(ValueError, match="additive-only"):
         keyed_upsert(old, upd, ["k"], allow_new_columns=True)
+
+
+def test_reconcile_fast_flavor_matches_portable(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.range(300).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    dst = src.filter(F.col("k") != 7).withColumn(
+        "v", F.when(F.col("k") == 11, F.lit(99)).otherwise(F.col("v"))
+    )
+    want = {(r.k, r.status) for r in reconcile(src, dst, ["k"], [F.col("v")], 16).collect()}
+    got = {
+        (r.k, r.status)
+        for r in reconcile(
+            src, dst, ["k"], [F.col("v")], 16, fingerprint="fast"
+        ).collect()
+    }
+    assert got == want == {(7, "missing"), (11, "changed")}
