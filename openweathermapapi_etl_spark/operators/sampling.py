@@ -369,3 +369,41 @@ def domain_mix_plan(
             "needs_upsampling"
         ),
     )
+
+
+def shard_balance(
+    groups: DataFrame,
+    size_col: str,
+    n_shards: int,
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Assign groups to ``n_shards`` near-balanced shards: serpentine
+    round-robin in descending size order (rank 1..N forward, N+1..2N
+    backward, ...) — the deterministic, fully-distributed relaxation
+    of LPT scheduling (Graham 1969, public literature). True greedy
+    LPT ("next group → currently lightest shard") is a sequential
+    dependence — a driver loop over millions of groups; the serpentine
+    pass needs only a size rank and row-local modular arithmetic, and
+    its imbalance is bounded by one maximal group per shard pair
+    (boustrophedon pairing cancels the head-vs-tail drift plain
+    round-robin accumulates).
+
+    The rank comes from :func:`~.rank.global_rank` on
+    ``(-size, group)`` — exchange-aware, no single-reducer window; the
+    group inventory is corpus-derived but GROUP-sized, so this whole
+    plan is metadata-scale. Ties break on the remaining group columns
+    via the rank's total order, making the assignment reproducible
+    across runs and engines."""
+    from .rank import global_rank
+
+    others = [c for c in groups.columns if c != size_col]
+    ranked = global_rank(
+        groups.withColumn("_neg", -F.col(size_col)),
+        ["_neg", *others],
+        rank_name="_r",
+    ).drop("_neg")
+    cycle = F.pmod(F.col("_r") - 1, F.lit(2 * n_shards))
+    shard = F.when(cycle < n_shards, cycle).otherwise(
+        F.lit(2 * n_shards) - 1 - cycle
+    )
+    return ranked.withColumn(shard_name, shard.cast("int")).drop("_r")

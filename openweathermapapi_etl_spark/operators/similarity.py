@@ -1066,3 +1066,81 @@ def sq8_encode(
         )
     )
     return enc
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    to cosine (Bachrach et al., "Speeding up the Xbox recommender...",
+    RecSys 2014; the exact-order special case of Shrivastava & Li's
+    ALSH, NeurIPS 2014 — public literature).
+
+    Recommender/retrieval scoring ranks by RAW inner product, which no
+    cosine index can serve directly (it ignores corpus vector length).
+    The reduction: with M = max corpus norm, append
+    ``sqrt(M² − |x|²)`` to every corpus vector and ``0`` to every
+    query. Then every augmented corpus vector has norm exactly M, so
+    augmented cosine = ⟨q,x⟩ / (|q|·M) — a per-query positive constant
+    times the inner product: the ORDER is the inner-product order, and
+    the whole C3 cosine stack (brute force here; IVF/LSH/PQ routing
+    unchanged) becomes a MIPS index for free. One extra dimension, one
+    corpus-max broadcast — that is the entire cost.
+
+    Output: (query_id, rank, neighbor_id, ip) with ``ip`` the raw
+    inner product; ranks come from the augmented-cosine path (ties by
+    neighbor id), equality with direct-ip ranking is pytest-pinned.
+    Self-matches excluded, mirroring cosine_topk_bruteforce.
+    """
+    from pyspark.sql import Window as W
+
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    c0 = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sq_sum.alias("_n2"),
+    )
+    m = c0.agg(F.sqrt(F.max("_n2")).alias("_mnrm"), F.max("_n2").alias("_m2"))
+    c = c0.crossJoin(F.broadcast(m)).select(
+        "neighbor_id",
+        F.concat(
+            "cv", F.array(F.sqrt(F.col("_m2") - F.col("_n2")))
+        ).alias("cva"),
+        "cv",
+        "_mnrm",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.concat(F.col(vec_col), F.array(F.lit(0.0))).alias("qva"),
+        F.col(vec_col).alias("qv"),
+    )
+    q = q.withColumn("_qn", norm_fold(F.col("qva")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        dot_fold(F.col("qv"), F.col("cv")).alias("ip"),
+        (
+            dot_fold(F.col("qva"), F.col("cva"))
+            / (F.col("_qn") * F.col("_mnrm"))
+        ).alias("_aug_cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_aug_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "ip")
+    )

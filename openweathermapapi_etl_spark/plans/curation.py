@@ -21,6 +21,7 @@ from ..operators.sampling import (
     domain_mix_plan,
     hash_split,
     mixture_expand,
+    shard_balance,
     stratified_sample,
 )
 from ..operators.similarity import label_centroids, semdedup
@@ -1652,3 +1653,37 @@ def c04_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "term_a", "term_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — balanced shard assignment (serpentine LPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_shard_balance",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents),
+    c AS (SELECT doc_id, n_chars, (rk - 1) % 16 AS cyc FROM r)
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN cyc < 8 THEN cyc ELSE 15 - cyc END AS INTEGER)
+             AS shard
+    FROM c
+    """,
+)
+def c07_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7r: near-balanced shard assignment
+    (operators/sampling.py::shard_balance) — write N training shards
+    of ~equal byte/token weight: serpentine round-robin in descending
+    size order, the deterministic distributed relaxation of greedy
+    LPT (whose "append to currently-lightest" rule is a sequential
+    driver loop at corpus scale). The size rank is the exchange-aware
+    global_rank (no single-reducer window); everything after is
+    row-local modular arithmetic. The boustrophedon pairing bounds
+    pairwise shard drift to one maximal group; balance quality on the
+    corpus is pinned in pytest (max/min shard weight)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shard_balance(d, "n_chars", n_shards=8)

@@ -20,6 +20,7 @@ from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
     adc_topk,
+    mips_topk,
     pq_codebook_train,
     pq_encode,
     sq8_encode,
@@ -1148,3 +1149,60 @@ def c03_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, mean, cov = covariance(emb, "embedding", _PCA_DIM)
     _, comps = pca_components(cov, _PCA_K)
     return pca_project(emb, "vec_id", "embedding", mean, comps)
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — MIPS top-k via norm-augmentation reduction to cosine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_mips_topk",
+    oracle="""
+    WITH n2 AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (x, y) -> x + y) AS n2
+      FROM embeddings),
+    m AS (SELECT sqrt(max(n2)) AS mnrm FROM n2),
+    q AS (SELECT e.vec_id, e.embedding, sqrt(n2.n2) AS qn
+          FROM embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+          WHERE e.vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(
+               list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS ip,
+             list_reduce(
+               list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (q.qn * m.mnrm) AS aug_cos
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id CROSS JOIN m)
+    SELECT query_id, rank, neighbor_id, ip FROM (
+      SELECT query_id, neighbor_id, ip,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY aug_cos DESC, neighbor_id) AS rank
+      FROM scored) r
+    WHERE rank <= 5
+    """,
+)
+def c03_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3m: maximum-inner-product top-5 for every 50th vector via the
+    norm-augmentation reduction (operators/similarity.py::mips_topk) —
+    recommender/retrieval scoring ranks by RAW inner product, which a
+    cosine index can't serve; appending sqrt(M²−|x|²) to corpus
+    vectors (0 to queries) makes every augmented corpus norm exactly
+    M, so augmented cosine orders identically to the inner product
+    and the entire C3 cosine stack becomes a MIPS index at the cost
+    of one dimension and one corpus-max broadcast. The oracle ranks
+    by the SAME augmented score (bit-identical fold spelling); the
+    reduction's order-equality with direct-ip ranking is pinned in
+    pytest. The +0·aug term the augmented fold appends is an exact
+    IEEE no-op, so ``ip`` needs no recomputation caveats."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return mips_topk(queries, emb, "vec_id", "embedding", k=5)

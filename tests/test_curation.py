@@ -550,3 +550,31 @@ if _HAVE_HYP:
             ).collect()
         }
         assert got == expected
+
+
+def test_shard_balance_near_equal_weights_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.sampling import shard_balance
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = shard_balance(d, "n_chars", n_shards=8)
+    w = {
+        r.shard: r.total
+        for r in out.groupBy("shard")
+        .agg(F.sum("n_chars").alias("total"))
+        .collect()
+    }
+    assert set(w) == set(range(8))
+    # Serpentine LPT bound: with many groups the shards are near-equal;
+    # pin a loose but meaningful envelope.
+    assert max(w.values()) <= 1.05 * min(w.values())
+    # Deterministic across runs.
+    a = sorted((r.doc_id, r.shard) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.shard)
+        for r in shard_balance(d, "n_chars", n_shards=8).collect()
+    )
+    assert a == b

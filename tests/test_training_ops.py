@@ -1035,3 +1035,49 @@ def test_pca_projection_matches_numpy_and_centers(spark):
     assert np.allclose(P, (X - mean) @ comps.T, atol=1e-9)
     # Projection of centered data has ~zero mean per component.
     assert np.allclose(P.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_mips_augmented_ranking_equals_direct_inner_product(spark):
+    """The norm-augmentation reduction must order EXACTLY like the raw
+    inner product (the property the one extra dimension buys)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.similarity import (
+        dot_fold,
+        mips_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    got = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in mips_topk(queries, emb, k=7)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    want = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_fold(F.col("qv"), F.col("cv")).alias("ip"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
