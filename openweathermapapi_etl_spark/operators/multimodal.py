@@ -177,3 +177,81 @@ def fake_feature_extract(df: DataFrame, n_bins: int = 8, id_col: str = "id") -> 
             yield pd.DataFrame({"id": pdf[id_col], "features": feats})
 
     return df.select(F.col(id_col), "payload").mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def energy_frames(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Per-frame energy of a binary payload: fixed ``frame_bytes``
+    windows, energy = sum of byte values (numpy, vectorized) — the
+    front half of voice-activity / scene-change detection: a decoded
+    audio/image stream is segmented by thresholding per-frame energy.
+    Real decoders plug in before this (samples instead of raw bytes —
+    see decode_image_real's stub contract); the framing, Arrow batch
+    shape, and everything downstream are the production path.
+
+    Only FULL frames are emitted (a trailing partial frame would bias
+    its energy low and flicker the threshold). Row-local per
+    document — no shuffle; the segmentation that follows groups by
+    (id, frame run), a high-cardinality key.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, frame_idx long, energy long"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            energies: list[int] = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr) // frame_bytes
+                if n == 0:
+                    continue
+                e = (
+                    arr[: n * frame_bytes]
+                    .reshape(n, frame_bytes)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                ids.extend([int(i)] * n)
+                idxs.extend(range(n))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "energy": energies}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frames, schema)
+
+
+def energy_segments(
+    frames: DataFrame,
+    id_col: str = "id",
+    threshold: int = 0,
+) -> DataFrame:
+    """Contiguous runs of above-threshold frames per document.
+
+    islands-by-delta on the frame index (frame_idx − row_number is
+    constant within a run), windowed per document — the per-key twin
+    of operators/sequences.py::sequence_islands, partitioned on the
+    high-cardinality document id.
+    """
+    from pyspark.sql import Window as W
+
+    active = frames.filter(F.col("energy") > threshold)
+    w = W.partitionBy(id_col).orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("_grp")
+    return (
+        active.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .drop("_grp")
+    )

@@ -19,6 +19,8 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.multimodal import (
+    energy_frames,
+    energy_segments,
     fake_decode_metadata,
     fake_feature_extract,
     fake_resize,
@@ -1051,4 +1053,52 @@ def c02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("containment"),
+    )
+
+
+@register(
+    "c05_energy_segments",
+    oracle="""
+    WITH f0 AS (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)) // 64)) AS frame_idx
+      FROM documents WHERE octet_length(encode(text)) >= 64),
+    f AS (
+      SELECT doc_id, frame_idx,
+             list_reduce(list_transform(generate_series(1, 64),
+                 j -> ascii(substr(text, (frame_idx * 64) + j, 1))),
+               (a, b) -> a + b) AS energy
+      FROM f0),
+    a AS (SELECT * FROM f WHERE energy > 6144),
+    isl AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      FROM a)
+    SELECT doc_id, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def c05_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5i: energy-threshold segmentation over binary payloads
+    (operators/multimodal.py::energy_frames/energy_segments) — the
+    voice-activity / scene-change front-end: fixed 64-byte frames,
+    per-frame byte-energy in vectorized numpy (mapInPandas — decoded
+    samples replace raw bytes in production, same framing and batch
+    shape), threshold at mean byte > 96 (letters score, spaces
+    dilute), contiguous active runs via islands-by-delta windowed on
+    the document id. The oracle recomputes energies character-wise
+    from the text the payload wraps (ASCII corpus: byte == ascii), so
+    the whole numpy path is hash-checked, not just row-counted. Only
+    full frames count — a trailing partial frame would flicker the
+    threshold."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    frames = energy_frames(wrapped, "id", "payload", frame_bytes=64)
+    return energy_segments(frames, "id", threshold=6144).withColumnRenamed(
+        "id", "doc_id"
     )

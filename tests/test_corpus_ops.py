@@ -112,3 +112,24 @@ def test_contamination_flags_eval_docs_never_flagged(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text", "ev"])
     out = contamination_flags(df, "text", "doc_id", F.col("ev"), n=4)
     assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_energy_frames_partial_frame_dropped_and_segments_split(spark):
+    from openweathermapapi_etl_spark.operators.multimodal import (
+        energy_frames,
+        energy_segments,
+    )
+
+    rows = [
+        (1, bytes([200] * 8 + [0] * 8 + [200] * 8 + [1, 2, 3])),  # 2 full + tail
+        (2, bytes([5] * 7)),  # shorter than one frame -> no rows
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    frames = energy_frames(df, "id", "payload", frame_bytes=8)
+    got = {(r.id, r.frame_idx, r.energy) for r in frames.collect()}
+    assert got == {(1, 0, 1600), (1, 1, 0), (1, 2, 1600)}
+    segs = energy_segments(frames, "id", threshold=100).collect()
+    assert {(s.id, s.seg_start, s.seg_end, s.n_frames) for s in segs} == {
+        (1, 0, 0, 1),
+        (1, 2, 2, 1),
+    }
