@@ -1687,3 +1687,56 @@ def c07_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is pinned in pytest (max/min shard weight)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return shard_balance(d, "n_chars", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — BPE merge-step pair counting (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_bpe_pair_counts",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w WHERE word <> '' GROUP BY word),
+    p AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
+          FROM (SELECT word, n, unnest(range(1, length(word))) AS i
+                FROM wf WHERE length(word) >= 2)),
+    c AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS total FROM p GROUP BY pair)
+    SELECT pair, total FROM c ORDER BY total DESC, pair LIMIT 20
+    """,
+)
+def c04_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4p: the BPE training inner step — weighted adjacent-symbol
+    pair counts over the corpus (Sennrich et al., ACL 2016): the pair
+    chosen for the next merge is the global argmax, here the head of
+    the returned top-20. The scale shape tokenizer trainers actually
+    use: corpus → WORD-FREQUENCY table first (one token-keyed agg —
+    pair extraction then runs on the vocabulary, ~10⁵ rows, NOT the
+    corpus), pairs row-local per word, one pair-keyed weighted sum
+    bounded by |symbol pairs|. A full BPE run loops this k times with
+    the winning merge applied to the vocabulary between rounds —
+    bounded-round driver iteration exactly like c03_kmeans_iter; the
+    per-round plan is what's registered and hash-checked. Ties in
+    pair frequency break lexically (deterministic merge tables)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count("*").alias("n"))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substr("word", i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    c = pairs.groupBy("pair").agg(F.sum("n").alias("total"))
+    return c.orderBy(F.col("total").desc(), "pair").limit(20)

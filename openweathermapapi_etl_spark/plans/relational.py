@@ -2697,3 +2697,82 @@ def b16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot").cast("double").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — chi-square test of independence (drift audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_chisq_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS reg,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY c.c_mktsegment, r.r_name),
+    tot AS (
+      SELECT seg, reg, o,
+             SUM(o) OVER (PARTITION BY seg) AS rt,
+             SUM(o) OVER (PARTITION BY reg) AS ct,
+             SUM(o) OVER ()                 AS n
+      FROM obs),
+    terms AS (
+      SELECT o, CAST(rt * ct AS DOUBLE) / n AS e,
+             seg, reg
+      FROM tot)
+    SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                         / e AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT reg) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(o) AS BIGINT) AS n
+    FROM terms
+    """,
+)
+def b16_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16k: chi-square test of independence — "is market segment
+    independent of region?", the categorical drift/bias audit run
+    before and after every sampling or dedup pass (a curation step
+    that skews the segment×region joint is a bug this one number
+    catches). Shape: two BROADCAST dimension joins (nation, region
+    are classic broadcast dims), one (seg, reg)-keyed count whose
+    output is |segments|×|regions| cells, then windows and the final
+    sum over that TINY cell table — the only corpus-sized work is the
+    first count's scan. Expected counts are exact integer products
+    divided once in IEEE doubles (same spelling both engines); the
+    cell terms quantize through DECIMAL(38,6) before summing so the
+    25-cell reduction is order-independent (util.py float policy)."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    obs = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("reg")
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    tot = obs.select(
+        "seg",
+        "reg",
+        "o",
+        F.sum("o").over(W.partitionBy("seg")).alias("rt"),
+        F.sum("o").over(W.partitionBy("reg")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    od = F.col("o").cast("double")
+    term = (od - e) * (od - e) / e
+    return tot.agg(
+        F.sum(term.cast(DEC)).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("reg") - 1)
+        ).alias("dof"),
+        F.sum("o").alias("n"),
+    )
