@@ -2776,3 +2776,168 @@ def b16_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.sum("o").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B2 continued — native XML scan/sink (Spark 4 built-in format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b02_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR)
+             AS o_totalprice_s
+    FROM orders WHERE o_orderkey % 40 = 1
+    """,
+)
+def b02_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2d: XML scan + sink — Spark 4 ships the spark-xml reader
+    natively (rowTag-delimited record inference, same DataFrameReader
+    surface as json/csv). The reference's data arrives as JSON over
+    HTTP; XML is the other wire format a weather/enterprise feed
+    shows up in, and the engine should ingest it without a transcode
+    hop. Round-trip proof: a projected slice of orders is written as
+    XML and read back; the oracle is the plain parquet slice, so a
+    hash match pins both directions of the format conversion. The
+    price rides as an explicit DECIMAL-rendered string because XML
+    has no numeric types — schema inference would bring it back as
+    double; rendering at WRITE time makes the text canonical and the
+    comparison exact (the same number-as-text discipline every
+    XML-feed consumer ends up needing)."""
+    orders = t(spark, sf_dir, "orders")
+    slim = orders.filter(F.col("o_orderkey") % 40 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice")
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("o_totalprice_s"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b02xml_{os.getpid()}"
+    )
+    (
+        slim.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(root)
+    )
+    # Explicit read schema: inference would parse the canonical price
+    # TEXT back into a double and destroy the rendering the write
+    # established (read-side schema pinning is the same discipline as
+    # B1b's schema evolution contract).
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey long, o_custkey long, "
+            "o_orderstatus string, o_totalprice_s string"
+        )
+        .load(root)
+    )
+    return back
+
+
+# ---------------------------------------------------------------------------
+# B3 continued — PERMISSIVE CSV scan with corrupt-record capture
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b03_csv_badrecords",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR)
+                END AS price_s,
+           o_orderkey % 3 = 0 AS is_corrupt
+    FROM orders WHERE o_orderkey % 40 = 2
+    """,
+)
+def b03_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3b: dirty-CSV ingestion — the PERMISSIVE-mode contract the
+    JSON twin (B2c) pins, on the CSV reader: rows that violate the
+    declared schema (here a non-numeric price) land with NULL in the
+    broken column and the ORIGINAL line captured in
+    columnNameOfCorruptRecord, instead of killing the load (FAILFAST)
+    or vanishing (DROPMALFORMED) — at 100 TB a feed with 0.01% bad
+    lines must load AND report, not abort. The fixture is
+    deterministic: every third key's price is replaced with 'N/A' at
+    write time; the oracle reconstructs the expected clean/corrupt
+    split from the base table, so the malformed-row routing itself is
+    hash-checked."""
+    orders = t(spark, sf_dir, "orders")
+    lines = orders.filter(F.col("o_orderkey") % 40 == 2).select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("N/A")).otherwise(
+                F.col("o_totalprice").cast("decimal(38,6)").cast("string")
+            ),
+        ).alias("value")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b03csv_{os.getpid()}"
+    )
+    lines.coalesce(1).write.mode("overwrite").text(root)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, price decimal(38,6), _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(root)
+    )
+    return back.select(
+        "o_orderkey",
+        F.col("price").cast("string").alias("price_s"),
+        F.col("_bad").isNotNull().alias("is_corrupt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B67 — explicit cache reuse (CACHE TABLE / InMemoryRelation surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b67_cached_agg_reuse",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def b67_cached_agg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67: the explicit caching surface — CACHE TABLE / catalog
+    .cacheTable puts a columnar InMemoryRelation between the scan and
+    every subsequent reader: the second and later passes over a
+    dashboard's working set read compressed column batches from
+    executor memory instead of re-hitting storage. The query caches a
+    view of customer, forces materialization with a first pass (the
+    count), then answers the real aggregate from the cache — the
+    oracle sees the same numbers (caching must be semantically
+    invisible; the hash match proves it), and pytest pins
+    InMemoryTableScan in the executed plan so a silent cache miss
+    shows up as a plan diff, not a vibe. Memory discipline at scale:
+    cache the PROJECTED view you'll re-read, never the raw table —
+    the cached width here is the 2 columns the workload touches."""
+    cust = t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    cust.createOrReplaceTempView("b67_cached_cust")
+    spark.catalog.cacheTable("b67_cached_cust")
+    spark.table("b67_cached_cust").count()  # materialize the cache
+    return (
+        spark.table("b67_cached_cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )

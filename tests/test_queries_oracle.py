@@ -146,3 +146,15 @@ def test_driver_window_covers_every_never_checked_query():
         n_over = len(must_fill) - 50
         after = names[50 : 50 + n_over]
         assert set(after) <= must_fill and set(window) | set(after) == must_fill
+
+
+def test_cached_agg_plan_reads_from_cache(spark):
+    """b67's contract: the aggregate's executed plan must scan the
+    InMemoryRelation, not the parquet source — a silent cache miss is
+    a plan regression, not just a perf vibe."""
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    df = QUERIES["b67_cached_agg_reuse"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+    spark.catalog.uncacheTable("b67_cached_cust")
