@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.sessions import session_stats, sessionize
 from ..operators.skew import key_skew_profile
 from .registry import register
-from .util import dsum, o_dsum, t
+from .util import davg, dsum, o_davg, o_dsum, t
 
 _EV = """(SELECT event_id, date_trunc('microseconds', ts) AS ts,
                 user_id, event_type, value, props FROM events)"""
@@ -387,5 +387,67 @@ def b24_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", _SPARK_FMT_US).alias("purchase_ts"),
             F.col("lv.e").alias("attributed_view_id"),
             (F.col("us") - F.col("lv.u")).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — additive seasonal decomposition (hour-of-day profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_seasonal_decompose",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type, value, hour(ts) AS hod
+               FROM {_EV}
+               WHERE ts IS NOT NULL AND value IS NOT NULL),
+    seas AS (
+      SELECT event_type, hod,
+             {o_davg("value")} AS seasonal_mean,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM e GROUP BY event_type, hod)
+    SELECT e.event_id, e.event_type, e.hod, e.value,
+           s.seasonal_mean,
+           e.value - s.seasonal_mean AS residual
+    FROM e JOIN seas s
+      ON s.event_type = e.event_type AND s.hod = e.hod
+    """,
+)
+def b24_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24i: additive seasonal decomposition — subtract each
+    (event_type, hour-of-day) seasonal mean from every observation;
+    the de-seasonalized residual is what anomaly scoring (B24e's
+    z-score) should run on when the metric has a daily cycle, or
+    every 9am traffic peak pages the on-call. Shape: one grouped agg
+    builds the seasonal profile (|types|×24 rows — BROADCAST back
+    onto the corpus), one map-side join computes residuals: two
+    corpus passes over one scan lineage, no corpus-sized shuffle at
+    all. The seasonal means use the exact-decimal average (util.py)
+    so the residual subtraction sees bit-identical operands in both
+    engines. Production composition: feed `residual` into
+    rolling_zscore in place of the raw value."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.hour("ts").alias("hod"),
+        )
+    )
+    seas = e.groupBy("event_type", "hod").agg(
+        davg("value", "seasonal_mean"), F.count("*").alias("n_obs")
+    )
+    return (
+        e.join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "seasonal_mean",
+            (F.col("value") - F.col("seasonal_mean")).alias("residual"),
         )
     )

@@ -19,7 +19,7 @@ from ..operators.manifest import file_stats, skipping_read
 from ..operators.merge import VersionedParquetTable, keyed_upsert
 from ..operators.reconcile import reconcile
 from .registry import register
-from .util import t
+from .util import dsum, t
 
 ORDER_COLS = [
     "o_orderkey",
@@ -748,4 +748,67 @@ def m12_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keyed_upsert(
         base, upd, keys=["o_orderkey"], allow_new_columns=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# M13 — referential pseudonymization (keyed-hash tokenization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m13_pseudonymize_referential",
+    oracle="""
+    WITH c AS (
+      SELECT sha256('pseud:v1:' || CAST(c_custkey AS VARCHAR)) AS pid,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0),
+    o AS (
+      SELECT sha256('pseud:v1:' || CAST(o_custkey AS VARCHAR)) AS pid,
+             o_totalprice
+      FROM orders)
+    SELECT c.pid, c.c_mktsegment,
+           CAST(COUNT(o.pid) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM c LEFT JOIN o ON o.pid = c.pid
+    GROUP BY c.pid, c.c_mktsegment
+    """,
+)
+def m13_pseudonymize_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: pseudonymization with referential integrity — the GDPR
+    data-minimization transform M6's hard delete complements: replace
+    the natural key with a salted keyed hash EVERYWHERE it appears,
+    so analytics (joins, per-customer aggregates) still work while no
+    raw identifier leaves the trusted zone. The same deterministic
+    token function applied independently to each table preserves FK
+    joinability WITHOUT a lookup table to protect or leak — rotate
+    the salt version ('pseud:v1:') to break linkability epoch-over-
+    epoch. Row-local sha2 on both sides, the join/agg plan unchanged
+    from its raw-key twin (the hash is just a wider join key). The
+    oracle recomputes the tokens independently in DuckDB — the hash
+    match proves cross-engine token equality AND that the
+    pseudonymized join loses no rows (LEFT JOIN keeps order-less
+    customers with n_orders = 0)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+
+    def pseud(key: F.Column) -> F.Column:
+        return F.sha2(
+            F.concat(F.lit("pseud:v1:"), key.cast("string")), 256
+        )
+
+    c = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        pseud(F.col("c_custkey")).alias("pid"), "c_mktsegment"
+    )
+    o = orders.select(
+        pseud(F.col("o_custkey")).alias("pid"), "o_totalprice"
+    )
+    return (
+        c.join(o, "pid", "left")
+        .groupBy("pid", "c_mktsegment")
+        .agg(
+            F.count("o_totalprice").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
     )
