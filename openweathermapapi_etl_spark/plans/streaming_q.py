@@ -1258,3 +1258,83 @@ def b51_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("click_id").isNull() | (F.col("click_id") >= 0))
         & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# B68 — stream-static join with dimension REFRESH between batches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b68_stream_dim_refresh",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.event_id % 2 = 0 THEN c.c_nationkey
+                ELSE c.c_nationkey + 100 END AS nation_at_enrichment
+    FROM {_EV} e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def b68_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68: the property b52's docstring claims, DEMONSTRATED — a
+    stream-static enrichment where the static dimension CHANGES
+    mid-stream and each micro-batch sees the dimension as of its own
+    processing time (the foreachBatch re-read contract; a captured
+    broadcast variable would serve batch-0's snapshot forever — the
+    classic stale-dimension bug). Events replay in two batches split
+    on even/odd event_id; batch 0 enriches against dim v1, the sink
+    then publishes dim v2 (+100 on every nationkey — a stand-in for
+    the hourly dim refresh), and batch 1 picks it up. The oracle
+    reconstructs per-row which dimension VERSION each event must have
+    seen — a hash mismatch would mean a batch read a stale or torn
+    dimension. The dim swap uses the versioned table's atomic
+    pointer, so a concurrent reader can never see half a refresh."""
+    prep(spark)
+    d = _replay_dir(
+        spark,
+        sf_dir,
+        "b68",
+        predicates=["event_id % 2 = 0", "event_id % 2 = 1 OR event_id IS NULL"],
+    )
+    dim_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b68_dim_{os.getpid()}"
+    )
+    shutil.rmtree(dim_root, ignore_errors=True)
+    dim = VersionedParquetTable(dim_root)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    dim.overwrite(cust)
+
+    out_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b68_out_{os.getpid()}"
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        cur = dim.read(spark)
+        (
+            batch_df.join(
+                F.broadcast(cur), batch_df.user_id == cur.c_custkey
+            )
+            .select(
+                "event_id",
+                "user_id",
+                F.col("c_nationkey").alias("nation_at_enrichment"),
+            )
+            .write.mode("append")
+            .parquet(out_root)
+        )
+        # Publish the refreshed dimension AFTER this batch commits —
+        # the next micro-batch must observe v2 atomically.
+        dim.overwrite(
+            cust.withColumn("c_nationkey", F.col("c_nationkey") + 100)
+        )
+
+    stream = replay_files_stream(spark, d, EVENTS)
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_root)

@@ -1102,3 +1102,78 @@ def c05_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return energy_segments(frames, "id", threshold=6144).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "c01_url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END ||
+             CAST(doc_id % 100 AS VARCHAR) || '.Example.COM/page/' ||
+             CAST(doc_id % 100 AS VARCHAR) || '?id=' ||
+             CAST(doc_id % 100 AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 1 THEN '&utm_source=news'
+                  WHEN doc_id % 3 = 2 THEN '&ref=tw#top'
+                  ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                  '[&?](utm_[a-z_]+|ref)=[^&#]*', '', 'g'))
+               AS canonical_url
+      FROM u)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def c01_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1b: URL canonicalization dedup — the web-crawl front-end that
+    runs BEFORE any content dedup: the same page fetched via
+    different tracking params, fragments, or host casing is the same
+    document, and collapsing it by canonical URL costs one string
+    normalization + one hash-partitioned groupBy vs C2's full
+    shingle/LSH machinery. Normalization here: drop the fragment,
+    strip tracking parameters (utm_*, ref), lowercase — all row-local
+    regexp/lower at scan speed; the dedup is exactly C1's
+    hash-groupBy with the canonical URL as the content key, min
+    doc_id kept (the C2/C6 keeper rule). URLs are synthesized
+    deterministically from doc_id (the corpus ships no URL column);
+    the variants cover the three big aliasing classes and the oracle
+    re-derives canonicalization independently, pinning the regex
+    semantics across engines. Production swaps the synthesized column
+    for the crawl's real url field — the plan is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 100).cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Site")).otherwise(
+            F.lit("site")
+        ),
+        k,
+        F.lit(".Example.COM/page/"),
+        k,
+        F.lit("?id="),
+        k,
+        F.when(F.col("doc_id") % 3 == 1, F.lit("&utm_source=news"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("&ref=tw#top"))
+        .otherwise(F.lit("")),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(url, "#.*$", ""),
+            r"[&?](utm_[a-z_]+|ref)=[^&#]*",
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
