@@ -9,6 +9,7 @@ Scale annotations sit on the queries where strategy matters.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -2940,4 +2941,95 @@ def b67_cached_agg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cust"),
             dsum("c_acctbal", "total_bal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B69 — DataFrame.transpose (Spark 4 relational transpose)
+# ---------------------------------------------------------------------------
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "b69_transpose",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{m}' AS key, {", ".join(
+            f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN "
+            f"{'1' if m == 'n_cust' else 'CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END'}"
+            f" ELSE 0 END) AS VARCHAR) AS {s}" for s in _SEGS
+        )} FROM customer"""
+        for m in ("n_cust", "n_positive_bal")
+    ),
+)
+def b69_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69: Spark 4's DataFrame.transpose — the metrics-as-rows →
+    metrics-as-columns flip every report tool wants, as a RELATIONAL
+    operator: the first column becomes the header, each remaining
+    ROW becomes a column. Unlike B20's pivot (which aggregates),
+    transpose is a pure reshape of an already-aggregated frame — so
+    the scale rule is the inverse of pivot's: transpose ONLY
+    metadata-sized results (the output column count is the input ROW
+    count; transposing a corpus is a non-plan). Here: a 5-segment ×
+    2-metric aggregate flips to metric-keyed rows with one column
+    per segment. Values transit as strings (transpose requires a
+    common value type — the same number-as-text rendering rule as
+    the XML sink, B2d). The oracle re-derives the transposed layout
+    with conditional aggregates; the hash match pins the reshape
+    exactly."""
+    cust = t(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive_bal"),
+    )
+    wide = agg.select(
+        "c_mktsegment",
+        F.col("n_cust").cast("string"),
+        F.col("n_positive_bal").cast("string"),
+    )
+    return wide.transpose()
+
+
+# ---------------------------------------------------------------------------
+# B70 — hidden _metadata columns on file scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b70_metadata_columns",
+    oracle="""
+    SELECT 16 AS n_files, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
+def b70_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B70: the hidden ``_metadata`` struct every file scan exposes
+    (file_path, file_size, row_index...) — the lineage/debugging
+    surface behind "which FILE did this bad row come from", and the
+    input to M5's compaction planning when no table format supplies a
+    manifest. The fixture writes orders as a 16-file range-clustered
+    layout (the M11 layout) and re-reads it grouping on
+    ``_metadata.file_path``: the engine must report exactly the 16
+    files the writer produced and lose no rows to the projection of a
+    metadata column (metadata columns are generated at scan time, not
+    stored — a pruning bug class of its own). The oracle pins the
+    declared layout + corpus count; per-file row counts are range-
+    sampler-dependent and deliberately not asserted."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b70_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        orders.repartitionByRange(16, "o_orderdate")
+        .write.parquet(root)
+    )
+    per_file = (
+        spark.read.parquet(root)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.count("*").alias("n"))
+    )
+    return per_file.agg(
+        F.count("*").cast("int").alias("n_files"),
+        F.sum("n").alias("n_rows"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -397,4 +397,73 @@ def b47_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").applyInArrow(
         group_stats,
         "c_nationkey int, n_cust long, max_bal double, min_bal double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B49 continued — pandas UDAF evaluated OVER A WINDOW FRAME
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b49_pandas_udaf_window",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM {{ev}}
+               WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT event_id, user_id, cents,
+             list_sort(list(cents) OVER fr, 'DESC')[2] AS second_largest,
+             COUNT(*) OVER fr AS n_in_frame
+      FROM e WINDOW fr AS (
+        PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, cents,
+           CASE WHEN n_in_frame >= 2 THEN second_largest END
+             AS second_largest
+    FROM w
+    """.replace("{ev}", "(SELECT event_id, user_id, value FROM events)"),
+)
+def b49_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49b: a pandas UDAF evaluated over a sliding WINDOW FRAME —
+    the surface B49's grouped form doesn't touch: Spark re-evaluates
+    the Arrow-batched aggregate per frame (ROWS BETWEEN 6 PRECEDING
+    AND CURRENT ROW), so custom order-statistics that no built-in
+    window aggregate expresses (here: second-largest in the trailing
+    week of events) run vectorized without a self-join or a
+    collect_list blowup in user code. Values ride as exact integer
+    cents so the oracle's list-sort spelling is bit-identical.
+    Frames shorter than 2 yield NULL (no second element), pinned on
+    both sides. Scale shape: one user_id-partitioned window — the
+    same high-cardinality partitioning the rest of the event family
+    shuffles on; the UDAF's cost is frame-local."""
+    import pandas as pd
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    @F.pandas_udf("long")
+    def second_largest(v: pd.Series) -> int | None:
+        if len(v) < 2:
+            return None
+        return int(v.sort_values(ascending=False).iloc[1])
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "cents",
+        second_largest("cents").over(w).alias("second_largest"),
     )
