@@ -320,8 +320,23 @@ def cosine_topk_ivf(
     that (pinned by
     tests/test_plan_shapes.py::test_ivf_plan_single_corpus_scoring_pass).
     """
-    from pyspark.sql import Window as W
+    cent, inverted = ivf_build(corpus, id_col, vec_col, centroid_mod)
+    queries = corpus.filter(F.col(id_col) % query_mod == 0)
+    return ivf_query(cent, inverted, queries, id_col, vec_col, k, nprobe)
 
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 40,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, inverted file) — the PERSISTABLE halves of an IVF
+    index: both are plain DataFrames (centroid_id/cv/cvn and
+    vid/centroid_id/nv/nn), so the index lifecycle is the table
+    lifecycle — write them as parquet next to the corpus, reload, and
+    :func:`ivf_query` serves searches without touching the raw corpus
+    again (c03_ivf_persist pins write→reload→query == in-memory)."""
     cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cv"),
@@ -348,10 +363,30 @@ def cosine_topk_ivf(
             F.any_value("vn").alias("nn"),
         )
     )
+    return cent, inverted
+
+
+def ivf_query(
+    cent: DataFrame,
+    inverted: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a built (possibly reloaded) IVF index."""
+    from pyspark.sql import Window as W
+
+    qnormed = queries.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_fold(F.col(vec_col)).alias("vn"),
+    )
+    cs = cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
     wp = W.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid_id"))
     probes = (
-        normed.filter(F.col("vid") % query_mod == 0)
-        .join(F.broadcast(cent))
+        qnormed.join(F.broadcast(cent))
         .select("vid", "v", "vn", "centroid_id", cs.alias("cs"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)

@@ -12,6 +12,10 @@ dot_fold); aggregated doubles go through the DECIMAL(38,6) trick
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +24,8 @@ from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
     adc_topk,
+    ivf_build,
+    ivf_query,
     mips_topk,
     pq_codebook_train,
     pq_encode,
@@ -1206,3 +1212,41 @@ def c03_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return mips_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — IVF index persistence (index-as-table lifecycle)
+# ---------------------------------------------------------------------------
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (tier_c registered first)
+
+
+@register("c03_ivf_persist", oracle=_ORACLES["c03_cosine_topk_ivf"])
+def c03_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3n: the IVF index LIFECYCLE — build once, STORE the index as
+    plain tables (centroids + inverted file are just DataFrames),
+    reload cold, and serve searches from the stored index without
+    touching the raw corpus again (operators/similarity.py::
+    ivf_build/ivf_query). This is the production shape: the indexing
+    pass runs in the ingest pipeline, queries run in a different job
+    (different session, different day) against the persisted index —
+    exactly like any other derived table, with the same versioning/
+    WAP/compaction machinery (M-series) available to it. The oracle
+    is c03_cosine_topk_ivf's, verbatim: a hash match proves the
+    write→reload→query path returns bit-identical results to the
+    in-memory build — parquet round-tripping of float vectors and
+    double norms loses nothing."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent, inverted = ivf_build(emb, "vec_id", "embedding", centroid_mod=40)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_c03idx_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cent.write.parquet(os.path.join(root, "centroids"))
+    inverted.write.parquet(os.path.join(root, "inverted"))
+    cent2 = spark.read.parquet(os.path.join(root, "centroids"))
+    inv2 = spark.read.parquet(os.path.join(root, "inverted"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_query(
+        cent2, inv2, queries, "vec_id", "embedding", k=5, nprobe=2
+    )
