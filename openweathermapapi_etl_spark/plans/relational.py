@@ -3033,3 +3033,154 @@ def b70_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_files"),
         F.sum("n").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B30/B31 continued — bag semantics: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b30_intersect_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    INTERSECT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def b30_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30b: INTERSECT ALL — bag intersection: each duplicate row
+    survives min(count_left, count_right) times, where B30's set
+    INTERSECT collapses to one. The distinction matters exactly when
+    the columns are non-key (here status×priority — a few distinct
+    tuples, thousands of duplicates): set semantics answers "which
+    combinations appear in both slices", bag semantics answers "how
+    MANY of each survive" — the reconciliation-count question.
+    Physically still one hash-partitioned shuffle on the row value
+    (Catalyst plans a count-compare aggregate, not a join per
+    duplicate)."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "b31_except_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def b31_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31b: EXCEPT ALL — bag difference: each row survives
+    count_left − count_right times (floored at zero), where B31's set
+    EXCEPT yields nothing whenever the tuple exists at all on the
+    right. This is the multiset form data reconciliation actually
+    needs ("3 extra rows of this shape on the left"), and the m10
+    checksum reconciler's row-level complement for non-keyed data.
+    Same single-shuffle count-compare plan as INTERSECT ALL."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# B35 continued — explode_outer null/empty preservation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b35_explode_outer",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN []
+                  WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE string_split(text, ' ')[1:2] END AS arr
+      FROM documents WHERE doc_id % 20 < 2),
+    x AS (
+      SELECT d.doc_id, u.tok
+      FROM d LEFT JOIN (SELECT doc_id, unnest(arr) AS tok FROM d) u
+        ON u.doc_id = d.doc_id)
+    SELECT doc_id, tok FROM x
+    """,
+)
+def b35_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35c: explode_outer — the row-preservation contract plain
+    explode silently breaks: a document with an EMPTY or NULL array
+    vanishes from an exploded result (inner-join semantics), which
+    turns "tokenize and analyze every document" into "…every document
+    that happened to tokenize" — a silent-loss bug class in any
+    per-element pipeline with a downstream count. explode_outer keeps
+    the parent row with a NULL element instead. The fixture seeds
+    both hazards (empty arrays at doc_id%5, NULL arrays at %7); the
+    oracle spells the same semantics as a LEFT JOIN against the
+    unnested rows, pinning both the kept-row and the NULL-element
+    behavior."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 < 2)
+    arr = (
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.slice(F.split("text", " "), 1, 2))
+    )
+    return d.select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22 continued — schema drift detection between snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b22_schema_drift",
+    oracle="""
+    SELECT 'o_channel' AS col_name, 'added' AS status,
+           CAST(NULL AS VARCHAR) AS before_type, 'string' AS after_type
+    UNION ALL
+    SELECT 'o_orderpriority', 'dropped', 'string', NULL
+    UNION ALL
+    SELECT 'o_totalprice', 'retyped', 'double', 'decimal(12,2)'
+    """,
+)
+def b22_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22e: schema drift report between two snapshots of "the same"
+    table — the audit that runs BEFORE M12's evolution merge decides
+    what to do: which columns appeared, vanished, or changed type
+    since the last load. Pure metadata work — the comparison runs on
+    the two StructTypes, zero data scanned, so it costs the same on
+    100 TB as on 100 rows (the defining property of a good schema
+    gate: it can run on every single batch). The fixture evolves
+    orders three ways (column added, dropped, retyped); the oracle is
+    the literal expected report. Unchanged columns are omitted — the
+    report is the DIFF, sized by drift, not by width."""
+    orders = t(spark, sf_dir, "orders")
+    evolved = orders.drop("o_orderpriority").select(
+        "*",
+        F.lit("web").alias("o_channel"),
+    ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"))
+    before = {f.name: f.dataType.simpleString() for f in orders.schema.fields}
+    after = {f.name: f.dataType.simpleString() for f in evolved.schema.fields}
+    rows = []
+    for c in sorted(set(before) | set(after)):
+        if c not in before:
+            rows.append((c, "added", None, after[c]))
+        elif c not in after:
+            rows.append((c, "dropped", before[c], None))
+        elif before[c] != after[c]:
+            rows.append((c, "retyped", before[c], after[c]))
+    return spark.createDataFrame(
+        rows, "col_name string, status string, before_type string, after_type string"
+    )
