@@ -1177,3 +1177,66 @@ def c01_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "c02_cross_corpus_overlap",
+    oracle="""
+    WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT text FROM documents WHERE doc_id % 10 = 0),
+    ga AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY text),
+    gb AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY text)
+    SELECT md5(ga.text) AS content_h, n_a, n_b
+    FROM ga JOIN gb ON ga.text = gb.text
+    """,
+)
+def c02_cross_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2j: cross-corpus exact-content overlap — "how much of corpus B
+    is already in corpus A?", the question asked before every corpus
+    merge (and the exact-match core of C9's decontamination, corpus-
+    vs-corpus instead of corpus-vs-benchmark). The scale shape: a
+    BLOOM-style membership filter built over A's content hashes in
+    one aggregate pass — here an explicit broadcast bit-set (sorted
+    distinct hash-mod-m values: FIXED size ≤ m no matter the corpus;
+    Spark's native bloom_filter_agg is a Catalyst-internal expression
+    the injected-runtime-filter flavor b10 exercises, not a SQL
+    routine) — pre-filters B map-side BEFORE the verify join, so the
+    shuffle carries only B's plausible matches (~overlap-sized + the
+    false-positive dust), not all of B; the equi-join on the full
+    text then verifies exactly — filter false positives die there,
+    and the filter has no false negatives, so the result equals the
+    direct join the oracle runs. Output: per overlapping content, its hash + multiplicity on
+    each side (the dedup-planning numbers)."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("text")
+    # Corpus B = the odd half plus a RE-CRAWLED slice of A (every
+    # 10th document) — the corpus ships no exact duplicates, so the
+    # overlap the operator must find is seeded the way it arises in
+    # practice: the same pages fetched into both crawls.
+    b = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("text")
+        .unionAll(d.filter(F.col("doc_id") % 10 == 0).select("text"))
+    )
+    sig = a.agg(
+        F.sort_array(
+            F.collect_set(F.pmod(F.xxhash64("text"), F.lit(65536)))
+        ).alias("bf")
+    )
+    b_cand = (
+        b.crossJoin(F.broadcast(sig))
+        .filter(
+            F.array_contains(
+                "bf", F.pmod(F.xxhash64("text"), F.lit(65536))
+            )
+        )
+        .groupBy("text")
+        .agg(F.count("*").alias("n_b"))
+    )
+    ga = a.groupBy("text").agg(F.count("*").alias("n_a"))
+    return (
+        ga.join(b_cand, "text")
+        .select(F.md5("text").alias("content_h"), "n_a", "n_b")
+    )
