@@ -97,6 +97,93 @@ def minhash_signature(
     return hashed.select(*cols)
 
 
+def band_rows(
+    sigs: DataFrame, id_col: str, k: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(id, band_no, band_key) — one row per document per band.
+
+    The shared front half of every banding consumer (self-join pair
+    expansion, the delta-vs-corpus incremental join). NULL minhash
+    components ("too short to shingle") NULL the whole band — a bare
+    concat_ws would silently DROP the null and lump every short doc
+    into one giant '' bucket.
+    """
+    n_bands = k // band_size
+
+    def band_key(b: int):
+        comps = [F.col(f"m{b * band_size + i}") for i in range(band_size)]
+        nonnull = comps[0].isNotNull()
+        for c in comps[1:]:
+            nonnull = nonnull & c.isNotNull()
+        return F.when(nonnull, F.concat_ws("_", *[c.cast("string") for c in comps]))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"), band_key(b).alias("band_key")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sigs.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(
+            F.col(id_col),
+            F.col("band.band_no").alias("band_no"),
+            F.col("band.band_key").alias("band_key"),
+        )
+        .filter(F.col("band_key").isNotNull())
+    )
+
+
+def delta_lsh_candidates(
+    corpus_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    id_col: str,
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and an EXISTING corpus
+    — the incremental-ingest form of LSH dedup: when documents arrive
+    continuously, re-running the corpus self-join per batch is
+    O(corpus²)-shaped work for an O(delta·bucket) question. Band rows
+    of the delta equi-join band rows of the corpus on (band_no,
+    band_key): cost scales with the DELTA and the bucket densities it
+    touches, never with corpus². The corpus band table is exactly the
+    persistable index (write it once, append each batch's bands — the
+    same index-as-table lifecycle as c03_ivf_persist).
+
+    ``max_bucket`` caps the CORPUS side per band bucket (window count
+    before the join, same pre-materialization discipline as
+    lsh_candidate_pairs): a boilerplate bucket would otherwise fan
+    every matching delta doc into it. Returns (delta_id, corpus_id)
+    distinct pairs; exact verification (jaccard/containment/edit
+    distance — the C2 verify family) composes downstream unchanged.
+    """
+    d = band_rows(delta_sigs, id_col, k, band_size).withColumnRenamed(
+        id_col, "delta_id"
+    )
+    c = band_rows(corpus_sigs, id_col, k, band_size).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_no", "band_key")
+        c = (
+            c.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    return (
+        d.join(c, ["band_no", "band_key"])
+        .filter(F.col("delta_id") != F.col("corpus_id"))
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -135,35 +222,7 @@ def lsh_candidate_pairs(
     dropped — the exact skew this parameter exists to prevent (pinned
     by tests/test_operators.py::test_lsh_max_bucket_filters_before_collect).
     """
-    n_bands = k // band_size
-
-    def band_key(b: int):
-        comps = [F.col(f"m{b * band_size + i}") for i in range(band_size)]
-        nonnull = comps[0].isNotNull()
-        for c in comps[1:]:
-            nonnull = nonnull & c.isNotNull()
-        # NULL component = "too short to shingle" → whole band NULL.
-        # (concat_ws alone silently *drops* NULLs, which would lump all
-        # short docs into one giant "" bucket.)
-        return F.when(nonnull, F.concat_ws("_", *[c.cast("string") for c in comps]))
-
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_no"), band_key(b).alias("band_key")
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = (
-        sigs.select(F.col(id_col), F.explode(bands).alias("band"))
-        .select(
-            F.col(id_col),
-            F.col("band.band_no").alias("band_no"),
-            F.col("band.band_key").alias("band_key"),
-        )
-        .filter(F.col("band_key").isNotNull())
-    )
+    exploded = band_rows(sigs, id_col, k, band_size)
     if max_bucket is not None:
         # Enforce the cap BEFORE any bucket materializes: a window
         # count over the same (band_no, band_key) partitioning sizes

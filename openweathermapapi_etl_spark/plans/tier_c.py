@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _affine_params,
+    delta_lsh_candidates,
     exact_dedup,
     hamming_band_pairs,
     jaccard_pairs,
@@ -1239,4 +1240,47 @@ def c02_cross_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ga.join(b_cand, "text")
         .select(F.md5("text").alias("content_h"), "n_a", "n_b")
+    )
+
+
+def _delta_lsh_oracle(k: int = 8, band_size: int = 2) -> str:
+    base = _lsh_oracle(k, band_size, max_bucket=None)
+    # Same sigs/bands CTEs; swap the self-join tail for the
+    # delta-vs-corpus crossing (delta = every 10th doc).
+    tail = """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+    new_tail = """
+    SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+    FROM bands d JOIN bands c
+      ON d.band_no = c.band_no AND d.band_key = c.band_key
+     AND d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    """
+    assert tail in base
+    return base.replace(tail, new_tail)
+
+
+@register("c02_incremental_neardup", oracle=_delta_lsh_oracle())
+def c02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2k: INCREMENTAL near-dup detection
+    (operators/dedup.py::delta_lsh_candidates) — the arriving batch
+    (every 10th doc) is banded and joined against the existing
+    corpus's band table, so per-ingest cost scales with the DELTA and
+    the buckets it touches, never corpus² — the batch-ingest
+    counterpart of C8's streaming gate, and the reason a 100 TB
+    corpus can afford per-batch dedup at all. Uncapped here so the
+    DuckDB oracle enumerates the identical crossing; the production
+    cap (corpus-side max_bucket) is pinned in pytest. Downstream
+    composition is unchanged: these (delta, corpus) candidates feed
+    the same verify family (C2e/C2f/C2h) before any drop decision."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    c_sigs = minhash_signature(corpus, "text", "doc_id", k=8, portable=True)
+    d_sigs = minhash_signature(delta, "text", "doc_id", k=8, portable=True)
+    return delta_lsh_candidates(
+        c_sigs, d_sigs, "doc_id", k=8, band_size=2, max_bucket=None
     )

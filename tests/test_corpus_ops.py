@@ -133,3 +133,28 @@ def test_energy_frames_partial_frame_dropped_and_segments_split(spark):
         (1, 0, 0, 1),
         (1, 2, 2, 1),
     }
+
+
+def test_delta_lsh_corpus_side_bucket_cap(spark):
+    """The incremental band join caps CORPUS-side buckets: a
+    boilerplate bucket must not fan every matching delta doc into
+    itself."""
+    from pyspark.sql import Row
+
+    from openweathermapapi_etl_spark.operators.dedup import (
+        delta_lsh_candidates,
+        minhash_signature,
+    )
+
+    boiler = "the same boilerplate text repeated again and again forever"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(10)]
+        + [Row(doc_id=100, text="a genuinely unique document about spark")]
+    )
+    delta = spark.createDataFrame([Row(doc_id=1000, text=boiler)])
+    cs = minhash_signature(corpus, "text", "doc_id", k=8)
+    ds = minhash_signature(delta, "text", "doc_id", k=8)
+    uncapped = delta_lsh_candidates(cs, ds, "doc_id", max_bucket=None)
+    assert uncapped.count() == 10  # delta doc matches every boiler copy
+    capped = delta_lsh_candidates(cs, ds, "doc_id", max_bucket=5)
+    assert capped.count() == 0  # the oversized bucket is dropped wholesale
