@@ -441,3 +441,66 @@ def test_jsonl_sink_requires_path(spark):
     df = spark.range(3)
     with pytest.raises(Exception, match="path"):
         df.write.format("jsonl_dir").mode("append").save()
+
+
+def _ds_dist_stream(spark, canned: dict, cities: str):
+    import json as _json
+
+    from openweathermapapi_etl_spark.streaming.http_datasource import (
+        WeatherHTTPDistDataSource,
+    )
+
+    spark.dataSource.register(WeatherHTTPDistDataSource)
+    return (
+        spark.readStream.format("weather_http_dist")
+        .option("cities", cities)
+        .option("canned", _json.dumps(canned))
+        .load()
+    )
+
+
+def test_http_dist_datasource_executor_side_fetch_per_city(spark):
+    import json as _json
+    import time
+
+    canned = {c: [dict(DOC, name=c)] * 60 for c in ("CityA", "CityB")}
+    stream = _ds_dist_stream(spark, canned, "CityA,CityB")
+    batches: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(batches) < 2:
+        time.sleep(0.5)
+    assert q.exception() is None
+    q.stop()
+    q.awaitTermination()
+    assert len(batches) >= 2
+    first = sorted((r["city"], _json.loads(r["raw"])["name"]) for r in batches[0])
+    assert first == [("CityA", "CityA"), ("CityB", "CityB")]
+
+
+def test_http_dist_datasource_failing_city_task_aborts_batch(spark):
+    import time
+
+    canned = {"CityA": [dict(DOC, name="CityA")] * 5}  # CityBoom absent
+    stream = _ds_dist_stream(spark, canned, "CityA,CityBoom")
+    batches: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and q.exception() is None:
+        time.sleep(0.5)
+    exc = q.exception()
+    q.stop()
+    assert exc is not None and "CityBoom" in str(exc)
+    assert batches == []  # task failure aborted the batch pre-commit
