@@ -119,6 +119,13 @@ BENCH_QUERIES = [
     "c03_pca_project",
     "c04_pmi_lift",
     "b16_weighted_median",
+    # Round-7g additions: the delta-vs-corpus incremental band join
+    # (the per-ingest dedup shape), the broadcast bit-set cross-corpus
+    # prefilter, and the persisted-IVF serve path (index IO + reload
+    # query — regression here means the stored-index lifecycle broke).
+    "c02_incremental_neardup",
+    "c02_cross_corpus_overlap",
+    "c03_ivf_persist",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be
