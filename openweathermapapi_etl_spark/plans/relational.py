@@ -3072,9 +3072,9 @@ def b30_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b31_except_all",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
-    EXCEPT ALL
     SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
     """,
 )
 def b31_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,10 +3086,10 @@ def b31_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum reconciler's row-level complement for non-keyed data.
     Same single-shuffle count-compare plan as INTERSECT ALL."""
     orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderstatus", "o_orderpriority"
     )
-    b = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderstatus", "o_orderpriority"
     )
     return a.exceptAll(b)
