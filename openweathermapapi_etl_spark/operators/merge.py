@@ -187,6 +187,15 @@ class VersionedParquetTable:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v={version}")
 
+    def _next_version(self) -> int:
+        """Allocate from the MAX version ON DISK, not the current
+        pointer: branch commits (M14) and staged-but-unpublished
+        versions (M8) occupy dirs past the pointer, and allocating
+        from the pointer would OVERWRITE them (caught by
+        tests/test_merge.py::test_branch_merge_refuses_diverged_main:
+        a main-line upsert clobbered the branch head's snapshot)."""
+        return max(self.versions() or [0], default=0) + 1
+
     def read(self, spark: SparkSession) -> DataFrame:
         version = self.current_version()
         if version is None:
@@ -238,7 +247,7 @@ class VersionedParquetTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Write a new version and atomically repoint ``_VERSION``."""
-        new_version = (self.current_version() or 0) + 1
+        new_version = self._next_version()
         self._write(df, self._version_dir(new_version))
         return self._commit(new_version)
 
@@ -258,7 +267,7 @@ class VersionedParquetTable:
         snapshot is a normal parquet dir that audit queries can read
         via :meth:`read_version`. Returns the staged version number
         for :meth:`publish` / :meth:`abandon`."""
-        staged = (self.current_version() or 0) + 1
+        staged = self._next_version()
         self._write(df, self._version_dir(staged))
         return staged
 
@@ -324,7 +333,7 @@ class VersionedParquetTable:
         merged = keyed_upsert(
             old.filter(F.col(pcol).isin(touched)), updates, keys, order_col
         )
-        new_version = old_version + 1
+        new_version = self._next_version()
         target = self._version_dir(new_version)
         self._write(merged, target)
         written = {e for e in os.listdir(target) if e.startswith(f"{pcol}=")}
@@ -378,7 +387,7 @@ class VersionedParquetTable:
         remaining = old.filter(F.col(pcol).isin(touched)).join(
             F.broadcast(dk), keys, "left_anti"
         )
-        new_version = old_version + 1
+        new_version = self._next_version()
         target = self._version_dir(new_version)
         self._write(remaining, target)
         os.makedirs(target, exist_ok=True)  # all-touched-all-empty edge
@@ -423,15 +432,104 @@ class VersionedParquetTable:
 
     def _vacuum(self, keep: int, retain: int = 2) -> None:
         """Drop version dirs older than ``keep - retain`` (readers of the
-        immediately previous version may still be in flight)."""
+        immediately previous version may still be in flight). Versions
+        referenced by a BRANCH pointer (head or base) are always
+        retained — a main-line commit must never vacuum an open
+        branch's snapshots out from under it."""
+        pinned: set[int] = set()
+        for b in self.branches():
+            ref = self._branch_ref(b)
+            pinned.add(ref["head"])
+            pinned.add(ref["base"])
         for entry in os.listdir(self.root):
             if entry.startswith("v="):
                 try:
                     v = int(entry.split("=", 1)[1])
                 except ValueError:
                     continue
-                if v <= keep - retain:
+                if v <= keep - retain and v not in pinned:
                     shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+    # -- M14: branches -------------------------------------------------
+    #
+    # Nessie/Iceberg-branch-style isolation on the same version store:
+    # a branch is a named pointer file referencing (head, base) version
+    # numbers. Branch writes allocate from the SAME version counter
+    # (dirs are immutable and shared), so a branch commit is invisible
+    # to main until an explicit fast-forward merge — the cheap
+    # "experiment on the production table without touching it"
+    # primitive. Merge is FAST-FORWARD ONLY: if main moved past the
+    # branch's base, the merge raises (diverged — the caller re-bases
+    # by re-branching and replaying); silently rewriting main's
+    # history is exactly the bug this refuses to have.
+
+    def _branch_pointer(self, name: str) -> str:
+        if not name.isidentifier():
+            raise ValueError(f"bad branch name: {name!r}")
+        return os.path.join(self.root, f"_BRANCH_{name}")
+
+    def _branch_ref(self, name: str) -> dict:
+        with open(self._branch_pointer(name)) as fh:
+            return json.load(fh)
+
+    def branches(self) -> list[str]:
+        return sorted(
+            e[len("_BRANCH_"):]
+            for e in os.listdir(self.root)
+            if e.startswith("_BRANCH_") and not e.endswith(".tmp")
+        )
+
+    def create_branch(self, name: str) -> int:
+        """Branch off the CURRENT version; returns the base version."""
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError("cannot branch an empty table")
+        ptr = self._branch_pointer(name)
+        if os.path.exists(ptr):
+            raise FileExistsError(f"branch exists: {name}")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"head": base, "base": base}, fh)
+        os.replace(tmp, ptr)
+        return base
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read_version(spark, self._branch_ref(name)["head"])
+
+    def write_branch(self, name: str, df: DataFrame) -> int:
+        """Commit ``df`` as the branch's new head. Main is untouched."""
+        ref = self._branch_ref(name)
+        new_version = self._next_version()
+        self._write(df, self._version_dir(new_version))
+        tmp = self._branch_pointer(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"head": new_version, "base": ref["base"]}, fh)
+        os.replace(tmp, self._branch_pointer(name))
+        return new_version
+
+    def upsert_branch(
+        self, spark: SparkSession, name: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        merged = keyed_upsert(self.read_branch(spark, name), updates, keys)
+        return self.write_branch(name, merged)
+
+    def merge_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head and delete the branch.
+
+        Raises if main diverged from the branch's base — the branch
+        must be recreated from current main and replayed (rebase)."""
+        ref = self._branch_ref(name)
+        cur = self.current_version()
+        if cur != ref["base"]:
+            raise RuntimeError(
+                f"branch {name!r} based on v{ref['base']} but main is "
+                f"at v{cur}: diverged; rebase (re-branch and replay)"
+            )
+        os.remove(self._branch_pointer(name))
+        return self._commit(ref["head"])
+
+    def delete_branch(self, name: str) -> None:
+        os.remove(self._branch_pointer(name))
 
 
 def scd2_apply(

@@ -812,3 +812,62 @@ def m13_pseudonymize_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M14 — table branches (isolated experiment + fast-forward merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m14_table_branching",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal         AS bal_during,
+           c_acctbal + 100.0 AS bal_branch,
+           c_acctbal + 100.0 AS bal_after_merge
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def m14_table_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: table branches (operators/merge.py, Nessie/Iceberg-branch
+    semantics on the version store) — run a risky backfill against the
+    PRODUCTION table with zero reader impact: a branch is a named
+    pointer sharing the same immutable version dirs; branch commits
+    allocate from the same version counter but move only the branch
+    head, and merge is FAST-FORWARD ONLY (a diverged main raises —
+    rebase and replay; main's history is never rewritten). The query
+    proves the three isolation facts at once via its three columns:
+    main DURING the branch work still serves the base snapshot
+    (bal_during = original), the branch serves the experiment
+    (bal_branch = +100), and after the fast-forward main serves the
+    branch head (bal_after_merge = +100). Divergence rejection and
+    vacuum pinning of branch-referenced versions are pytest-pinned."""
+    cust = t(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m14_table_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(cust)
+    table.create_branch("exp")
+    delta = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    table.upsert_branch(spark, "exp", delta, keys=["c_custkey"])
+    during = table.read(spark).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_during")
+    )
+    branch = table.read_branch(spark, "exp").select(
+        "c_custkey", F.col("c_acctbal").alias("bal_branch")
+    )
+    table.merge_branch("exp")
+    after = table.read(spark).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_after_merge")
+    )
+    keys = delta.select("c_custkey")
+    return (
+        during.join(branch, "c_custkey")
+        .join(after, "c_custkey")
+        .join(keys, "c_custkey", "semi")
+    )

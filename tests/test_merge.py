@@ -223,7 +223,11 @@ def test_partitioned_upsert_hardlinks_untouched_partitions(spark, tmp_path):
 def test_crash_during_swap_leaves_table_readable_and_recoverable(spark, tmp_path):
     """A crash after writing a new version dir but BEFORE the pointer
     swap must leave readers on the old version, and the next upsert
-    must recover (overwrite the orphan dir and commit past it)."""
+    must recover by committing PAST the orphan — never by overwriting
+    it: since M14, a dir past the pointer may be a live branch head or
+    an M8 staged version, indistinguishable from a crash orphan, so
+    the allocator (merge.py::_next_version) skips occupied numbers and
+    orphan dirs are left for vacuum/abandon."""
     root = str(tmp_path / "t")
     table = VersionedParquetTable(root)
     table.upsert(spark, make_df(spark, [("a", 1, "v1")]), keys=["k"])
@@ -238,8 +242,10 @@ def test_crash_during_swap_leaves_table_readable_and_recoverable(spark, tmp_path
     assert _rows(table.read(spark)) == {("a", 1, "v1")}
 
     table.upsert(spark, make_df(spark, [("a", 2, "v2")]), keys=["k"])
-    assert table.current_version() == 2
+    assert table.current_version() == 3  # allocated past the orphan
     assert _rows(table.read(spark)) == {("a", 2, "v2")}
+    # The orphan's garbage file was never touched by the recovery.
+    assert os.path.exists(os.path.join(orphan, "part-garbage.parquet"))
 
 
 def test_vacuum_retains_two_versions(spark, tmp_path):
@@ -810,3 +816,50 @@ def test_reconcile_fast_flavor_matches_portable(spark):
         ).collect()
     }
     assert got == want == {(7, "missing"), (11, "changed")}
+
+
+# ---------------------------------------------------------------------------
+# M14: branches (create / write / fast-forward merge / divergence)
+# ---------------------------------------------------------------------------
+
+
+def test_branch_isolated_and_fast_forward_merges(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.upsert(spark, make_df(spark, [("a", 1, "x")]), keys=["k"])
+    table.create_branch("exp")
+    table.upsert_branch(
+        spark, "exp", make_df(spark, [("a", 2, "X"), ("b", 1, "y")]), keys=["k"]
+    )
+    # Main untouched while the branch carries the experiment.
+    assert _rows(table.read(spark)) == {("a", 1, "x")}
+    assert _rows(table.read_branch(spark, "exp")) == {("a", 2, "X"), ("b", 1, "y")}
+    table.merge_branch("exp")
+    assert _rows(table.read(spark)) == {("a", 2, "X"), ("b", 1, "y")}
+    assert table.branches() == []
+
+
+def test_branch_merge_refuses_diverged_main(spark, tmp_path):
+    import pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.upsert(spark, make_df(spark, [("a", 1, "x")]), keys=["k"])
+    table.create_branch("exp")
+    table.upsert_branch(spark, "exp", make_df(spark, [("b", 1, "y")]), keys=["k"])
+    # Main moves past the branch base -> fast-forward must refuse.
+    table.upsert(spark, make_df(spark, [("c", 1, "z")]), keys=["k"])
+    with pytest.raises(RuntimeError, match="diverged"):
+        table.merge_branch("exp")
+    # Branch still readable after the refused merge.
+    assert _rows(table.read_branch(spark, "exp")) == {("a", 1, "x"), ("b", 1, "y")}
+
+
+def test_vacuum_retains_branch_referenced_versions(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.upsert(spark, make_df(spark, [("a", 1, "v1")]), keys=["k"])
+    table.create_branch("exp")  # base = head = v1
+    # Churn main well past the retention window.
+    for i in range(2, 7):
+        table.upsert(spark, make_df(spark, [("a", i, f"v{i}")]), keys=["k"])
+    # v1 would normally be vacuumed (retain=2) — the branch pins it.
+    assert 1 in table.versions()
+    assert _rows(table.read_branch(spark, "exp")) == {("a", 1, "v1")}
