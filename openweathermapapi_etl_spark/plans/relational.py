@@ -3184,3 +3184,44 @@ def b22_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, status string, before_type string, after_type string"
     )
+
+
+# ---------------------------------------------------------------------------
+# B10 continued — join strategy hints (planner override surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b10_shuffle_hash_hint",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b10_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10e: the join-strategy HINT surface — ``hint("shuffle_hash")``
+    overrides the planner's default (customer is small enough that
+    broadcast would otherwise win) and forces a ShuffledHashJoin,
+    plan-pinned in pytest. When this matters at 100 TB: a "small"
+    side that fits the broadcast threshold at planning time but is
+    about to be joined from 10⁴ tasks makes the driver fan out 10⁴
+    broadcast copies — shuffle-hash keeps memory per task bounded by
+    the PARTITION of the build side, the right call when the build
+    side is medium and the probe side is huge; conversely
+    ``hint("merge")`` is the spill-safe choice when BOTH sides
+    overflow memory. Hints override strategy, never semantics — the
+    hash match against the plain-join oracle is the proof."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

@@ -512,3 +512,15 @@ def test_bitmap_rollup_partial_merge_no_cartesian(spark, sf):
     assert "partial_bitmap_or_agg" in s
     assert "partial_sum" in s
     assert "CartesianProduct" not in tree
+
+
+def test_shuffle_hash_hint_overrides_broadcast(spark):
+    """b10_shuffle_hash_hint's contract: the hint forces
+    ShuffledHashJoin where the planner's default for a
+    broadcast-threshold-sized build side is BroadcastHashJoin."""
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    df = QUERIES["b10_shuffle_hash_hint"](spark, SF_DIRS[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
