@@ -871,3 +871,68 @@ def m14_table_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(after, "c_custkey")
         .join(keys, "c_custkey", "semi")
     )
+
+
+# ---------------------------------------------------------------------------
+# M2 continued — SCD2 point-in-time (AS OF event time) read path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m2_point_in_time",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date_s,
+           CASE WHEN c.c_custkey % 6 = 0
+                 AND o.o_orderdate >= TIMESTAMP '1995-06-01'
+                THEN c.c_acctbal + 100 ELSE c.c_acctbal END AS bal_at_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 5 = 1
+    """,
+)
+def m2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2b: the point-in-time join — the READ PATH SCD2 history exists
+    for: each fact row joins the dimension version that was valid AT
+    THE FACT'S OWN TIME (valid_from <= t < valid_to), so a 1994 order
+    sees the 1994 balance and a 1996 order the post-change one —
+    against the LIVE output of scd2_apply, not a fixture: if the merge
+    produced overlapping or gapped validity intervals, facts would
+    duplicate or vanish and the hash would catch it (every fact must
+    match EXACTLY one version). The oracle reconstructs the expected
+    balance arithmetically from the seeded change pattern. Shape: a
+    keyed range join — equality on the business key plus the interval
+    predicate; per-key version counts are small by SCD2's nature, so
+    the range check runs inside hash-join buckets (B14's binning is
+    the escape hatch for pathological per-key history depths)."""
+    from ..operators.merge import scd2_apply
+
+    history, updates = _scd2_inputs(spark, sf_dir)
+    hist = scd2_apply(
+        history,
+        updates,
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        eff_col="eff",
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("valid_from").cast("timestamp").alias("vf"),
+        F.col("valid_to").cast("timestamp").alias("vt"),
+    )
+    facts = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 1
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        facts.join(
+            hist,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("vf"))
+            & (F.col("vt").isNull() | (F.col("o_orderdate") < F.col("vt"))),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_s"),
+            F.col("c_acctbal").alias("bal_at_order"),
+        )
+    )
