@@ -1740,3 +1740,50 @@ def c04_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = pairs.groupBy("pair").agg(F.sum("n").alias("total"))
     return c.orderBy(F.col("total").desc(), "pair").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — dataset fingerprint (reproducibility manifest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_dataset_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
+               coalesce(lang, chr(0)||chr(0)) || chr(31) ||
+               coalesce(source, chr(0)||chr(0))), 1, 15)) AS BIGINT) AS h
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           bit_xor(h) AS corpus_fp
+    FROM fp
+    """,
+)
+def c07_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7s: the dataset fingerprint — one order-insensitive 60-bit
+    checksum (+ row count) over the whole corpus, the line a data
+    card / training run manifest records so "trained on dataset X"
+    is verifiable instead of aspirational: any added, dropped, or
+    edited document flips the XOR; re-sharding, re-ordering, or
+    re-partitioning does not (the layout-insensitivity that makes it
+    comparable across storage migrations — same combiner argument as
+    M10's bucket checksums, collapsed to one bucket because the
+    question is identity, not localization; when it answers "not
+    equal", M10 is the drill-down that says WHERE). Engine-portable
+    md5 rendering (operators/reconcile.py::row_fingerprint), so the
+    consumer of a published dataset can verify the fingerprint in
+    whatever system they load it into — pinned by the DuckDB oracle
+    computing it independently. One map-side-combined aggregate; the
+    fingerprint of 100 TB costs one scan and ships 16 bytes."""
+    from ..operators.reconcile import row_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    h = row_fingerprint(
+        [F.col("doc_id"), F.col("text"), F.col("lang"), F.col("source")]
+    )
+    return d.select(h.alias("h")).agg(
+        F.count("*").alias("n_docs"),
+        F.bit_xor("h").alias("corpus_fp"),
+    )

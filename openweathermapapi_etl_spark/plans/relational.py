@@ -3225,3 +3225,37 @@ def b10_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — boolean aggregates (any / every / count_if)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bool_or(l_discount > 0.05)                    AS any_big_discount,
+           bool_and(l_quantity > 0)                      AS every_positive_qty,
+           CAST(count_if(l_tax = 0) AS BIGINT)           AS n_tax_free,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)   AS n_big_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b16_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16l: the boolean-aggregate family — any()/every()/count_if()
+    as grouped aggregates: the data-quality idiom ("does ANY row
+    violate X", "do ALL rows satisfy Y", "how many hit Z") without
+    the CASE-WHEN-SUM contortion. Three-valued logic rides along for
+    free: NULL predicate rows are ignored by any/every (SQL standard)
+    rather than poisoning the group. Physically identical to any
+    partial+final hash agg — booleans just make the audit read like
+    the question. One scan, one exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("every_positive_qty"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+    )
