@@ -167,7 +167,10 @@ def reconcile(
 
     s_rows = rows(src).alias("sr")
     d_rows = rows(dst).alias("dr")
-    cond = [F.col(f"sr.{k}") == F.col(f"dr.{k}") for k in key_cols]
+    # NULL-safe key equality (same rationale as keyed_upsert): a
+    # NULL-key row present on both sides must classify as equal or
+    # changed, not split into a phantom missing+extra pair.
+    cond = [F.col(f"sr.{k}").eqNullSafe(F.col(f"dr.{k}")) for k in key_cols]
     return (
         s_rows.join(d_rows, cond, "full_outer")
         .select(

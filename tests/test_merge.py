@@ -863,3 +863,14 @@ def test_vacuum_retains_branch_referenced_versions(spark, tmp_path):
     # v1 would normally be vacuumed (retain=2) — the branch pins it.
     assert 1 in table.versions()
     assert _rows(table.read_branch(spark, "exp")) == {("a", 1, "v1")}
+
+
+def test_reconcile_null_keys_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.createDataFrame([(None, 1), (1, 1)], "k int, v int")
+    dst = spark.createDataFrame([(None, 2), (1, 1)], "k int, v int")
+    out = reconcile(src, dst, ["k"], [F.col("v")], 4).collect()
+    assert [(r.k, r.status) for r in out] == [(None, "changed")]
