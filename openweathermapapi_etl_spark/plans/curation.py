@@ -1787,3 +1787,112 @@ def c07_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.bit_xor("h").alias("corpus_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — canonical-document selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle(n_iter: int = 3) -> str:
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    parts = [
+        f"WITH RECURSIVE pairs AS ({pairs_sql}),",
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+               FROM edges GROUP BY src),
+    pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM outdeg)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    pr{i} AS (
+      SELECT e.dst AS node,
+             0.15 + 0.85 * CAST(SUM(CAST(p.pr / o.d AS DECIMAL(38,6)))
+                                AS DOUBLE) AS pr
+      FROM edges e
+      JOIN pr{i-1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst)""")
+    parts.append(f""",
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, p.pr,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY p.pr DESC, c.doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM comp c JOIN pr{n_iter} p ON p.node = c.doc_id)
+    SELECT cluster_id, doc_id AS canonical_doc,
+           pr AS canonical_pagerank, cluster_size
+    FROM ranked WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register("c06_canonical_doc", oracle=_canonical_oracle())
+def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6h: canonical-document selection — dedup that keeps the BEST
+    copy, not the lowest id: per near-dup cluster (C6a components),
+    the representative is the member with the highest PageRank (C6c)
+    — the most-connected copy is the one most other near-dups
+    gravitate to (the canonical-URL heuristic of web dedup, graphified;
+    min-id remains the tie-break so selection is total). One shared
+    LSH pair pass feeds BOTH the components resolver and the power
+    iteration — the graph is built once (eager-checkpointed edges),
+    and the final selection is a cluster-partitioned window over the
+    (doc, cluster, rank) join. Both iterative algorithms are already
+    individually oracle-pinned; this pins their COMPOSITION —
+    cluster assignment and centrality must agree doc-by-doc for the
+    window to pick identical winners."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                (F.col("pr") / F.col("d")).cast(DEC).alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg((0.15 + 0.85 * F.sum("c").cast("double")).alias("pr"))
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    clusters = dedup_clusters(
+        pairs.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"))
+    ).select("doc_id", "cluster_id", "cluster_size")
+    from pyspark.sql import Window as W
+
+    joined = clusters.join(pr, clusters["doc_id"] == pr["node"])
+    w = W.partitionBy("cluster_id").orderBy(F.col("pr").desc(), F.col("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("pr").alias("canonical_pagerank"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -3259,3 +3259,34 @@ def b16_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
         F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B35 continued — posexplode (element position rides along)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b35_posexplode",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ')[1:5] AS arr
+               FROM documents WHERE doc_id % 25 = 0)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[CAST(i AS INTEGER)] AS tok
+    FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM d)
+    """,
+)
+def b35_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35d: posexplode — element position rides along with the
+    flattened value, which is what makes exploded data re-ASSEMBLABLE:
+    order-sensitive consumers (sequence packing C7i, chunking C4j,
+    bigram extraction C4m) all need the position to reconstruct or
+    window over the original order after a shuffle that otherwise
+    destroys it. Row-local fan-out exactly like explode; the position
+    column costs nothing (it's the generator's loop index). Oracle
+    spells it as unnest over an index range — same (doc, pos, tok)
+    triples."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "tok"),
+    )
