@@ -422,3 +422,73 @@ def hamming_band_pairs(
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    w: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003; the MOSS algorithm — public literature): slide a
+    w-wide window over the POSITIONAL shingle-hash sequence and keep
+    each window's minimum. The selection guarantee MinHash cannot
+    give: any shared run of at least w+n-1 tokens between two
+    documents shares at least one selected fingerprint — so matches
+    LOCALIZE (plagiarism/quotation detection), where MinHash only
+    estimates whole-document similarity.
+
+    Spark shape: posexplode the hash sequence → per-document window
+    ``min() OVER (ROWS CURRENT..w-1 FOLLOWING)`` → distinct selected
+    values. Deliberately window-based, NOT a
+    ``transform(sequence, i -> array_min(slice(hs, i, w)))`` lambda:
+    an outer expression inside a higher-order lambda re-evaluates per
+    element (the word_shingles lesson, SCALE.md round-7f) — the
+    window spelling computes the hash array once per row and shuffles
+    on the high-cardinality document id. Returns (id, fp) distinct
+    rows — the join-ready fingerprint table.
+    """
+    hs = shingle_hashes(F.col(text_col), n, portable)
+    rows = df.select(F.col(id_col), F.posexplode(hs).alias("pos", "h"))
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_sh = W.partitionBy(id_col)
+    return (
+        rows.withColumn("_wmin", F.min("h").over(win))
+        .withColumn("_n", F.count("*").over(n_sh))
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select(F.col(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    fps: DataFrame, id_col: str, min_shared: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """(id_a, id_b, n_shared_fps) — document pairs sharing at least
+    ``min_shared`` winnowed fingerprints. Fingerprint-bucketed
+    equi-join (the LSH banding skew discipline applies unchanged:
+    ``max_bucket`` drops boilerplate fingerprints shared by half the
+    corpus before they go quadratic)."""
+    from pyspark.sql import Window as W
+
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    wb = W.partitionBy("fp")
+    a = a.withColumn("_n", F.count("*").over(wb)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

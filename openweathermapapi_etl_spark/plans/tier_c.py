@@ -13,6 +13,8 @@ from ..operators.dedup import (
     _affine_params,
     delta_lsh_candidates,
     exact_dedup,
+    winnow_fingerprints,
+    winnow_match_pairs,
     hamming_band_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -1284,3 +1286,45 @@ def c02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_lsh_candidates(
         c_sigs, d_sigs, "doc_id", k=8, band_size=2, max_bucket=None
     )
+
+
+@register(
+    "c02_winnow_matches",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, {_O_SHINGLES} AS shingles FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(shingles, s -> {_O_HASH.format(s='s')}) AS h
+           FROM sh),
+    r AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 h[CAST(i AS INTEGER)] AS hv, len(h) AS n_sh
+          FROM (SELECT doc_id, h, unnest(range(1, len(h) + 1)) AS i FROM hs)),
+    wm AS (SELECT doc_id, pos, n_sh,
+                  MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                    AS wmin
+           FROM r),
+    fps AS (SELECT DISTINCT doc_id, wmin AS fp
+            FROM wm WHERE pos <= n_sh - 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def c02_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2l: winnowing fingerprint matches (operators/dedup.py::
+    winnow_fingerprints, Schleimer et al. SIGMOD 2003 / MOSS) — the
+    LOCALIZING complement of MinHash: sliding-window minima over the
+    positional shingle-hash sequence guarantee that any shared run of
+    ≥ w+n−1 tokens between two documents shares a selected
+    fingerprint, so quotation/plagiarism overlap is DETECTED, not
+    estimated — and the shared-fingerprint count grades how much is
+    shared. Shape: per-document window min (document-id partitioning,
+    the deliberate non-lambda spelling — SCALE.md round-7f), distinct
+    fingerprint table, fingerprint-bucketed pair join with the LSH
+    boilerplate cap. Pairs with ≥ 2 shared fingerprints returned."""
+    d = t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", n=3, w=4, portable=True)
+    return winnow_match_pairs(fps, "doc_id", min_shared=2)

@@ -158,3 +158,31 @@ def test_delta_lsh_corpus_side_bucket_cap(spark):
     assert uncapped.count() == 10  # delta doc matches every boiler copy
     capped = delta_lsh_candidates(cs, ds, "doc_id", max_bucket=5)
     assert capped.count() == 0  # the oversized bucket is dropped wholesale
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing selection guarantee (Schleimer et al.): two
+    documents sharing a token run of length >= w+n-1 must share at
+    least one selected fingerprint."""
+    from pyspark.sql import Row
+
+    from openweathermapapi_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= w+n-1 = 6
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {shared} four five six"),
+            Row(doc_id=2, text=f"seven eight {shared} nine ten eleven"),
+            Row(doc_id=3, text="totally different words in this document here"),
+        ]
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", n=3, w=4)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_match_pairs(fps, "doc_id", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
