@@ -451,3 +451,62 @@ def b24_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("seasonal_mean")).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B24 continued — run-length collapse of consecutive equal states
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_state_runs",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, ts
+               FROM {_EV}
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged)
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           strftime(MIN(ts), '{_FMT_US}') AS run_start,
+           strftime(MAX(ts), '{_FMT_US}') AS run_end,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM numbered GROUP BY user_id, run_id, event_type
+    """,
+)
+def b24_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24l: run-length collapse — consecutive SAME-state events per
+    user fold into one run row (state, start, end, length): the
+    telemetry compression/audit primitive ("how long did each state
+    last, and how often does it flap?") and the value-equality twin of
+    B64's integer islands. lag()-change flag + running sum = run ids
+    in ONE user-partitioned window pass (IS DISTINCT FROM so NULL
+    states form runs too, not per-row fragments); the groupBy then
+    rides the same partitioning. Run boundaries are deterministic via
+    the (ts, event_id) total order."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "run_id", "event_type").agg(
+        F.date_format(F.min("ts"), _SPARK_FMT_US).alias("run_start"),
+        F.date_format(F.max("ts"), _SPARK_FMT_US).alias("run_end"),
+        F.count("*").alias("run_len"),
+    )
