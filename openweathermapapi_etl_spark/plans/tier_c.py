@@ -49,6 +49,7 @@ from ..operators.text import (
     punct_ratio,
     quality_score,
     stopword_hits,
+    token_chunks,
     tokens,
 )
 from .registry import register
@@ -1328,3 +1329,113 @@ def c02_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, "text", "doc_id", n=3, w=4, portable=True)
     return winnow_match_pairs(fps, "doc_id", min_shared=2)
+
+
+@register(
+    "c05_interleaved_pack",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST((i - 1) // 32 AS BIGINT) AS chunk_no,
+             md5(array_to_string(tk[CAST(i AS INTEGER):CAST(i + 31 AS INTEGER)],
+                                 ' ')) AS content_ref
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk), 32)) AS i
+            FROM toks WHERE len(tk) > 0)),
+    n_img AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents WHERE doc_id % 5 = 0),
+    img_meta AS (SELECT doc_id AS img_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                 FROM documents WHERE doc_id % 5 = 0),
+    trows AS (SELECT doc_id, chunk_no, 0 AS ord, 'text' AS kind,
+                     content_ref, CAST(NULL AS BIGINT) AS img_bytes
+              FROM chunks),
+    irows AS (SELECT c.doc_id, c.chunk_no, 1 AS ord, 'image' AS kind,
+                     CAST(m.img_id AS VARCHAR) AS content_ref, m.n_bytes
+                       AS img_bytes
+              FROM chunks c CROSS JOIN n_img
+              JOIN img_meta m
+                ON m.img_id = 5 * ((c.doc_id + 13 * c.chunk_no) % n_img.n)
+              WHERE (c.doc_id + c.chunk_no) % 4 = 0),
+    allrows AS (SELECT * FROM trows UNION ALL SELECT * FROM irows)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY chunk_no, ord) - 1 AS BIGINT)
+             AS seq_pos,
+           kind, content_ref, img_bytes
+    FROM allrows
+    """,
+)
+def c05_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5j: interleaved multimodal training records (the MMC4/
+    Flamingo-style data shape — public literature): each document's
+    text is chunked (32-token windows, row-local array arithmetic)
+    and IMAGE references are spliced between chunks by a deterministic
+    placement rule, yielding per-document sequences of
+    (position, kind, content) rows — the storage layout an
+    interleaved image-text pretraining loader consumes. The image
+    catalog is the C5 binary corpus (every 5th doc's payload; real
+    decode stubs per C5's contract); references resolve through a
+    BROADCAST of the (image_id → byte-size) metadata — payload bytes
+    never join, only their metadata, the C5 pushdown discipline.
+    Sequence positions come from one doc-partitioned window over the
+    unioned rows. Text chunks travel as md5 references (the driver
+    canonicalization rule) — a loader dereferences both kinds by id,
+    which is exactly how production interleave formats store them."""
+    d = t(spark, sf_dir, "documents")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(token_chunks(tokens("text"), 32, 32)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").cast("long").alias("chunk_no"),
+            F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("content_ref"),
+        )
+    )
+    n_img = d.filter(F.col("doc_id") % 5 == 0).agg(
+        F.count("*").alias("n")
+    )
+    img_meta = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("img_id"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    trows = chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.lit(0).alias("ord"),
+        F.lit("text").alias("kind"),
+        "content_ref",
+        F.lit(None).cast("long").alias("img_bytes"),
+    )
+    irows = (
+        chunks.filter((F.col("doc_id") + F.col("chunk_no")) % 4 == 0)
+        .crossJoin(F.broadcast(n_img))
+        .withColumn(
+            "img_id",
+            5 * F.pmod(F.col("doc_id") + 13 * F.col("chunk_no"), F.col("n")),
+        )
+        .join(F.broadcast(img_meta), "img_id")
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.lit(1).alias("ord"),
+            F.lit("image").alias("kind"),
+            F.col("img_id").cast("string").alias("content_ref"),
+            F.col("n_bytes").alias("img_bytes"),
+        )
+    )
+    allrows = trows.unionByName(irows)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("chunk_no", "ord")
+    return allrows.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("seq_pos"),
+        "kind",
+        "content_ref",
+        "img_bytes",
+    )
