@@ -936,3 +936,85 @@ def m2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("bal_at_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M15 — CDC-driven aggregate maintenance (retraction semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m15_cdc_agg_maintenance",
+    oracle="""
+    WITH final AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 100 = 11 THEN o_totalprice + 500
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 100 <> 7
+      UNION ALL
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 13)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM final GROUP BY o_custkey
+    """,
+)
+def m15_cdc_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: aggregate maintenance from a CDC CHANGELOG — M4 extended
+    from insert-only deltas to the full I/U/D stream (the Flink
+    retraction model, applied batch-side): deletes contribute
+    (−1, −value), updates retract the old and assert the new
+    ((−1,−old) ⊕ (+1,+new)), inserts add (+1, +new); the per-group
+    delta folds into the materialized base with one keyed full-outer
+    merge of partial states, and groups whose count reaches zero drop
+    out. Counts and decimal sums are abelian-group state (invertible,
+    not just additive) — that invertibility is exactly what makes
+    DELETE maintainable without recompute; MIN/MAX are not invertible
+    and need M4's recompute-the-partition fallback or sketch state.
+    The oracle recomputes from the reconstructed final table: base ⊕
+    changelog ≡ recompute, hash-checked. At 100 TB the changelog is
+    delta-sized and the merge touches only changed groups."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dec = "decimal(38,6)"
+    base = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_b"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("tp_b"),
+    )
+    k = F.col("o_orderkey") % 100
+    p = F.col("o_totalprice").cast(dec)
+    dels = orders.filter(k == 7).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-p).alias("dtp")
+    )
+    upd_old = orders.filter(k == 11).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-p).alias("dtp")
+    )
+    upd_new = orders.filter(k == 11).select(
+        "o_custkey",
+        F.lit(1).alias("dn"),
+        (F.col("o_totalprice") + 500).cast(dec).alias("dtp"),
+    )
+    ins = orders.filter(k == 13).select(
+        "o_custkey", F.lit(1).alias("dn"), p.alias("dtp")
+    )
+    delta = (
+        dels.unionByName(upd_old).unionByName(upd_new).unionByName(ins)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_d"), F.sum("dtp").alias("tp_d"))
+    )
+    zero = F.lit(0).cast(dec)
+    merged = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            + F.coalesce(F.col("n_d"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("tp_b"), zero) + F.coalesce(F.col("tp_d"), zero)
+        ).alias("tp"),
+    )
+    return merged.filter(F.col("n_orders") > 0).select(
+        "o_custkey",
+        "n_orders",
+        F.col("tp").cast("double").alias("total_price"),
+    )

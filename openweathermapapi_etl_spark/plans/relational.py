@@ -3290,3 +3290,42 @@ def b35_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B71 — global temp views (cross-session catalog surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b71_global_temp_view",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def b71_global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B71: GLOBAL temp views — the catalog tier between session temp
+    views (die with the session) and persistent tables (need a
+    warehouse dir): registered under the reserved ``global_temp``
+    database, they are visible to EVERY SparkSession sharing the
+    application (the notebook/job-server pattern: one session
+    registers the curated view, sibling sessions query it by
+    qualified name). The query registers the joined view in one
+    "producer" session and reads it back through a NEWLY created
+    sibling session via ``global_temp.<name>`` — the cross-session
+    read is the thing being proven (pytest additionally pins that a
+    plain temp view is NOT visible across the same boundary). Purely
+    a catalog surface: the plan under the view is the same broadcast
+    join + agg the oracle describes."""
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    joined.createOrReplaceGlobalTempView("b71_region_rollup")
+    sibling = spark.newSession()
+    return sibling.table("global_temp.b71_region_rollup")

@@ -158,3 +158,14 @@ def test_cached_agg_plan_reads_from_cache(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryRelation" in plan, plan
     spark.catalog.uncacheTable("b67_cached_cust")
+
+
+def test_session_temp_view_not_visible_across_sessions(spark):
+    """b71's negative contract: a SESSION temp view does not cross the
+    session boundary (that isolation is why global_temp exists)."""
+    import pytest
+
+    spark.range(3).createOrReplaceTempView("b71_session_only")
+    sibling = spark.newSession()
+    with pytest.raises(Exception, match="b71_session_only"):
+        sibling.table("b71_session_only").collect()
