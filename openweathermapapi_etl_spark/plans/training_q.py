@@ -1250,3 +1250,98 @@ def c03_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_query(
         cent2, inv2, queries, "vec_id", "embedding", k=5, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — 1-bit binary quantization + Hamming top-k
+# ---------------------------------------------------------------------------
+
+def _bq_word(base: int) -> F.Column:
+    # OR of sign bits for dims [base+1, base+32] — 32 bits per word
+    # (two words per 64-dim vector) so neither engine's BIGINT shift
+    # can overflow (DuckDB errors on 1<<63). Unrolled with Python-side
+    # bit constants: 32 flat when() terms stay inside whole-stage
+    # codegen, and no higher-order lambda means no per-element
+    # re-evaluation hazard (SCALE.md round-7f).
+    from functools import reduce
+
+    terms = [
+        F.when(
+            F.element_at("embedding", base + j + 1) > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def _o_bq_word(base: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, 32), i -> "
+        f"CASE WHEN e[i + {base}] > 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END), (a, b) -> a | b)"
+    )
+
+
+@register(
+    "c03_bq_hamming_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, {_o_bq_word(0)} AS w0, {_o_bq_word(32)} AS w1
+      FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+    q AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, hamming FROM (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored) r
+    WHERE rank <= 5
+    """,
+)
+def c03_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3o: 1-bit binary quantization — the most aggressive member of
+    the quantization family (SQ8 C3i: 8 bits/dim; PQ C3f: ~1
+    byte/subspace; BQ: 1 BIT/dim — a 64-dim float vector becomes two
+    64-bit... here two 32-bit words, 64× smaller than float32), with
+    search by HAMMING distance: bit_count(xor) per word pair, a
+    couple of CPU instructions per candidate — the re-rank-funnel
+    front end modern vector stores ship (RaBitQ/BQ — public
+    literature) where BQ prunes millions of candidates and an exact
+    scorer (C3's cosine) re-ranks the survivors. Codes pack row-local
+    via a fold of sign bits (32 per word so neither engine's BIGINT
+    shift overflows); the whole index is codes only — vectors are
+    never touched after encoding. Ties (equal Hamming — common at 64
+    bits) break on neighbor id, bit-identical across engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", _bq_word(0).alias("w0"), _bq_word(32).alias("w1")
+    )
+    q = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    )
