@@ -3329,3 +3329,47 @@ def b71_global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined.createOrReplaceGlobalTempView("b71_region_rollup")
     sibling = spark.newSession()
     return sibling.table("global_temp.b71_region_rollup")
+
+
+# ---------------------------------------------------------------------------
+# B9 continued — TRY_* error-safe arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b09_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
+                               / CAST(l_quantity AS DECIMAL(38,6))
+                               AS DECIMAL(38,6)) AS VARCHAR)
+                END AS unit_price_dec
+    FROM lineitem WHERE l_orderkey % 200 = 3
+    """,
+)
+def b09_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9c: TRY_*-family error-safe arithmetic under ANSI mode — the
+    engine runs ANSI (a division by zero is an ERROR, the posture
+    that catches bugs), and ``try_divide`` is the per-expression
+    opt-out: NULL instead of abort for the rows where a zero
+    denominator is DATA, not a bug (here: zero-discount lines).
+    Without it, ANSI pipelines grow `CASE WHEN d = 0` guards around
+    every division — try_divide is that guard, evaluated once,
+    fused into codegen. Double division: NULL-on-zero (oracle spells
+    the CASE); decimal division likewise, with the result quantized
+    back to DECIMAL(38,6) on both engines (decimal-division scale
+    rules differ between engines — the explicit re-cast makes the
+    rendered values identical)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 3)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
+        F.try_divide(
+            F.col("l_extendedprice").cast("decimal(38,6)"),
+            F.col("l_quantity").cast("decimal(38,6)"),
+        ).cast("decimal(38,6)").cast("string").alias("unit_price_dec"),
+    )

@@ -1345,3 +1345,126 @@ def c03_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "hamming")
     )
+
+
+@register(
+    "c03_bq_rerank_funnel",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, {_o_bq_word(0)} AS w0, {_o_bq_word(32)} AS w1
+      FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+    q AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+    ham AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS hr
+        FROM ham) h WHERE hr <= 25),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+      FROM embeddings),
+    exact AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+             list_reduce(
+               list_transform(generate_series(1, len(qe.embedding)),
+                 i -> CAST(qe.embedding[i] AS DOUBLE)
+                      * CAST(ce.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (nq.nrm * nc.nrm) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      JOIN norms nq ON nq.vec_id = cand.query_id
+      JOIN norms nc ON nc.vec_id = cand.neighbor_id)
+    SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM exact) r
+    WHERE rank <= 5
+    """,
+)
+def c03_bq_rerank_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3p: the BQ→exact RERANK FUNNEL — how 1-bit codes are actually
+    deployed: Hamming over the bit codes prunes the corpus to a
+    25-candidate shortlist per query (a couple of instructions per
+    candidate, codes-only — the full vectors never enter the wide
+    scan), then EXACT cosine re-ranks only the shortlist to a final
+    top-5. The expensive scorer runs on |Q|×25 pairs instead of
+    |Q|×|corpus| — the two-tier cost structure every production
+    vector store uses (coarse cheap filter, exact narrow rerank), and
+    the funnel analog of C2's LSH-candidates→verify discipline on the
+    text side. Vectors re-attach to the shortlist by id join
+    (broadcast — the shortlist is query-count-sized); ranks and
+    values hash-match the oracle running the identical two stages."""
+    emb = t(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", _bq_word(0).alias("w0"), _bq_word(32).alias("w1")
+    )
+    q = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    ham = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= 25)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        norm_fold(F.col("embedding")).alias("nrm"),
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
