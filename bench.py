@@ -126,6 +126,13 @@ BENCH_QUERIES = [
     "c02_incremental_neardup",
     "c02_cross_corpus_overlap",
     "c03_ivf_persist",
+    # Round-7h additions: the winnowing window-min + fingerprint join
+    # (the localizing dedup pattern), the BQ Hamming+rerank funnel
+    # (two-tier vector search), and CDC aggregate maintenance
+    # (retraction-fold + keyed state merge).
+    "c02_winnow_matches",
+    "c03_bq_rerank_funnel",
+    "m15_cdc_agg_maintenance",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be
