@@ -26,6 +26,8 @@ from ..operators.sampling import (
 )
 from ..operators.similarity import label_centroids, semdedup
 from ..operators.text import (
+    lang_id,
+    token_chunks,
     EMAIL_RE,
     contamination_flags,
     PHONE_RE,
@@ -1895,4 +1897,66 @@ def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pr").alias("canonical_pagerank"),
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — code-switch detection (per-chunk language ID)
+# ---------------------------------------------------------------------------
+
+
+def _code_switch_oracle() -> str:
+    lid = _o_langid_expr()
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk0
+                  FROM documents),
+    dl AS (SELECT doc_id, {lid} AS doc_lang
+           FROM (SELECT doc_id, tk0 AS tk FROM toks)),
+    chunks AS (
+      SELECT doc_id,
+             tk0[CAST(i AS INTEGER):CAST(i + 15 AS INTEGER)] AS tk
+      FROM (SELECT doc_id, tk0,
+                   unnest(generate_series(1, len(tk0), 16)) AS i
+            FROM toks WHERE len(tk0) > 0)),
+    chl AS (SELECT doc_id, {lid} AS chunk_lang FROM chunks)
+    SELECT c.doc_id, d.doc_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(SUM(CASE WHEN chunk_lang <> d.doc_lang
+                                   AND chunk_lang <> 'und' THEN 1 END), 0)
+                AS BIGINT) AS n_divergent,
+           CAST(COALESCE(SUM(CASE WHEN chunk_lang <> d.doc_lang
+                                   AND chunk_lang <> 'und' THEN 1 END), 0)
+                AS DOUBLE) / COUNT(*) AS switch_frac
+    FROM chl c JOIN dl d ON d.doc_id = c.doc_id
+    GROUP BY c.doc_id, d.doc_lang
+    """
+
+
+@register("c04_code_switch", oracle=_code_switch_oracle())
+def c04_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4q: code-switch detection — language-ID per 16-token CHUNK vs
+    the whole-document verdict: a document whose chunks disagree with
+    its own label is mixed-language (embedded quotes, boilerplate in
+    another language, concatenation artifacts) — exactly the rows a
+    per-document language filter silently mislabels, and the reason
+    multilingual curation pipelines score segments, not documents.
+    Both granularities reuse the SAME row-local heuristic
+    (operators/text.py::lang_id) over the chunk arrays — chunking and
+    scoring are one scan-speed pass, the only shuffle is the per-doc
+    rollup. 'und' chunks (no stopword hits — too short to vote) are
+    not counted as divergent."""
+    d = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    ch = d.select(
+        "doc_id",
+        lang_id(tok).alias("doc_lang"),
+        F.explode(token_chunks(tok, 16, 16)).alias("c"),
+    ).withColumn("chunk_lang", lang_id(F.col("c.toks")))
+    div = (F.col("chunk_lang") != F.col("doc_lang")) & (
+        F.col("chunk_lang") != "und"
+    )
+    return ch.groupBy("doc_id", "doc_lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(div).alias("n_divergent"),
+        (F.count_if(div).cast("double") / F.count("*")).alias("switch_frac"),
     )
