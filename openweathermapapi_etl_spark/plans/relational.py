@@ -3373,3 +3373,55 @@ def b09_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("decimal(38,6)"),
         ).cast("decimal(38,6)").cast("string").alias("unit_price_dec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B4 continued — dynamic partition overwrite (native INSERT OVERWRITE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b04_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 4
+    """,
+)
+def b04_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4e: DYNAMIC partition overwrite — the native write mode behind
+    every partitioned backfill: ``mode("overwrite")`` with
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the partitions
+    the incoming frame contains and leaves every other partition's
+    files untouched; STATIC mode (the default!) would silently TRUNCATE
+    the whole table first — the classic partitioned-table data-loss
+    footgun, which is why the conf is set per-write here, not
+    globally assumed. The fixture seeds a status-partitioned table,
+    rewrites just the 'P' partition (+100000), and returns the full
+    read-back: the oracle's CASE proves 'P' changed and nothing else
+    did. This is the native-writer sibling of the versioned table's
+    hard-link partition reuse (M1p) — same O(touched partitions)
+    contract, storage-format-level instead of pointer-level."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 4)
+    slim = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b04e_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    slim.write.partitionBy("o_orderstatus").parquet(root)
+    patch = slim.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(root)
+    )
+    back = spark.read.parquet(root)
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string"),
+        "o_totalprice",
+    )
