@@ -3425,3 +3425,45 @@ def b04_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("o_orderstatus").cast("string"),
         "o_totalprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# B33 continued — calendar arithmetic battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b33_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS age_days,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus_3m,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q
+    FROM orders WHERE o_orderkey % 40 = 5
+    """,
+)
+def b33_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33b: the calendar-arithmetic battery — day deltas, month-end
+    snapping, month addition, quarter extraction: the four operations
+    every fiscal/retention report leans on, each with a calendar
+    subtlety worth pinning cross-engine (month addition CLAMPS at
+    month ends — Jan 31 + 3 months = Apr 30 — and both engines must
+    agree on the clamp; last_day respects leap years; quarter
+    boundaries are calendar, not 91-day, quarters). All row-local,
+    scan-speed; rendered as date strings so the comparison is
+    calendar-exact, not epoch-approximate."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 5)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.quarter(d).alias("q"),
+    )
