@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "c02_winnow_matches",
     "c03_bq_rerank_funnel",
     "m15_cdc_agg_maintenance",
+    # Round-7i additions: the prefix-dim MRL funnel (narrow coarse scan
+    # + id-join rerank — the float sibling of the BQ funnel) and DSIR
+    # importance scoring (double corpus explode + 64-row broadcast LM
+    # join — the importance-resampling selection pattern).
+    "c03_mrl_rerank_funnel",
+    "c04_dsir_importance",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -26,6 +26,7 @@ from ..operators.sampling import (
 )
 from ..operators.similarity import label_centroids, semdedup
 from ..operators.text import (
+    char_fold_hash,
     lang_id,
     token_chunks,
     EMAIL_RE,
@@ -1959,4 +1960,208 @@ def c04_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.count_if(div).alias("n_divergent"),
         (F.count_if(div).cast("double") / F.count("*")).alias("switch_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — Gopher rule battery, blocklist filter, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_gopher_rules",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+                  FROM documents)
+    SELECT doc_id,
+           len(tk) BETWEEN 20 AND 80 AS r_wordcount,
+           CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+               BETWEEN 3.0 AND 5.0 AS r_meanlen,
+           CAST(len(list_filter(tk, x -> length(x) >= 3)) AS DOUBLE)
+               / len(tk) >= 0.9 AS r_shortword,
+           len(list_filter(tk, x -> x IN ('the', 'a'))) >= 2 AS r_stopword,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.45
+               AS r_diversity,
+           (len(tk) BETWEEN 20 AND 80)
+             AND (CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                  BETWEEN 3.0 AND 5.0)
+             AND (CAST(len(list_filter(tk, x -> length(x) >= 3)) AS DOUBLE)
+                  / len(tk) >= 0.9)
+             AND (len(list_filter(tk, x -> x IN ('the', 'a'))) >= 2)
+             AND (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.45)
+               AS keep
+    FROM toks
+    """,
+)
+def c04_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4r: the GOPHER quality-rule battery (Rae et al. 2021, §A1.1 —
+    public heuristics) as one row-local pass: word-count band, mean
+    word length band, short-word fraction, stopword floor, and lexical
+    diversity, each emitted as its OWN flag plus the ANDed verdict —
+    per-rule flags are what a curation pipeline actually tunes on (a
+    threshold sweep needs to know WHICH rule rejected, not just that
+    one did; the published battery logs rule attribution for the same
+    reason). Thresholds here are adapted to the synthetic corpus so
+    every rule has signal at test SF; production swaps the constants.
+
+    Scale shape: zero shuffles — five higher-order-function
+    expressions over the token array, whole-stage-codegen'd, one scan
+    of the corpus. The tokenization is shared across all five rules by
+    Catalyst's common-subexpression elimination (one `split` per row,
+    not five). Contrast c04_quality_score (the 3-signal scalar
+    score): same scan cost, but a single opaque number — this battery
+    is the tunable per-rule form."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n = F.size(tk)
+    mean_len = (F.length("text") - (n - 1)) / n
+    short_frac = (
+        F.size(F.filter(tk, lambda x: F.length(x) >= 3)).cast("double") / n
+    )
+    stop_hits = F.size(F.filter(tk, lambda x: x.isin("the", "a")))
+    diversity = F.size(F.array_distinct(tk)).cast("double") / n
+    r1 = (n >= 20) & (n <= 80)
+    r2 = (mean_len >= 3.0) & (mean_len <= 5.0)
+    r3 = short_frac >= 0.9
+    r4 = stop_hits >= 2
+    r5 = diversity >= 0.45
+    return d.select(
+        "doc_id",
+        r1.alias("r_wordcount"),
+        r2.alias("r_meanlen"),
+        r3.alias("r_shortword"),
+        r4.alias("r_stopword"),
+        r5.alias("r_diversity"),
+        (r1 & r2 & r3 & r4 & r5).alias("keep"),
+    )
+
+
+#: Blocklist for c04_blocklist_hits — tiny and literal so the oracle
+#: inlines it; production loads a table and broadcasts it the same way.
+_BLOCKLIST = ["slow", "dup", "big"]
+
+
+@register(
+    "c04_blocklist_hits",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> x IN ({", ".join("'" + w + "'" for w in _BLOCKLIST)}))
+                 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT)                 AS n_hits,
+           CAST(len(list_distinct(h)) AS BIGINT)  AS n_terms,
+           len(h) >= 6                            AS blocked
+    FROM toks
+    """,
+)
+def c04_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4s: blocklist term matching — the ban-term / spam-phrase filter
+    every curation pipeline runs: count per-document occurrences of a
+    blocklisted vocabulary and flag documents whose hit count crosses
+    a threshold (count, not boolean contains — one incidental mention
+    is not a spam page; blocklist filters threshold on density).
+
+    Scale shape: tokenize → explode → BROADCAST hash join against the
+    blocklist → doc-keyed count. One corpus-sized shuffle (the per-doc
+    rollup), and the match itself is a map-side hash probe per token —
+    at 10k+ blocklist terms this beats the rlike/LIKE alternative
+    (one regex alternation scan per term list change, no pushdown) and
+    stays O(tokens), not O(tokens x terms). The left join back to the
+    doc spine keeps zero-hit documents in the output (a filter stage
+    must emit a verdict for EVERY row, not just matches)."""
+    d = t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "term string")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    hits = (
+        tok.join(F.broadcast(bl), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("h_n"),
+            F.count_distinct("term").alias("h_t"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("h_n", F.lit(0)).alias("n_hits"),
+            F.coalesce("h_t", F.lit(0)).alias("n_terms"),
+            (F.coalesce("h_n", F.lit(0)) >= 6).alias("blocked"),
+        )
+    )
+
+
+@register(
+    "c04_dsir_importance",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tok2 AS (SELECT doc_id, lang, token,
+                    {_O_HASH.format(s='token')} % 64 AS bucket
+             FROM tok WHERE token <> ''),
+    lm AS (SELECT bucket,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t,
+                  SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cnt_s
+           FROM tok2 GROUP BY bucket),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(LENGTH(CAST(lm.cnt_t + 1 AS VARCHAR)) - 1 AS BIGINT)
+             - CAST(LENGTH(CAST(lm.cnt_s + 1 AS VARCHAR)) - 1 AS BIGINT) AS s
+      FROM tok2 t JOIN lm USING (bucket))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT)   AS dsir_score,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def c04_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4t: DSIR importance weighting (Xie et al. 2023, public) — score
+    each document by how much more it looks like a TARGET domain than
+    the background corpus, via hashed-unigram LM ratios: tokens hash
+    into 64 buckets, target ('en' docs here) and source bucket counts
+    become two tiny LMs, and a document's weight is the sum over its
+    tokens of log p_target(bucket) - log p_source(bucket). High-weight
+    documents are what importance RESAMPLING then upsamples
+    (c07_weighted_sample takes this column directly).
+
+    The log is decade-quantized (floor(log10(cnt+1)) via digit count —
+    an integer) so the per-doc sum is exact integer arithmetic and
+    hash-parity holds across engines; production swaps true ln() and
+    a 10k-bucket hash space — the plan is identical. Scale shape: one
+    corpus explode → bucket-keyed count (64x2 cells — the shuffle
+    carries bucket ids, not tokens); scoring pass re-explodes and
+    joins the 64-row LM BROADCAST (map-side), then one doc-keyed sum.
+    Two corpus passes, no skew (bucket cardinality is fixed by
+    construction, the zipf head spreads by hash)."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn(
+            "bucket", F.pmod(char_fold_hash(F.col("token")), F.lit(64))
+        )
+    )
+    lm = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("cnt_s"),
+    )
+
+    def decade(c: F.Column) -> F.Column:
+        return (F.length((c + F.lit(1)).cast("string")) - 1).cast("bigint")
+
+    scored = tok.join(F.broadcast(lm), "bucket").withColumn(
+        "s", decade(F.col("cnt_t")) - decade(F.col("cnt_s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("s").alias("dsir_score"),
+        (F.sum("s").cast("double") / F.count("*")).alias("mean_score"),
     )

@@ -1468,3 +1468,143 @@ def c03_bq_rerank_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — Matryoshka (prefix-dimension) rerank funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_mrl_rerank_funnel",
+    oracle="""
+    WITH pre AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS pn
+      FROM embeddings),
+    q AS (SELECT * FROM pre WHERE vec_id % 50 = 0),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+               (a, b) -> a + b) / (q.pn * c.pn) AS coarse
+      FROM q JOIN pre c ON q.vec_id <> c.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY coarse DESC, neighbor_id) AS cr
+        FROM coarse) c WHERE cr <= 25),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+      FROM embeddings),
+    exact AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_reduce(
+               list_transform(generate_series(1, len(qe.embedding)),
+                 i -> CAST(qe.embedding[i] AS DOUBLE)
+                      * CAST(ce.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (nq.nrm * nc.nrm) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      JOIN norms nq ON nq.vec_id = cand.query_id
+      JOIN norms nc ON nc.vec_id = cand.neighbor_id)
+    SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM exact) r
+    WHERE rank <= 5
+    """,
+)
+def c03_mrl_rerank_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3q: the MATRYOSHKA rerank funnel (Kusupati et al. 2022, public
+    MRL) — the float-precision sibling of c03_bq_rerank_funnel's 1-bit
+    funnel: MRL-trained embeddings front-load information into the
+    dimension PREFIX, so the coarse tier scores cosine over just the
+    first 16 of 64 dims (4x less flops and 4x less scan width per
+    candidate), shortlists 25 per query, and the full-dimension exact
+    cosine reranks only the shortlist to a final top-5. Same two-tier
+    cost structure as every production funnel — cheap wide filter,
+    exact narrow rerank — but the coarse tier here is a TRUNCATION of
+    the same vector rather than a separate code, so no second index
+    artifact exists to build, store, or drift out of sync.
+
+    Scale shape: the coarse scan projects `slice(embedding, 1, 16)`
+    BEFORE the broadcast-join with the query set — the corpus side of
+    the wide pairwise stage carries 16 floats, never 64; full vectors
+    re-attach by id join only for the |Q|x25 shortlist. Prefix norms
+    are precomputed once per vector (O(n*16), not O(pairs*16)). The
+    oracle runs the identical two stages; identical IEEE folds make
+    shortlist membership, ranks, and values hash-match exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    pre = emb.select(
+        "vec_id",
+        F.slice("embedding", 1, 16).alias("pe"),
+    ).withColumn("pn", norm_fold(F.col("pe")))
+    q = pre.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pe").alias("qpe"),
+        F.col("pn").alias("qpn"),
+    )
+    coarse = (
+        pre.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qpe"), F.col("pe"), F.col("qpn"), F.col("pn")
+            ).alias("coarse"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= 25)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
