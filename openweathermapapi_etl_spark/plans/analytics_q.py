@@ -28,7 +28,8 @@ from ..operators.setsim import setsim_join
 from ..operators.spatial import grid_radius_join, hash_coord
 from .registry import register
 from .tier_c import _O_SHINGLES, _lsh_oracle
-from .util import t
+from ..operators.text import bpe_token_count, tokens
+from .util import davg, t
 
 # ---------------------------------------------------------------------------
 # C2 continued — EXACT set-similarity self-join (prefix filtering)
@@ -443,4 +444,186 @@ def b66_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_near.s_suppkey").alias("nearest_suppkey"),
             F.col("_near.dist2").alias("nearest_d2"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22 continued — distribution drift audit (PSI-style, exact-arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b22_drift_audit",
+    oracle="""
+    WITH bucketed AS (
+      SELECT LEAST(9, FLOOR(o_totalprice / 50000)) AS bucket,
+             o_orderdate < TIMESTAMP '1998-01-01' AS is_before
+      FROM orders),
+    cells AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_before THEN 1 ELSE 0 END) AS n_before,
+             SUM(CASE WHEN NOT is_before THEN 1 ELSE 0 END) AS n_after
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT SUM(n_before) AS t_before, SUM(n_after) AS t_after
+            FROM cells)
+    SELECT CAST(bucket AS BIGINT)  AS bucket,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT)  AS n_after,
+           CAST(n_before AS DOUBLE) / t_before AS p_before,
+           CAST(n_after AS DOUBLE) / t_after   AS p_after,
+           ABS(CAST(n_before AS DOUBLE) / t_before
+               - CAST(n_after AS DOUBLE) / t_after) AS drift,
+           ABS(CAST(n_before AS DOUBLE) / t_before
+               - CAST(n_after AS DOUBLE) / t_after) > 0.005 AS flagged
+    FROM cells, tot
+    """,
+)
+def b22_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22d: distribution DRIFT audit — compare the value distribution
+    of a metric between two time slices (here order totalprice before
+    vs after a cutoff date, 10 fixed-width bins) and flag bins whose
+    population share moved more than a threshold. This is the
+    training/serving-skew and data-freshness check every production
+    table gets before a model retrain: PSI's binning and share-delta
+    structure, with L1 share distance instead of the ln-ratio term so
+    the audit is EXACT integer-then-one-division arithmetic (libm ln
+    differs in the last ulp across engines; the bin layout and
+    flagging logic — the actionable part — are identical, and a
+    production variant adds the ln factor back on one engine).
+
+    Scale shape: one corpus scan → bucket-keyed count (20 cells), then
+    the slice totals re-attach via a broadcast 1-row cross join — the
+    corpus shuffles ONCE on a 10-value key; everything after is
+    cell-count-sized. No window over the full table, no second scan."""
+    orders = t(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000)).alias(
+            "bucket"
+        ),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias(
+            "is_before"
+        ),
+    )
+    cells = bucketed.groupBy("bucket").agg(
+        F.count_if(F.col("is_before")).alias("n_before"),
+        F.count_if(~F.col("is_before")).alias("n_after"),
+    )
+    tot = cells.agg(
+        F.sum("n_before").alias("t_before"), F.sum("n_after").alias("t_after")
+    )
+    p_b = F.col("n_before").cast("double") / F.col("t_before")
+    p_a = F.col("n_after").cast("double") / F.col("t_after")
+    drift = F.abs(p_b - p_a)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        p_b.alias("p_before"),
+        p_a.alias("p_after"),
+        drift.alias("drift"),
+        (drift > 0.005).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_k_anonymity",
+    oracle="""
+    WITH quasi AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 64) AS BIGINT) AS size_bucket
+      FROM documents),
+    groups AS (
+      SELECT lang, size_bucket, CAST(COUNT(*) AS BIGINT) AS k
+      FROM quasi GROUP BY lang, size_bucket)
+    SELECT q.doc_id, q.lang, q.size_bucket, g.k, g.k < 5 AS at_risk
+    FROM quasi q JOIN groups g USING (lang, size_bucket)
+    """,
+)
+def c04_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4u: k-ANONYMITY audit — for each document, the size of its
+    quasi-identifier equivalence class (language x size bucket here;
+    production adds source domain, date, geo) and a flag for classes
+    smaller than k=5: rows whose metadata combination is rare enough
+    to re-identify even after m13-style pseudonymization. Release
+    gates on training corpora run exactly this before publishing
+    metadata alongside text — pseudonymized ids don't help if the
+    quasi-identifier tuple is unique.
+
+    Scale shape: one groupBy on the quasi-id tuple (the class table is
+    bounded by the quasi-id domain, tiny vs the corpus) and a
+    BROADCAST join back to the row spine — the corpus itself shuffles
+    once on the quasi-key; the per-row flag attach is map-side. The
+    window-function alternative (COUNT(*) OVER the quasi partition)
+    sorts the full corpus per partition for the same answer."""
+    d = t(spark, sf_dir, "documents")
+    quasi = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("size_bucket"),
+    )
+    groups = quasi.groupBy("lang", "size_bucket").agg(
+        F.count("*").alias("k")
+    )
+    return quasi.join(F.broadcast(groups), ["lang", "size_bucket"]).select(
+        "doc_id", "lang", "size_bucket", "k", (F.col("k") < 5).alias("at_risk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — tokenizer fertility audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+                 AS n_bpe,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(CAST(n_bpe AS DOUBLE) / n_words
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS fertility,
+           CAST(SUM(CAST(CAST(n_chars AS DOUBLE) / n_bpe
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def c07_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7r: tokenizer FERTILITY audit — per language, the mean ratio of
+    BPE-style tokens to whitespace words (fertility) and of characters
+    to tokens (compression): the standard multilingual-tokenizer
+    health check. A language whose fertility runs 2-3x the corpus
+    mean pays that factor in sequence length — and therefore compute
+    and effective context — for the same content; token-budget
+    mixtures (c07_token_budget_sample) silently underweight it unless
+    this audit surfaces the skew first.
+
+    Scale shape: both counts are row-local regex/split expressions
+    (scan-speed, codegen'd), then ONE shuffle on the language key with
+    decimal-exact means (plans/util.py trick). The per-doc ratio is a
+    single IEEE division of two ints — bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count(F.col("text"))
+    n_words = F.size(tokens("text"))
+    per_doc = d.select(
+        "lang",
+        (n_bpe.cast("double") / n_words).alias("fert"),
+        (F.length("text").cast("double") / n_bpe).alias("cpt"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg("fert", "fertility"),
+        davg("cpt", "chars_per_token"),
     )
