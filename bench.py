@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     # join — the importance-resampling selection pattern).
     "c03_mrl_rerank_funnel",
     "c04_dsir_importance",
+    # Round-7i additions (cont.): the boilerplate strip's
+    # explode→count→join-back→ordered-reassembly pipeline — the only
+    # query that rebuilds documents from sorted position structs.
+    "c04_boilerplate_strip",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -24,7 +24,7 @@ from ..operators.sampling import (
     shard_balance,
     stratified_sample,
 )
-from ..operators.similarity import label_centroids, semdedup
+from ..operators.similarity import knn_graph, label_centroids, semdedup
 from ..operators.text import (
     char_fold_hash,
     lang_id,
@@ -39,7 +39,7 @@ from ..operators.text import (
     tokens,
 )
 from .registry import register
-from .tier_c import _O_HASH, _O_SCRAMBLE, _lsh_oracle
+from .tier_c import _O_HASH, _O_SCRAMBLE, _knn_graph_oracle, _lsh_oracle
 from .util import DEC, davg, o_davg, t
 
 # ---------------------------------------------------------------------------
@@ -2164,4 +2164,153 @@ def c04_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.sum("s").alias("dsir_score"),
         (F.sum("s").cast("double") / F.count("*")).alias("mean_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — boilerplate strip; C6 continued — label spreading
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_boilerplate_strip",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_no,
+             array_to_string(tk[i:i+1], ' ') AS ctext
+      FROM toks, unnest(generate_series(1, len(tk), 2)) AS u(i)),
+    counts AS (SELECT ctext, COUNT(DISTINCT doc_id) AS nd
+               FROM chunks GROUP BY ctext),
+    kept AS (SELECT c.doc_id, c.chunk_no, c.ctext
+             FROM chunks c JOIN counts USING (ctext) WHERE nd < 20),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(ctext, ' ' ORDER BY chunk_no) AS cleaned
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.cleaned, '') AS cleaned
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def c04_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4v: boilerplate REMOVAL — the line-dedup step of C4/RefinedWeb
+    -style web curation, applied (not just detected, cf.
+    c04_repeated_spans): split each document into fixed chunks
+    ("lines"), count per-chunk document frequency corpus-wide, drop
+    chunks appearing in ≥20 documents (navigation bars, cookie
+    banners, license footers — text shared verbatim across many pages
+    is boilerplate, not content), and REASSEMBLE the surviving chunks
+    in original order. The order-preserving rebuild is the part naive
+    dedup misses: training text must stay coherent, so surviving
+    chunks re-join by position (sort_array over (chunk_no, text)
+    structs — collect_list order is partition-nondeterministic and
+    must never reach the output).
+
+    Scale shape: explode → chunk-text-keyed DF count (one shuffle; the
+    count table is vocabulary-sized, far smaller than the corpus) →
+    map-side-filterable join back → one doc-keyed rollup. At 100 TB
+    swap the chunk text key for its xxhash64 (collision-checked) so
+    the shuffle carries 8 bytes per chunk, not the text."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(token_chunks(tokens("text"), 2, 2)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.array_join(F.col("c.toks"), " ").alias("ctext"),
+    )
+    counts = ch.groupBy("ctext").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    kept = ch.join(counts, "ctext").filter(F.col("nd") < 20)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_no", "ctext"))
+                ),
+                lambda x: x.ctext,
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+@register(
+    "c06_label_spread",
+    oracle=f"""
+    WITH votes AS (
+      SELECT k.src, e.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({_knn_graph_oracle()}) k
+      JOIN embeddings e ON e.vec_id = k.dst
+      GROUP BY k.src, e.label),
+    best AS (
+      SELECT src, label AS voted_label, c AS n_votes FROM (
+        SELECT src, label, c,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, label) AS rn
+        FROM votes) v WHERE rn = 1)
+    SELECT b.src AS vec_id, e.label AS own_label, b.voted_label,
+           b.n_votes, e.label = b.voted_label AS agrees
+    FROM best b JOIN embeddings e ON e.vec_id = b.src
+    """,
+)
+def c06_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6h: one-round LABEL SPREADING over the k-NN graph — each vector
+    takes the majority label of its top-3 neighbors (ties → smallest
+    label), compared against its own label: disagreements are the
+    label-noise candidates (mislabeled rows sit in a neighborhood of
+    the true class) and, run over UNLABELED rows, the same vote IS
+    semi-supervised label propagation (Zhu & Ghahramani 2002, public).
+    Confident-learning-style label audits on training corpora are
+    exactly this query.
+
+    Scale shape: reuses c03_knn_graph's bucketed self-join (no
+    all-pairs path), then two id-keyed joins — neighbor labels attach
+    by dst id, own labels by src id; the vote rollup keys on (src,
+    label), bounded by k·|V| edge rows. Everything downstream of the
+    graph is edge-list-sized, and the label table never broadcasts
+    (it is corpus-sized — the joins stay shuffle-hash on ids)."""
+    e = t(spark, sf_dir, "embeddings")
+    g = knn_graph(e, k=3, dim=64, n_planes=6)
+    lbl = e.select("vec_id", "label")
+    votes = (
+        g.join(lbl.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("src", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy("src").orderBy(F.col("c").desc(), F.col("label"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("label").alias("voted_label"),
+            F.col("c").alias("n_votes"),
+        )
+    )
+    return (
+        best.join(lbl.withColumnRenamed("vec_id", "src"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("label").alias("own_label"),
+            "voted_label",
+            "n_votes",
+            (F.col("label") == F.col("voted_label")).alias("agrees"),
+        )
     )

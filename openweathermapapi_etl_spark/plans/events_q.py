@@ -510,3 +510,63 @@ def b24_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), _SPARK_FMT_US).alias("run_end"),
         F.count("*").alias("run_len"),
     )
+
+
+@register(
+    "b24_cusum_changepoint",
+    oracle=f"""
+    WITH e AS (SELECT * FROM {_EV}
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    m AS (SELECT user_id, {o_davg('value')} AS mu
+          FROM e GROUP BY user_id),
+    run AS (SELECT e.user_id, e.event_id, m.mu,
+                   CAST(SUM(CAST(e.value AS DECIMAL(38,6))) OVER (
+                        PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS i
+            FROM e JOIN m USING (user_id))
+    SELECT user_id, event_id, s - i * mu AS cusum,
+           ABS(s - i * mu) > 200.0 AS breach
+    FROM run
+    """,
+)
+def b24_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24n: CUSUM change-point detection — per series, the running sum
+    of deviations from the series mean; a drifting level makes the
+    cumulative sum trend away from zero, and |CUSUM| crossing the
+    control threshold is the classic Page-1954 change-point alarm
+    (metric regressions, sensor drift, label-distribution shift in a
+    feed). Rather than accumulating the DEVIATION (value − mean, an
+    arbitrary-precision double whose DECIMAL(38,6) quantization rounds
+    differently across engines — observed at sf0.01), the running sum
+    accumulates the raw 2-dp VALUES exactly in decimal and derives
+    CUSUM_i = S_i − i·mean: two row-level IEEE ops on identical
+    operands, bit-exact cross-engine; the mean is the decimal-exact
+    per-key davg.
+
+    Scale shape: one per-key mean agg (key-count-sized, broadcast back
+    — 1 corpus shuffle on user_id), then ONE ordered window pass per
+    key for the running sum — the same single-shuffle profile as
+    b24_ewma_smooth; no global sort, no iteration. Keys are
+    independent, so 1000 executors each own their key ranges."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    m = e.groupBy("user_id").agg(davg("value", "mu"))
+    joined = e.join(F.broadcast(m), "user_id")
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.sum(F.col("value").cast("decimal(38,6)")).over(ws).cast("double")
+    i = F.row_number().over(wr)
+    cusum = s - i * F.col("mu")
+    return joined.select(
+        "user_id",
+        "event_id",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > 200.0).alias("breach"),
+    )
