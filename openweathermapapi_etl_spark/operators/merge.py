@@ -695,3 +695,90 @@ def snapshot_diff(
         )
     )
     return out
+
+
+class MultiTableTxn:
+    """M16: ATOMIC MULTI-TABLE transactions over a set of
+    :class:`VersionedParquetTable` members — the "one commit spans N
+    tables" primitive a normalized lakehouse needs (cascade deletes,
+    fact+dimension co-publish, orders-and-their-lineitems moves):
+    either every member table's new snapshot becomes visible together
+    or none does, so a reader can never observe the orphaned half of a
+    cross-table change.
+
+    Layout: ``root/<name>/`` is a normal versioned table store per
+    member; ``root/_TXN`` is THE commit point — one json
+    ``{"txn": N, "tables": {name: version}}`` swung by ``os.replace``.
+    A transaction stages each member's new version dir (plain
+    :meth:`VersionedParquetTable.stage` — invisible to readers), then
+    :meth:`commit` repoints all of them in one atomic rename. A crash
+    after any subset of stages leaves the previous ``_TXN`` intact and
+    the half-staged dirs unreferenced (vacuumable) — exactly the
+    write-audit-publish discipline (M8) widened to table SETS. Member
+    tables are READ THROUGH the txn pointer (:meth:`read`), never
+    through their per-table ``_VERSION`` files, which txn commits
+    deliberately do not touch.
+
+    The same design at 100 TB: the pointer file is O(tables) bytes
+    regardless of data size; staging cost is the normal write path;
+    commit is one rename on the coordinating store — no cross-table
+    lock, no two-phase protocol among executors (the driver owns the
+    pointer, as the reference's single-writer cron DAG owns its
+    transaction: /root/reference/dags/weather-etl.py's one
+    load-then-merge writer).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, VersionedParquetTable] = {}
+
+    def table(self, name: str) -> VersionedParquetTable:
+        if not name.isidentifier():
+            raise ValueError(f"bad table name: {name!r}")
+        if name not in self._tables:
+            self._tables[name] = VersionedParquetTable(
+                os.path.join(self.root, name)
+            )
+        return self._tables[name]
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_TXN")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def commit(self, staged: dict[str, int]) -> int:
+        """Atomically publish ``{table_name: staged_version}``.
+
+        Tables not named keep their current txn-visible version —
+        a txn touches only the tables it changed. Refuses a staged
+        version whose directory is missing (a stage that never
+        happened must not become the committed state)."""
+        cur = self.current() or {"txn": 0, "tables": {}}
+        tables = dict(cur["tables"])
+        for name, version in staged.items():
+            vdir = self.table(name)._version_dir(version)
+            if not os.path.isdir(vdir):
+                raise FileNotFoundError(
+                    f"table {name!r} has no staged dir v={version}"
+                )
+            tables[name] = version
+        new = {"txn": cur["txn"] + 1, "tables": tables}
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(new, fh)
+        os.replace(tmp, self._pointer)  # the single atomic commit point
+        return new["txn"]
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read ``name`` at the committed transaction's version."""
+        cur = self.current()
+        if cur is None or name not in cur["tables"]:
+            raise FileNotFoundError(f"table {name!r} has no committed version")
+        return self.table(name).read_version(spark, cur["tables"][name])

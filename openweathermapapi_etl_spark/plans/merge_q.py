@@ -16,10 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.manifest import file_stats, skipping_read
-from ..operators.merge import VersionedParquetTable, keyed_upsert
+from ..operators.merge import MultiTableTxn, VersionedParquetTable, keyed_upsert
 from ..operators.reconcile import reconcile
 from .registry import register
-from .util import dsum, t
+from .util import dsum, o_dsum, t
 
 ORDER_COLS = [
     "o_orderkey",
@@ -1017,4 +1017,85 @@ def m15_cdc_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "n_orders",
         F.col("tp").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M16 — atomic multi-table transaction (cascade delete across two tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m16_multi_table_txn",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 17 <> 0)
+    SELECT s.o_orderkey, s.o_custkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           {o_dsum('l.l_quantity')} AS total_qty
+    FROM survivors s
+    LEFT JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+    GROUP BY s.o_orderkey, s.o_custkey
+    """,
+)
+def m16_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: atomic MULTI-TABLE transaction
+    (operators/merge.py::MultiTableTxn) — the cascade delete that
+    motivates it: removing a customer's orders must remove their
+    lineitems IN THE SAME COMMIT, or a concurrent reader joins orders
+    to lineitems and sees orphaned line rows (the referential-
+    integrity anomaly single-table atomicity cannot prevent). Both
+    tables' new snapshots are STAGED (invisible), then one atomic
+    ``_TXN`` pointer swing publishes them together; the query reads
+    both tables back THROUGH the txn pointer and joins them — the
+    oracle's anti-join arithmetic matching proves the cascade lost
+    nothing and orphaned nothing. A crash between the two stages
+    leaves readers on the old consistent pair (pytest pins this).
+
+    Scale: staging is the normal distributed write path; the commit
+    is one O(tables)-byte rename on the coordinator — no lock, no 2PC
+    across executors. The delete itself is two broadcast anti-joins
+    (the deleted-key set is customer-fraction-sized)."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m16_txn_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    txn = MultiTableTxn(root)
+    ot, lt = txn.table("orders"), txn.table("lineitem")
+    txn.commit(
+        {
+            "orders": ot.stage(orders.select("o_orderkey", "o_custkey")),
+            "lineitem": lt.stage(lineitem),
+        }
+    )
+    # The cascade: delete flagged customers' orders AND their lineitems
+    # in one transaction.
+    del_orders = (
+        txn.read(spark, "orders")
+        .filter(F.col("o_custkey") % 17 == 0)
+        .select("o_orderkey")
+    )
+    new_o = txn.read(spark, "orders").join(
+        F.broadcast(del_orders), "o_orderkey", "anti"
+    )
+    new_l = txn.read(spark, "lineitem").join(
+        F.broadcast(del_orders),
+        F.col("l_orderkey") == del_orders["o_orderkey"],
+        "anti",
+    )
+    txn.commit(
+        {"orders": ot.stage(new_o), "lineitem": lt.stage(new_l)}
+    )
+    o2, l2 = txn.read(spark, "orders"), txn.read(spark, "lineitem")
+    return (
+        o2.join(l2, o2["o_orderkey"] == l2["l_orderkey"], "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            dsum("l_quantity", "total_qty"),
+        )
     )

@@ -3467,3 +3467,62 @@ def b33_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
         F.quarter(d).alias("q"),
     )
+
+
+_NULL_BATTERY = """
+    WITH base AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg
+      FROM customer),
+    segs AS (SELECT DISTINCT seg FROM base),
+    eq_join AS (SELECT COUNT(*) AS n_eq FROM base b
+                JOIN segs s ON b.seg = s.seg),
+    ns_join AS (SELECT COUNT(*) AS n_ns FROM base b
+                JOIN segs s ON b.seg {NSEQ} s.seg),
+    notin AS (SELECT COUNT(*) AS n_notin FROM customer
+              WHERE c_mktsegment NOT IN (SELECT seg FROM base)),
+    ord_last AS (SELECT c_custkey AS first_nulls_last FROM base
+                 ORDER BY seg ASC NULLS LAST, c_custkey LIMIT 1),
+    ord_first AS (SELECT c_custkey AS first_nulls_first FROM base
+                  ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 1),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT)            AS n_rows,
+                   CAST(COUNT(seg) AS BIGINT)          AS n_nonnull,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)                     AS n_nulls
+            FROM base)
+    SELECT agg.n_rows, agg.n_nonnull, agg.n_distinct, agg.n_nulls,
+           CAST(eq_join.n_eq AS BIGINT)   AS n_eq_join,
+           CAST(ns_join.n_ns AS BIGINT)   AS n_nullsafe_join,
+           CAST(notin.n_notin AS BIGINT)  AS n_not_in,
+           ord_last.first_nulls_last,
+           ord_first.first_nulls_first
+    FROM agg, eq_join, ns_join, notin, ord_last, ord_first
+"""
+
+
+@register(
+    "b72_null_semantics",
+    oracle=_NULL_BATTERY.format(NSEQ="IS NOT DISTINCT FROM"),
+)
+def b72_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B72: NULL-semantics battery — the three-valued-logic fine points
+    that silently corrupt migrated queries, pinned cross-engine in one
+    row (same spirit as B33b's calendar battery): COUNT(*) vs
+    COUNT(col) (NULL-skipping), COUNT(DISTINCT) ignoring NULLs while
+    DISTINCT-the-set keeps one, equality joins dropping NULL keys vs
+    the null-safe operator matching them (Spark `<=>` ≡ SQL IS NOT
+    DISTINCT FROM), the NOT IN + NULL trap (a NULL in the subquery
+    makes NOT IN never-true — the single most-reported SQL migration
+    bug), and explicit NULLS FIRST/LAST ordering (the engines' DEFAULT
+    null sort order differs — Spark puts NULLs first ascending, DuckDB
+    last — so portable queries must spell it out; the battery pins
+    both spellings).
+
+    Scale shape: one scan feeding a handful of scalar aggregates and
+    two LIMIT-1 ordered picks (TakeOrderedAndProject, no global sort
+    materialization); the joins are against a 5-row DISTINCT frame —
+    broadcast. The battery's cost is one pass over the key column."""
+    views(spark, sf_dir)
+    return spark.sql(_NULL_BATTERY.format(NSEQ="<=>"))

@@ -874,3 +874,54 @@ def test_reconcile_null_keys_null_safe(spark):
     dst = spark.createDataFrame([(None, 2), (1, 1)], "k int, v int")
     out = reconcile(src, dst, ["k"], [F.col("v")], 4).collect()
     assert [(r.k, r.status) for r in out] == [(None, "changed")]
+
+
+def test_multi_table_txn_commits_atomically(spark, tmp_path):
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    a, b = txn.table("a"), txn.table("b")
+    txn.commit(
+        {
+            "a": a.stage(make_df(spark, [("a", 1, "x")])),
+            "b": b.stage(make_df(spark, [("b", 1, "y")])),
+        }
+    )
+    # Stage new versions of BOTH tables but crash before commit: readers
+    # must still see the old consistent pair.
+    sa = a.stage(make_df(spark, [("a", 2, "x2")]))
+    sb = b.stage(make_df(spark, [("b", 2, "y2")]))
+    assert _rows(txn.read(spark, "a")) == {("a", 1, "x")}
+    assert _rows(txn.read(spark, "b")) == {("b", 1, "y")}
+    # The commit flips both visible versions in one pointer swing.
+    txn.commit({"a": sa, "b": sb})
+    assert _rows(txn.read(spark, "a")) == {("a", 2, "x2")}
+    assert _rows(txn.read(spark, "b")) == {("b", 2, "y2")}
+
+
+def test_multi_table_txn_partial_commit_keeps_other_tables(spark, tmp_path):
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    a, b = txn.table("a"), txn.table("b")
+    txn.commit(
+        {
+            "a": a.stage(make_df(spark, [("a", 1, "x")])),
+            "b": b.stage(make_df(spark, [("b", 1, "y")])),
+        }
+    )
+    # A txn naming only one table leaves the other at its version.
+    txn.commit({"a": a.stage(make_df(spark, [("a", 2, "x2")]))})
+    assert _rows(txn.read(spark, "a")) == {("a", 2, "x2")}
+    assert _rows(txn.read(spark, "b")) == {("b", 1, "y")}
+
+
+def test_multi_table_txn_refuses_missing_staged_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    txn.table("a")
+    with _pytest.raises(FileNotFoundError):
+        txn.commit({"a": 99})
