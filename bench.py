@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     # explode→count→join-back→ordered-reassembly pipeline — the only
     # query that rebuilds documents from sorted position structs.
     "c04_boilerplate_strip",
+    # Round-7i additions (cont.): graph-expansion ANN — frontier hop
+    # joins over the k-NN edge list, the only graph-index search path.
+    "c03_graph_expand_topk",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

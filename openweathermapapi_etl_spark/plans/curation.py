@@ -2314,3 +2314,171 @@ def c06_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("voted_label")).alias("agrees"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 continued — semantic decontamination; C5 continued — keyframe select
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c09_decontaminate_semantic",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nrm
+      FROM embeddings),
+    q AS (SELECT e.vec_id, e.embedding, n.nrm FROM embeddings e
+          JOIN n USING (vec_id) WHERE e.vec_id % 53 = 0),
+    c AS (SELECT e.vec_id, e.embedding, n.nrm FROM embeddings e
+          JOIN n USING (vec_id) WHERE e.vec_id % 53 <> 0),
+    sims AS (
+      SELECT c.vec_id, q.vec_id AS eval_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+               (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+      FROM c JOIN q ON TRUE),
+    best AS (
+      SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim FROM (
+        SELECT vec_id, eval_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, eval_id) AS rn
+        FROM sims) s WHERE rn = 1)
+    SELECT vec_id, nearest_eval_id, max_sim,
+           max_sim >= 0.30 AS contaminated
+    FROM best
+    """,
+)
+def c09_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9c: SEMANTIC decontamination — the embedding-space sibling of
+    c09_decontaminate's exact n-gram gate: a training item whose
+    embedding sits too close to ANY eval-set embedding is a
+    paraphrase-level leak that token overlap misses (reworded
+    benchmark questions, translated eval items). Every corpus vector
+    gets its nearest eval item and similarity; rows over the
+    threshold are quarantined with ATTRIBUTION (which eval item
+    leaked — reviewers need the pair, not just a flag).
+
+    Scale shape: the eval set is small BY CONSTRUCTION (benchmarks
+    are thousands of items, the corpus is billions), so it broadcasts
+    whole — the corpus is scanned ONCE map-side, no shuffle at all
+    until the per-vector argmax (one key shuffle on vec_id, candidate
+    rows = corpus × |eval|, bounded by the broadcast side staying
+    benchmark-sized). At |eval| beyond broadcast range, route through
+    the IVF cells (c03_ivf_query) first — same funnel discipline as
+    the search family."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine_pre, norm_fold
+    from pyspark.sql import Window as W
+
+    vecs = e.select(
+        "vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm")
+    )
+    q = vecs.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.filter(F.col("vec_id") % 53 != 0)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "eval_id",
+        cosine_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+        ).alias("sim"),
+    )
+    wr = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("eval_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("sim").alias("max_sim"),
+            (F.col("sim") >= 0.30).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "c05_keyframe_select",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS id, text,
+             octet_length(encode(text)) % 30 + 1 AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT id, i AS frame_idx, ascii(text[i]) AS luma
+      FROM f, unnest(generate_series(1, n_frames)) AS t(i)),
+    d AS (
+      SELECT id, frame_idx, luma,
+             ABS(luma - lag(luma) OVER (PARTITION BY id
+                                        ORDER BY frame_idx)) AS diff
+      FROM frames)
+    SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(diff AS BIGINT) AS diff, CAST(rk AS INTEGER) AS rank
+    FROM (SELECT id, frame_idx, diff,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                                    ORDER BY diff DESC, frame_idx) AS rk
+          FROM d WHERE diff IS NOT NULL) r
+    WHERE rk <= 3
+    """,
+)
+def c05_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5k: KEYFRAME selection — pick the top-3 frames per clip by
+    inter-frame difference (scene cuts have the largest deltas; a
+    vision-training pipeline samples those, not every-Nth, when
+    content varies): the frame stream comes from the same deterministic
+    fake decode as c05_frame_sample (real codecs absent in this
+    container — operators/multimodal.py documents the boundary), the
+    per-frame "luma" stand-in is one byte of the payload, and the
+    selection is a lag-window diff plus per-clip top-k. Production
+    swaps the decode UDF; the diff/rank plan — the Spark side — is
+    identical.
+
+    Scale shape: frames explode row-locally (no shuffle to CREATE
+    them), then ONE clip-keyed window pass computes diffs and ranks —
+    clips are independent, so the shuffle keys on clip id and each
+    executor ranks its own clips. Top-3 filter cuts the output back
+    to O(clips) before anything downstream."""
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        (F.octet_length(F.encode("text", "UTF-8")) % 30 + 1).alias(
+            "n_frames"
+        ),
+    )
+    frames = f.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.col("n_frames"))).alias(
+            "frame_idx"
+        ),
+        "text",
+    ).select(
+        "id",
+        "frame_idx",
+        F.ascii(F.substring(F.col("text"), F.col("frame_idx"), 1)).alias(
+            "luma"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("id").orderBy("frame_idx")
+    diffed = frames.withColumn(
+        "diff", F.abs(F.col("luma") - F.lag("luma").over(wl))
+    ).filter(F.col("diff").isNotNull())
+    wr = W.partitionBy("id").orderBy(F.col("diff").desc(), F.col("frame_idx"))
+    return (
+        diffed.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("diff").cast("bigint").alias("diff"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

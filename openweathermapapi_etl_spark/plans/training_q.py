@@ -24,6 +24,7 @@ from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
     adc_topk,
+    knn_graph,
     ivf_build,
     ivf_query,
     mips_topk,
@@ -39,7 +40,7 @@ from ..operators.timeseries import (
     time_weighted_avg,
 )
 from .registry import register
-from .tier_c import _O_HASH, _O_SCRAMBLE
+from .tier_c import _O_HASH, _O_SCRAMBLE, _knn_graph_oracle
 from .util import dsum, o_dsum, t
 
 # ---------------------------------------------------------------------------
@@ -1600,6 +1601,127 @@ def c03_mrl_rerank_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — graph-expansion ANN (NSW-style neighbor-of-neighbor search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_graph_expand_topk",
+    oracle=f"""
+    WITH g AS ({_knn_graph_oracle()}),
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+    hop1 AS (SELECT q.vec_id AS query_id, g.dst AS cand
+             FROM q JOIN g ON g.src = q.vec_id),
+    hop2 AS (SELECT h.query_id, g2.dst AS cand
+             FROM hop1 h JOIN g g2 ON g2.src = h.cand),
+    cand AS (
+      SELECT DISTINCT query_id, cand FROM (
+        SELECT * FROM hop1 UNION ALL SELECT * FROM hop2) u
+      WHERE cand <> query_id),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+      FROM embeddings),
+    exact AS (
+      SELECT c.query_id, c.cand AS neighbor_id,
+             list_reduce(
+               list_transform(generate_series(1, len(qe.embedding)),
+                 i -> CAST(qe.embedding[i] AS DOUBLE)
+                      * CAST(ce.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (nq.nrm * nc.nrm) AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.cand
+      JOIN norms nq ON nq.vec_id = c.query_id
+      JOIN norms nc ON nc.vec_id = c.cand)
+    SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM exact) r
+    WHERE rank <= 5
+    """,
+)
+def c03_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3r: GRAPH-EXPANSION ANN — the NSW/HNSW family's search idea
+    (Malkov & Yashunin 2016, public) made set-oriented: candidates
+    are the query's k-NN-graph neighbors plus their neighbors
+    (2-hop closure), deduplicated and exactly re-scored to a final
+    top-5. Where IVF routes by partition and LSH by hash bucket, a
+    graph index routes by EDGES — neighborhoods overlap, so 2 hops of
+    a k=3 graph reach ≤ k+k² ≈ 12 candidates per query yet recover
+    most true neighbors (neighbors-of-neighbors are likely neighbors:
+    the small-world property). This is the batch/Spark form of greedy
+    graph search: hop joins instead of a sequential walk, which is
+    what makes it distribute — every hop is one id-keyed equi-join of
+    the query frontier against the k·|V| edge list, embarrassingly
+    parallel over queries.
+
+    Scale shape: the edge list is built once (bucketed self-join, cf.
+    c03_knn_graph — persist it in production; it is the index), each
+    hop shuffles only frontier×k rows keyed on vector ids, and the
+    exact rerank touches ≤ 12 full vectors per query by id join — the
+    corpus-wide wide scan never happens. Both engines run the
+    identical expansion, so ranks and values hash-match."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    g = knn_graph(e, k=3, dim=64, n_planes=6).select("src", "dst")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    hop1 = q.join(g, q["query_id"] == g["src"]).select(
+        "query_id", F.col("dst").alias("cand")
+    )
+    hop2 = (
+        hop1.withColumnRenamed("cand", "mid")
+        .join(g, F.col("mid") == g["src"])
+        .select("query_id", F.col("dst").alias("cand"))
+    )
+    cand = (
+        hop1.unionAll(hop2)
+        .filter(F.col("cand") != F.col("query_id"))
+        .distinct()
+    )
+    vecs = e.select(
+        "vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand")
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
     wr = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
