@@ -19,6 +19,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
+    shingle_hashes,
     simhash16,
 )
 from ..operators.multimodal import (
@@ -1438,4 +1439,98 @@ def c05_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "content_ref",
         "img_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 continued — MinHash estimator calibration against exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_error_oracle() -> str:
+    params = _affine_params(8)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 1000000007)) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+    inter = "len(list_filter(xa.ds, x -> list_contains(xb.ds, x)))"
+    return f"""
+    WITH pairs AS ({_lsh_oracle(max_bucket=10_000)}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    hashed AS (SELECT doc_id,
+                      list_transform({_O_SHINGLES}, s -> {_O_HASH.format(s='s')})
+                        AS hs
+               FROM toks),
+    sigs AS (SELECT doc_id, {mins} FROM hashed),
+    sets AS (SELECT doc_id, list_distinct(hs) AS ds FROM hashed)
+    SELECT p.id_a, p.id_b,
+           CAST(({agree}) AS DOUBLE) / 8 AS est_jaccard,
+           CAST({inter} AS DOUBLE)
+             / (len(xa.ds) + len(xb.ds) - {inter}) AS exact_jaccard,
+           CAST(({agree}) AS DOUBLE) / 8
+             - CAST({inter} AS DOUBLE)
+               / (len(xa.ds) + len(xb.ds) - {inter}) AS err
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    JOIN sets xa ON xa.doc_id = p.id_a
+    JOIN sets xb ON xb.doc_id = p.id_b
+    """
+
+
+@register("c02_minhash_estimate_error", oracle=_minhash_error_oracle())
+def c02_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2m: MinHash ESTIMATOR CALIBRATION — for every LSH candidate
+    pair, the signature-agreement Jaccard estimate (fraction of equal
+    components, the unbiased MinHash estimator) next to the EXACT
+    shingle-set Jaccard, with the signed error. This is the audit that
+    justifies a banding configuration before a 100 TB run: banding
+    thresholds are set from the estimator's S-curve, and if the k=8
+    estimate is biased or noisy on a sample, the dedup sweep either
+    misses near-dups or quarantines distinct documents — measure
+    first, then spend the compute. (The k=8 estimator has sd
+    ≈ sqrt(J(1-J)/8) ≈ 0.17 at J=0.5 — visibly coarse, which is
+    exactly what this audit makes visible; production raises k.)
+
+    Scale shape: candidate-pair-sized, never corpus² — pairs come from
+    the capped banding join, signatures and distinct shingle sets
+    attach by id join, and the arithmetic is row-local. The exact side
+    compares HASHED shingle sets (array_intersect on int arrays), so
+    the verify stage never re-tokenizes text."""
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(shingle_hashes(F.col("text"), 3, True)).alias("ds"),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)],
+    )
+    xa = sets.select(F.col("doc_id").alias("id_a"), F.col("ds").alias("dsa"))
+    xb = sets.select(F.col("doc_id").alias("id_b"), F.col("ds").alias("dsb"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b").join(xa, "id_a").join(xb, "id_b")
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(8)
+    )
+    inter = F.size(F.array_intersect(F.col("dsa"), F.col("dsb")))
+    union = F.size("dsa") + F.size("dsb") - inter
+    est = agree.cast("double") / 8
+    exact = inter.cast("double") / union
+    return j.select(
+        "id_a",
+        "id_b",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        (est - exact).alias("err"),
     )
