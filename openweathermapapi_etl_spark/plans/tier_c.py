@@ -1534,3 +1534,88 @@ def c02_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_jaccard"),
         (est - exact).alias("err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C5 continued — ViT-style patch grid over binary payloads
+# ---------------------------------------------------------------------------
+
+
+def _patch_sum(pr: str, pc: str) -> str:
+    """DuckDB sum of the 2x4-byte patch at grid cell (pr, pc) over the
+    text-as-6x8-image stand-in (1-based char positions)."""
+    terms = " + ".join(
+        f"ascii(text[({pr} * 2 + {dr}) * 8 + {pc} * 4 + {dc} + 1])"
+        for dr in range(2)
+        for dc in range(4)
+    )
+    return f"({terms})"
+
+
+@register(
+    "c05_patchify_grid",
+    oracle=f"""
+    WITH grid AS (
+      SELECT doc_id, text, pr, pc
+      FROM documents,
+           unnest(generate_series(0, 2)) AS r(pr),
+           unnest(generate_series(0, 1)) AS c(pc))
+    SELECT doc_id,
+           CAST(pr AS INTEGER) AS patch_row,
+           CAST(pc AS INTEGER) AS patch_col,
+           CAST(pr * 2 + pc AS INTEGER) AS pos_id,
+           CAST({_patch_sum('pr', 'pc')} AS BIGINT) AS patch_sum,
+           CAST({_patch_sum('pr', 'pc')} AS DOUBLE) / 8 AS patch_mean
+    FROM grid
+    """,
+)
+def c05_patchify_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5l: PATCHIFY — the ViT preprocessing step (Dosovitskiy et al.
+    2020, public): carve the decoded image into a fixed grid of
+    patches, each with its 2-D grid coordinates, the flattened
+    POSITION ID (what the position embedding indexes), and a patch
+    statistic (mean here; production emits the pixel tensor through
+    the same plumbing). The image is the usual deterministic decode
+    stand-in — the first 48 payload bytes as a 6x8 "image", 2x4-byte
+    patches in a 3x2 grid — so both engines address the identical
+    byte layout and the 2-D indexing arithmetic (row-major position ↔
+    grid coordinates) is what the oracle pins.
+
+    Scale shape: the grid explode is row-local (sequence × sequence,
+    6 rows per clip) and every patch byte is addressed by UNROLLED
+    constant offsets from the grid cell — one substring per term,
+    whole-stage codegen, zero shuffle in the entire query. A real
+    decoder swaps in via mapInPandas (c05_decode_mapinpandas) with
+    this exact output contract."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("patch_row"),
+    ).select(
+        "doc_id",
+        "text",
+        "patch_row",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("patch_col"),
+    )
+    psum = None
+    for dr in range(2):
+        for dc in range(4):
+            pos = (
+                (F.col("patch_row") * 2 + dr) * 8
+                + F.col("patch_col") * 4
+                + dc
+                + 1
+            )
+            term = F.ascii(F.substring(F.col("text"), pos, 1))
+            psum = term if psum is None else psum + term
+    return g.select(
+        "doc_id",
+        F.col("patch_row").cast("int").alias("patch_row"),
+        F.col("patch_col").cast("int").alias("patch_col"),
+        (F.col("patch_row") * 2 + F.col("patch_col"))
+        .cast("int")
+        .alias("pos_id"),
+        psum.cast("bigint").alias("patch_sum"),
+        (psum.cast("double") / 8).alias("patch_mean"),
+    )

@@ -1679,7 +1679,16 @@ def c03_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     from ..operators.similarity import cosine_pre, norm_fold
 
-    g = knn_graph(e, k=3, dim=64, n_planes=6).select("src", "dst")
+    # The edge list IS the index and both hops consume it: materialize
+    # it once (eager localCheckpoint — the k·|V| edge list is small and
+    # both hop joins re-read it) instead of re-running the bucketed
+    # self-join per hop; production keeps it as a stored table
+    # (cf. c03_ivf_persist).
+    g = (
+        knn_graph(e, k=3, dim=64, n_planes=6)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id")
     )
@@ -1729,4 +1738,154 @@ def c03_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — reciprocal-rank fusion of two retrieval funnels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_rrf_fusion",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, {_o_bq_word(0)} AS w0, {_o_bq_word(32)} AS w1
+      FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+    qc AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+    ham AS (
+      SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qc.vec_id
+               ORDER BY bit_count(xor(qc.w0, c.w0))
+                        + bit_count(xor(qc.w1, c.w1)), c.vec_id)
+               AS rank_a
+      FROM qc JOIN codes c ON qc.vec_id <> c.vec_id),
+    ham10 AS (SELECT * FROM ham WHERE rank_a <= 10),
+    norms AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nrm
+      FROM embeddings),
+    qn AS (SELECT * FROM norms WHERE vec_id % 50 = 0),
+    cos AS (
+      SELECT qn.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qn.vec_id
+               ORDER BY list_reduce(list_transform(generate_series(1, 64),
+                          i -> CAST(qn.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE)),
+                          (a, b) -> a + b) / (qn.nrm * c.nrm) DESC,
+                        c.vec_id) AS rank_b
+      FROM qn JOIN norms c ON qn.vec_id <> c.vec_id),
+    cos10 AS (SELECT * FROM cos WHERE rank_b <= 10),
+    fused AS (
+      SELECT COALESCE(h.query_id, x.query_id) AS query_id,
+             COALESCE(h.neighbor_id, x.neighbor_id) AS neighbor_id,
+             COALESCE(1.0 / (60 + h.rank_a), 0.0)
+               + COALESCE(1.0 / (60 + x.rank_b), 0.0) AS rrf
+      FROM ham10 h
+      FULL OUTER JOIN cos10 x
+        ON x.query_id = h.query_id AND x.neighbor_id = h.neighbor_id)
+    SELECT query_id, rank, neighbor_id, rrf FROM (
+      SELECT query_id, neighbor_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id) AS rank
+      FROM fused) f
+    WHERE rank <= 5
+    """,
+)
+def c03_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3s: RECIPROCAL-RANK FUSION (Cormack et al. 2009, public) — the
+    standard way production search merges heterogeneous retrievers:
+    each ranker contributes 1/(60+rank) for the items it surfaced,
+    items missing from a list contribute nothing, and the fused top-5
+    emerges by summed score. Here the two retrievers are the 1-bit
+    Hamming ranker (cheap, code-space) and the exact-cosine ranker
+    (float-space) over the same query set — rankers that DISAGREE
+    in interesting ways, which is precisely when fusion earns its
+    keep (RRF needs only ranks, never score calibration across
+    spaces — that is why it wins over score averaging in practice).
+
+    Scale shape: each ranker is its own funnel (codes-only scan for
+    Hamming; the cosine side would be any of the index paths at
+    100 TB — IVF, MRL, graph — all producing the same (query,
+    neighbor, rank) contract), the fusion is ONE full-outer join on
+    (query, neighbor) — top-k-bounded rows per query per ranker, so
+    the join input is |Q|·k rows per side regardless of corpus size —
+    and the rescore is row-local arithmetic."""
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    codes = emb.select(
+        "vec_id", _bq_word(0).alias("w0"), _bq_word(32).alias("w1")
+    )
+    qc = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        codes.join(F.broadcast(qc), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).alias("hamming"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    ham10 = (
+        ham.withColumn("rank_a", F.row_number().over(wa))
+        .filter(F.col("rank_a") <= 10)
+        .select("query_id", "neighbor_id", "rank_a")
+    )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm")
+    )
+    qv = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = (
+        vecs.join(F.broadcast(qv), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+            ).alias("cs"),
+        )
+    )
+    wb = W.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    cos10 = (
+        cos.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= 10)
+        .select("query_id", "neighbor_id", "rank_b")
+    )
+    fused = ham10.join(
+        cos10, ["query_id", "neighbor_id"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "rrf")
     )

@@ -102,3 +102,69 @@ def a10_weather_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Weather_Description",
         "Temperature",
     )
+
+
+@register(
+    "a11_weather_daily_rollup",
+    oracle=f"""
+    WITH tr AS ({_TRANSFORM}),
+    dedup AS (SELECT DISTINCT * FROM tr),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY w_time, City_Name
+               ORDER BY Weather_Description DESC NULLS LAST,
+                        Temperature DESC NULLS LAST) AS rn
+      FROM dedup),
+    merged AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT City_Name,
+           strftime(CAST(w_time AS DATE), '%Y-%m-%d') AS day_s,
+           CAST(COUNT(*) AS BIGINT)  AS n_obs,
+           MIN(Temperature)          AS t_min,
+           MAX(Temperature)          AS t_max,
+           CAST(SUM(CAST(Temperature AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(Temperature)    AS t_mean
+    FROM merged
+    GROUP BY City_Name, CAST(w_time AS DATE)
+    """,
+)
+def a11_weather_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-tier downstream: the per-city DAILY ROLLUP — the ad-hoc
+    analysis the reference's README points its merged Postgres table
+    at (/root/reference/README.md: inspect `weather_data` in PGAdmin):
+    observation count, min/max temperature, and the decimal-exact
+    mean per (city, day), computed OVER THE PIPELINE'S OWN OUTPUT —
+    the query re-runs the A7-A11 batch pipeline into a fresh
+    versioned table and aggregates its read-back, so the rollup also
+    regression-pins the merge semantics it consumes (a drift in
+    last-write-wins changes these aggregates).
+
+    Scale shape: one groupBy on (city, day) over the merged table —
+    partition-prunable by day when the table is date-partitioned
+    (M1p), partial aggregation map-side; the rollup output is
+    city×day-sized, collectable anywhere."""
+    prep_only(spark)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_weather_rollup_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = run_batch_pipeline(spark, WEATHER_JSONL, root)
+    return (
+        table.read(spark)
+        .groupBy(
+            "City_Name",
+            F.date_format(F.col("Time").cast("date"), "yyyy-MM-dd").alias(
+                "day_s"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.min("Temperature").alias("t_min"),
+            F.max("Temperature").alias("t_max"),
+            (
+                F.sum(F.col("Temperature").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count("Temperature")
+            ).alias("t_mean"),
+        )
+    )
