@@ -531,6 +531,28 @@ class VersionedParquetTable:
     def delete_branch(self, name: str) -> None:
         os.remove(self._branch_pointer(name))
 
+    # -- M17: shallow clone --------------------------------------------
+
+    def clone_to(self, dst_root: str) -> "VersionedParquetTable":
+        """SHALLOW CLONE: materialize the current snapshot as a new
+        independent table at ``dst_root`` — zero data copy (hard links
+        into the clone's v=1; version dirs are immutable, so sharing
+        file inodes is safe), own pointer, own future history. The
+        Delta-style dev/test clone: experiment on production data
+        without touching production and without paying its storage —
+        writes to EITHER table after the clone are invisible to the
+        other (new version dirs, never in-place edits). Cost is
+        O(files) metadata regardless of data size."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError("cannot clone an empty table")
+        clone = VersionedParquetTable(dst_root, partition_by=self.partition_by)
+        target = clone._version_dir(1)
+        os.makedirs(target, exist_ok=True)
+        self._link_tree(self._version_dir(cur), target)
+        clone._commit(1)
+        return clone
+
 
 def scd2_apply(
     history: DataFrame,

@@ -2587,3 +2587,163 @@ def c07_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("real_tokens").cast("double") / F.sum("padded_tokens")
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — clustering quality audit (inertia per cell)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_inertia_oracle(cmod: int = 40, scale: int = 1_000_000) -> str:
+    from .tier_c import _O_NORMS, _o_dot
+
+    cos = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored AS (
+      SELECT v.vec_id AS vid, c.centroid_id, {cos} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, centroid_id, cs FROM (
+        SELECT vid, centroid_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) r WHERE rn = 1)
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(floor((1 - cs) * {scale}) AS BIGINT)) AS BIGINT)
+             AS inertia_ppm,
+           CAST(SUM(CAST(floor((1 - cs) * {scale}) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS mean_dist_ppm
+    FROM assigned GROUP BY centroid_id
+    """
+
+
+@register("c03_kmeans_inertia", oracle=_kmeans_inertia_oracle())
+def c03_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3t: clustering QUALITY audit — per-cell member count and
+    cosine-distance inertia (Σ (1−cos) to the assigned centroid,
+    ppm-quantized to integers so the rollup is exact cross-engine —
+    the kmeans_update floor(val·scale) discipline). This is the
+    number a quantizer training loop watches per iteration (inertia
+    must fall monotonically under Lloyd) and the audit that flags
+    DEGENERATE cells — a near-empty cell wastes an IVF partition and
+    a bloated low-coherence cell destroys its probe selectivity; both
+    read straight off this output (n_members and mean distance).
+
+    Scale shape: identical assignment pass to c03_kmeans_iter —
+    broadcast centroids, one max_by-style argmax per vector — then
+    ONE cell-keyed count/sum agg (k rows out). The audit adds zero
+    shuffles beyond the assignment it audits."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine_pre, norm_fold
+    from pyspark.sql import Window as W
+
+    cent = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        norm_fold(F.col("embedding")).alias("cvn"),
+    )
+    normed = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        norm_fold(F.col("embedding")).alias("vn"),
+    )
+    scored = normed.join(F.broadcast(cent)).select(
+        "vid",
+        "centroid_id",
+        cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn")).alias(
+            "cs"
+        ),
+    )
+    assigned = (
+        scored.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "cs"),
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("a")
+        )
+        .select("vid", F.col("a.centroid_id").alias("centroid_id"),
+                F.col("a.cs").alias("cs"))
+    )
+    q = F.floor((1 - F.col("cs")) * 1_000_000).cast("bigint")
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(q).cast("bigint").alias("inertia_ppm"),
+        (F.sum(q).cast("double") / F.count("*")).alias("mean_dist_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 continued — Pareto cut (how few rows cover half the mass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_pareto_cut",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(SUM(n_chars) OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT)
+               AS tot_chars,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+      FROM documents)
+    SELECT source, n_docs, tot_chars,
+           CAST(MIN(rk) AS BIGINT) AS k_cut,
+           CAST(MIN(rk) AS DOUBLE) / n_docs AS doc_frac
+    FROM ranked
+    WHERE cum_chars * 2 >= tot_chars
+    GROUP BY source, n_docs, tot_chars
+    """,
+)
+def b16_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16g: PARETO CUT — per group, the smallest number of top rows
+    whose cumulative mass reaches half the group total (the "how
+    concentrated is this source" 80/20 audit: a source where 2% of
+    documents hold 50% of the characters is a few-huge-files source
+    and needs different splitting/sampling treatment than a uniform
+    one; the same query over bytes-per-key is how shuffle-skew
+    budgets get set). The threshold compare is integer arithmetic
+    (cum·2 ≥ total — no division, no float), so the cut index is
+    exact cross-engine.
+
+    Scale shape: one window pass per group key (rank + running sum
+    share a sort), then a group-keyed MIN — groups are independent,
+    executors own their key ranges, no global sort. The full-frame
+    total rides the SAME partition as an unbounded window, costing no
+    extra exchange."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("source")
+    ranked = d.select(
+        "source",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("n_chars").over(wcum).cast("bigint").alias("cum_chars"),
+        F.sum("n_chars").over(wall).cast("bigint").alias("tot_chars"),
+        F.count("*").over(wall).cast("bigint").alias("n_docs"),
+    )
+    return (
+        ranked.filter(F.col("cum_chars") * 2 >= F.col("tot_chars"))
+        .groupBy("source", "n_docs", "tot_chars")
+        .agg(
+            F.min("rk").cast("bigint").alias("k_cut"),
+            (F.min("rk").cast("double") / F.col("n_docs")).alias("doc_frac"),
+        )
+    )

@@ -1099,3 +1099,107 @@ def m16_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity", "total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M17 — shallow clone (zero-copy dev/test table); M18 — table history
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m17_shallow_clone",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def m17_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: SHALLOW CLONE isolation
+    (operators/merge.py::VersionedParquetTable.clone_to) — the
+    Delta-style zero-copy dev table: clone the production snapshot by
+    hard-linking its immutable version dir (O(files) metadata, zero
+    bytes), then MUTATE THE ORIGINAL (+100 to every 7th customer's
+    orders) and read the CLONE — which must still equal the
+    pre-mutation seed, proving writes to either table are invisible
+    to the other. The oracle is the untouched seed; a leak of the
+    original's post-clone upsert into the clone breaks the hash.
+    pytest additionally pins the mechanics (shared inodes, divergence
+    in both directions).
+
+    Scale: clone cost never touches data — at 100 TB it is the same
+    metadata rename discipline as every commit; immutable version
+    dirs are what make inode sharing safe (no write path ever edits
+    a committed file in place)."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m17_clone_{os.getpid()}"
+    )
+    shutil.rmtree(root + "_src", ignore_errors=True)
+    shutil.rmtree(root + "_dst", ignore_errors=True)
+    table = VersionedParquetTable(root + "_src")
+    table.overwrite(orders.select(*ORDER_COLS))
+    clone = table.clone_to(root + "_dst")
+    # Mutate the ORIGINAL after cloning; the clone must not see it.
+    delta = orders.select(*ORDER_COLS).filter(
+        F.col("o_custkey") % 7 == 0
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+    table.upsert(spark, delta, keys=["o_orderkey"])
+    return _present(clone.read(spark))
+
+
+@register(
+    "m18_table_history",
+    oracle="""
+    WITH v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+           WHERE o_custkey % 10 <> 0)
+    SELECT 1 AS version, v1.n AS n_rows,
+           v1.n AS rows_delta FROM v1
+    UNION ALL
+    SELECT 2, v2.n, v2.n - v1.n FROM v1, v2
+    """,
+)
+def m18_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: TABLE HISTORY — the DESCRIBE HISTORY surface every
+    versioned store needs for audits and incident forensics: one row
+    per retained snapshot with its row count and the delta against
+    the previous version. The story here: seed (v1), then a targeted
+    delete (v2, negative delta — the forensics signature of a GDPR
+    sweep or a bad filter deploy). History depth equals VACUUM
+    retention (operators/merge.py::_vacuum, retain=2 here): snapshots
+    older than the window have fallen off disk by design, so the
+    history surface reports exactly the retained, re-readable set —
+    production raises retention where deeper forensics matter.
+
+    Scale shape: the history frame is VERSION-COUNT-sized — the one
+    place a driver-side loop is correct (each retained snapshot costs
+    one count() job, itself distributed; retention bounds the loop).
+    Version dirs being immutable makes the counts reproducible —
+    history rows never drift after the fact."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m18_hist_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(orders.select(*ORDER_COLS))
+    table.delete(
+        spark,
+        orders.filter(F.col("o_custkey") % 10 == 0).select("o_custkey"),
+        keys=["o_custkey"],
+    )
+    rows = []
+    prev = 0
+    for v in table.versions():
+        n = table.read_version(spark, v).count()
+        rows.append((v, n, n - prev))
+        prev = n
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, rows_delta bigint"
+    ).select(
+        F.col("version").cast("int").alias("version"),
+        "n_rows",
+        "rows_delta",
+    )

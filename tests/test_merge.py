@@ -925,3 +925,32 @@ def test_multi_table_txn_refuses_missing_staged_dir(spark, tmp_path):
     txn.table("a")
     with _pytest.raises(FileNotFoundError):
         txn.commit({"a": 99})
+
+
+def test_shallow_clone_shares_inodes_and_diverges(spark, tmp_path):
+    import os as _os
+
+    src = VersionedParquetTable(str(tmp_path / "src"))
+    src.upsert(spark, make_df(spark, [("a", 1, "x"), ("b", 1, "y")]), keys=["k"])
+    clone = src.clone_to(str(tmp_path / "dst"))
+    # Zero-copy: every clone data file shares its inode with the source.
+    vdir = clone._version_dir(clone.current_version())
+    linked = [
+        _os.stat(_os.path.join(dp, f)).st_nlink
+        for dp, _d, fs in _os.walk(vdir)
+        for f in fs
+    ]
+    assert linked and all(n >= 2 for n in linked)
+    # Divergence is two-way invisible: mutate both, neither leaks.
+    src.upsert(spark, make_df(spark, [("a", 2, "x2")]), keys=["k"])
+    clone.upsert(spark, make_df(spark, [("b", 2, "y2")]), keys=["k"])
+    assert _rows(src.read(spark)) == {("a", 2, "x2"), ("b", 1, "y")}
+    assert _rows(clone.read(spark)) == {("a", 1, "x"), ("b", 2, "y2")}
+
+
+def test_shallow_clone_refuses_empty_table(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = VersionedParquetTable(str(tmp_path / "e"))
+    with _pytest.raises(FileNotFoundError):
+        empty.clone_to(str(tmp_path / "e2"))
