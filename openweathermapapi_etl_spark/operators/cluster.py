@@ -272,3 +272,80 @@ def kcore_peel(
     return cur.groupBy("u").agg(F.count("*").alias("degree")).select(
         F.col("u").alias("node"), "degree"
     )
+
+
+def incremental_clusters(
+    base_clusters: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: fold a batch of
+    NEW edges (delta-vs-corpus and delta-self near-dup pairs) into an
+    existing cluster assignment WITHOUT re-running CC on the full
+    graph — per-ingest cost scales with the delta, which is what makes
+    continuous dedup affordable at 100 TB (the full-graph closure is
+    a one-time backfill, never a per-batch job).
+
+    The algebra that makes it exact: contract every new edge's
+    endpoints through the existing label map (node → its cluster's
+    min-id root; unlabeled nodes are their own label), drop edges that
+    became self-loops (both ends already in one cluster), and run CC
+    on the CONTRACTED mini graph — whose nodes are cluster roots and
+    delta ids, i.e. delta-proportional, not corpus-proportional. Min
+    composes through contraction (a base root IS its component's min,
+    so the mini-CC min over roots is the global min of the merged
+    component), so relabeling base members through the mini result
+    reproduces the full recompute bit-for-bit — the invariant the
+    oracle checks.
+
+    Returns the same (doc_id, cluster_id, cluster_size) contract as
+    :func:`dedup_clusters`, over every node that appears in any edge
+    (old or new). Cluster-size recount is one key-shuffle over the
+    node universe; at scale, restrict it to AFFECTED roots (semi-join
+    on the mini result) and patch the stored sizes instead.
+    """
+    lab = base_clusters.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("lab")
+    )
+    e = (
+        new_edges.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
+        .join(
+            lab.select(F.col("node").alias("ea"), F.col("lab").alias("la")),
+            "ea",
+            "left",
+        )
+        .join(
+            lab.select(F.col("node").alias("eb"), F.col("lab").alias("lb")),
+            "eb",
+            "left",
+        )
+        .select(
+            F.coalesce("la", "ea").alias("id_a"),
+            F.coalesce("lb", "eb").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    mini = dedup_clusters(e, src="id_a", dst="id_b")
+    roots = mini.select(
+        F.col("doc_id").alias("lab2"), F.col("cluster_id").alias("root")
+    )
+    touched = (
+        new_edges.select(F.col(src).alias("node"))
+        .unionAll(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    universe = lab.select("node").unionAll(touched).distinct()
+    labeled = universe.join(lab, "node", "left").select(
+        "node", F.coalesce("lab", "node").alias("lab2")
+    )
+    final = labeled.join(roots, "lab2", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "lab2").alias("cluster_id"),
+    )
+    sizes = final.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return final.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

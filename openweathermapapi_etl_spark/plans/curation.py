@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cluster import dedup_clusters, kcore_peel
-from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+from ..operators.dedup import (
+    delta_lsh_candidates,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
 from ..operators.sampling import (
     domain_mix_plan,
     hash_split,
@@ -2747,3 +2751,50 @@ def b16_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("rk").cast("double") / F.col("n_docs")).alias("doc_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — incremental connected-components maintenance
+# ---------------------------------------------------------------------------
+
+
+@register("c06_incremental_cc", oracle=_clusters_oracle())
+def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6i: INCREMENTAL cluster maintenance
+    (operators/cluster.py::incremental_clusters) — the ingest-time
+    form of c06_dedup_clusters: the corpus (90%) already carries a CC
+    assignment; the arriving batch (every 10th doc) contributes its
+    delta-vs-corpus band-join pairs (c02_incremental_neardup's shape)
+    plus its tiny delta-self pairs, and the new edges CONTRACT through
+    the existing labels into a delta-proportional mini graph whose CC
+    patches the assignment. The oracle is the FULL-GRAPH closure over
+    the whole corpus — identical output proves the incremental path
+    loses nothing against the from-scratch recompute, which is the
+    invariant that lets a 100 TB pipeline never re-run global CC
+    after the initial backfill.
+
+    Scale shape: base CC is the pre-existing state (here recomputed
+    for the test; in production it is a stored table); per ingest the
+    only corpus-scale touch is the banded delta join — everything
+    after (contraction, mini CC, relabel) is delta- or roots-sized
+    except the final size recount (documented patch strategy in the
+    operator)."""
+    from ..operators.cluster import incremental_clusters
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    c_sigs = minhash_signature(corpus, "text", "doc_id", k=8, portable=True)
+    d_sigs = minhash_signature(delta, "text", "doc_id", k=8, portable=True)
+    base_pairs = lsh_candidate_pairs(
+        c_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    base_clusters = dedup_clusters(base_pairs)
+    cross = delta_lsh_candidates(
+        c_sigs, d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    ).select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    delta_self = lsh_candidate_pairs(
+        d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    new_edges = cross.unionAll(delta_self.select("id_a", "id_b"))
+    return incremental_clusters(base_clusters, new_edges)

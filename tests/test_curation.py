@@ -578,3 +578,32 @@ def test_shard_balance_near_equal_weights_and_deterministic(spark):
         for r in shard_balance(d, "n_chars", n_shards=8).collect()
     )
     assert a == b
+
+
+def test_incremental_clusters_matches_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.cluster import (
+        dedup_clusters,
+        incremental_clusters,
+    )
+
+    # Base graph: {1,2,3} and {10,11} are existing clusters.
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    base = dedup_clusters(base_edges)
+    # Delta: 20 bridges the two clusters (20-3, 20-10) and 30-31 is a
+    # brand-new pair; 2-3 arrives again as a stale duplicate edge.
+    new_edges = spark.createDataFrame(
+        [(20, 3), (20, 10), (30, 31), (2, 3)], "id_a long, id_b long"
+    )
+    inc = incremental_clusters(base, new_edges)
+    full = dedup_clusters(base_edges.unionAll(new_edges))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in inc.collect()}
+    # The bridge merges everything reachable into root 1, size 6.
+    assert got[20] == (1, 6) and got[11] == (1, 6)
+    assert got[30] == (30, 2) and got[31] == (30, 2)
