@@ -531,6 +531,27 @@ class VersionedParquetTable:
     def delete_branch(self, name: str) -> None:
         os.remove(self._branch_pointer(name))
 
+    # -- M19: partition evolution --------------------------------------
+
+    def repartition_layout(
+        self, spark: SparkSession, new_partition_by: str | None
+    ) -> int:
+        """PARTITION EVOLUTION: rewrite the current snapshot under a
+        new hive partition column (or unpartitioned) and commit it as
+        the next version; subsequent writes use the new layout. The
+        change queries demand partition pruning on drifts with the
+        workload — repartitioning a mutable table in place is the
+        Iceberg-spec problem; here each version dir carries its OWN
+        layout, so old snapshots stay readable (time travel included)
+        and readers never see a half-relayouted table: the rewrite is
+        a normal staged version behind the same atomic pointer swing.
+
+        Cost is one full rewrite of current data — schedule with
+        compaction (M5); the layout metadata itself is free."""
+        current = self.read(spark)
+        self.partition_by = new_partition_by
+        return self.overwrite(current)
+
     # -- M17: shallow clone --------------------------------------------
 
     def clone_to(self, dst_root: str) -> "VersionedParquetTable":

@@ -1203,3 +1203,56 @@ def m18_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "rows_delta",
     )
+
+
+# ---------------------------------------------------------------------------
+# M19 — partition evolution (layout change behind the atomic pointer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m19_partition_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def m19_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19: PARTITION EVOLUTION
+    (operators/merge.py::VersionedParquetTable.repartition_layout) —
+    change a live table's hive partition column (status → priority
+    here) without breaking readers: the relayout is a normal staged
+    version behind the same atomic pointer swing, the previous layout
+    stays readable for time travel, and writes after the evolution
+    use the new layout (the post-evolution upsert here rewrites ONLY
+    the touched priority-partitions — partition pruning works against
+    the NEW column immediately). The oracle is the logical content,
+    which must be layout-invariant: identical hashes across
+    seed → evolve → upsert-and-revert prove no rows were lost,
+    duplicated, or reshuffled into the wrong partition.
+
+    Scale: the relayout costs one rewrite of current data (schedule
+    with M5 compaction); everything else is the usual O(1) pointer
+    metadata. Layout-per-version is what makes the operation safe —
+    no in-place directory surgery, ever."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m19_evolve_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, partition_by="o_orderstatus")
+    table.overwrite(orders.select(*ORDER_COLS))
+    table.repartition_layout(spark, "o_orderpriority")
+    # Exercise the NEW layout's write path: +100 then -100 to every
+    # 13th customer nets out to the seed content, but both upserts run
+    # partition-pruned against o_orderpriority.
+    up = orders.select(*ORDER_COLS).filter(F.col("o_custkey") % 13 == 0)
+    table.upsert(
+        spark,
+        up.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0)),
+        keys=["o_orderkey"],
+    )
+    table.upsert(spark, up, keys=["o_orderkey"])
+    return _present(table.read(spark))

@@ -1889,3 +1889,86 @@ def c03_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — metadata-filtered vector search (hybrid filter + ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_filtered_topk",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM norms WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM norms WHERE label % 4 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+               (a, b) -> a + b) / (q.nrm * c.nrm) AS cos_sim
+      FROM q JOIN c ON q.vec_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, label, cos_sim FROM (
+      SELECT query_id, neighbor_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) r
+    WHERE rank <= 3
+    """,
+)
+def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3u: METADATA-FILTERED vector search — top-k under a structured
+    predicate (label ∈ allowed set here; tenant id, language,
+    license, date range in production): the "hybrid filtering" problem
+    every production vector store wrestles with. This is the
+    PRE-FILTER strategy — push the predicate INTO the corpus scan so
+    only qualifying vectors are ever scored — which is exact and
+    optimal when the filter is selective (the 30% here cuts scoring
+    work 3.3×); POST-filtering an unfiltered top-k is wrong under
+    selective filters (the shortlist drains before k survivors), and
+    the industry fix — oversample then filter — is an approximation
+    this operator doesn't need. With an index, the same predicate
+    composes ahead of IVF routing (filter, then route the survivors'
+    cells): selectivity stacks with the funnel.
+
+    Scale shape: the predicate is a parquet-pushable scan filter
+    (PushedFilters in the plan — zero post-scan work), queries
+    broadcast, and the per-query rollup is the usual argmax window —
+    one shuffle keyed on query id."""
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    vecs = emb.select(
+        "vec_id", "label", "embedding",
+        norm_fold(F.col("embedding")).alias("nrm"),
+    )
+    q = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.filter(F.col("label") % 4 == 0)
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "label", "cos_sim")
+    )
