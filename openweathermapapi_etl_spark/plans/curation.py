@@ -2798,3 +2798,72 @@ def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_edges = cross.unionAll(delta_self.select("id_a", "id_b"))
     return incremental_clusters(base_clusters, new_edges)
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — deterministic weighted dataset interleaving
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_interleave_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+             CASE WHEN source IN ('src0', 'src1') THEN 2 ELSE 1 END AS w
+      FROM documents),
+    slotted AS (
+      SELECT doc_id, source, rk,
+             CAST((rk - 1) * 2 / w AS BIGINT) AS slot
+      FROM ranked),
+    head AS (
+      SELECT doc_id, source, slot
+      FROM slotted ORDER BY slot, source, rk LIMIT 100)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY slot, source) AS BIGINT)
+             AS position,
+           source, doc_id, slot
+    FROM head
+    """,
+)
+def c07_interleave_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7t: deterministic WEIGHTED INTERLEAVING — merge per-source
+    document streams into one training order where a weight-2 source
+    contributes twice per round of a weight-1 source (the
+    interleave_datasets primitive of dataloader stacks, with
+    upsampled domains): each document's SLOT is pure per-row
+    arithmetic — (rank−1)·L/w for weight w with L the weight LCM —
+    so the global order (slot, source, rank) exists WITHOUT any
+    global sort; shards can be written slot-ordered independently and
+    consumed in order. The audit materializes the first 100 positions
+    of the stream (TakeOrderedAndProject — top-k, never a full
+    sort) and numbers them; the tiny global row_number runs on the
+    100-row head, not the corpus.
+
+    Scale shape: one per-source window (rank), row-local slot
+    arithmetic, one top-k. The interleave ratio changes by editing
+    the weight map — no reshuffle of the underlying data, because
+    order is DERIVED, not materialized."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("source").orderBy("doc_id")
+    slotted = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wr).alias("rk"),
+        F.when(F.col("source").isin("src0", "src1"), 2)
+        .otherwise(1)
+        .alias("w"),
+    ).withColumn(
+        "slot",
+        F.floor((F.col("rk") - 1) * 2 / F.col("w")).cast("bigint"),
+    )
+    head = slotted.orderBy("slot", "source", "rk").limit(100)
+    wpos = W.orderBy("slot", "source")
+    return head.select(
+        F.row_number().over(wpos).cast("bigint").alias("position"),
+        "source",
+        "doc_id",
+        "slot",
+    )

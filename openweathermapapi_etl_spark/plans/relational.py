@@ -3526,3 +3526,61 @@ def b72_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The battery's cost is one pass over the key column."""
     views(spark, sf_dir)
     return spark.sql(_NULL_BATTERY.format(NSEQ="<=>"))
+
+
+@register(
+    "b73_agg_pushdown_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice)        AS min_price,
+           MAX(o_totalprice)        AS max_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def b73_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B73: PARQUET AGGREGATE PUSHDOWN — whole-table MIN/MAX/COUNT
+    answered from parquet FOOTER STATISTICS instead of scanning data
+    pages (`spark.sql.parquet.aggregatePushdown`; the plan's scan node
+    becomes `PushedAggregation: [COUNT(*), MIN(...), ...]`, pinned in
+    tests/test_plan_shapes.py). This is the 100 TB "how big is this
+    table / what's the key range" audit for FREE: cost scales with
+    file COUNT (one footer read each), not bytes — the same reason
+    m11's manifest pruning works. The pushdown only fires for
+    unfiltered, un-grouped MIN/MAX/COUNT over non-nested columns —
+    exactly this query's shape — and Spark falls back to a normal
+    scan otherwise, so the speedup is never a correctness risk.
+
+    The conf is set per-query here (and restored) because pushed
+    footer MIN/MAX skips NaN handling subtleties on double columns in
+    exotic writers — the engine default stays conservative, the audit
+    opts in."""
+    orders = t(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # Aggregate pushdown is a DataSource V2 feature; parquet reads go
+    # through V1 by default, so the scan must be opted into V2 for the
+    # footer-stats path to exist at all (restored below — both confs
+    # are per-query opt-ins, not engine defaults).
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        out = orders.agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        # Materialize the plan choice under the conf; the returned
+        # frame re-resolves lazily, so pin the values via checkpoint.
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -524,3 +524,35 @@ def test_shuffle_hash_hint_overrides_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_agg_pushdown_answers_from_parquet_footers(spark):
+    """b73_agg_pushdown_stats's contract: under the V2 parquet scan
+    with aggregatePushdown on, whole-table MIN/MAX/COUNT resolve as a
+    `PushedAggregation` on the scan node — footer statistics, no data
+    pages. (The registered query returns a checkpointed frame, so the
+    pin rebuilds the aggregation here to inspect the live plan.)"""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.plans.util import t
+
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        orders = t(spark, SF_DIRS[0], "orders")
+        out = orders.agg(
+            F.count("*").alias("n"), F.min("o_orderkey").alias("mn")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey)]" in plan
+        assert out.collect()[0].n > 0
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
