@@ -1338,3 +1338,81 @@ def b68_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_root)
+
+
+@register(
+    "b44_dualsink_fanout",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV} e),
+    tagged AS (
+      SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 2) // 2 FROM ev)
+                     THEN 0 ELSE 1 END AS batch
+      FROM ev),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY batch DESC, ts DESC NULLS LAST,
+                        event_id DESC NULLS LAST, value DESC NULLS LAST,
+                        props DESC NULLS LAST) AS rn
+      FROM tagged)
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{_FMT_US}') AS ts_s, value,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS bronze_rows
+    FROM ranked WHERE rn = 1
+    """,
+)
+def b44_dualsink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44b: exactly-once DUAL-SINK fan-out — one foreachBatch feeds
+    TWO sinks per micro-batch: the bronze raw log (append-shaped, but
+    written as an OVERWRITE of a per-batch_id subdir so a replayed
+    batch after a crash never double-logs — the A16 idempotence rule
+    applied to a data sink) and the gold keyed upsert (idempotent by
+    key + order, b44's merge). This is the medallion-architecture
+    write path in one stream: foreachBatch is Spark's transaction
+    scope, and BOTH sinks key their idempotence on batch_id, so a
+    batch replay converges instead of diverging — the property that
+    makes "exactly-once" real across restarts.
+
+    The returned frame is the gold table with the bronze row count
+    attached: the oracle independently recomputes both (gold = the
+    b44 precedence window, bronze = the full event count), so a
+    double-log OR a lost batch in either sink breaks the hash.
+
+    Scale: bronze is a blind partitioned write (no shuffle); gold is
+    the partition-pruned upsert. The two sinks share one pass over
+    the micro-batch (Spark caches the batch frame across foreachBatch
+    consumers at executor level when sized; explicit persist() is the
+    production lever for very wide batches)."""
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b44d")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b44d_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    table = VersionedParquetTable(os.path.join(base, "gold"))
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(bronze, f"batch_id={batch_id}")
+        )
+        table.upsert(
+            spark, batch_df, keys=["user_id", "event_type"], order_col="ts"
+        )
+
+    stream = replay_files_stream(spark, d, EVENTS)
+    q = (
+        stream.writeStream.foreachBatch(fan_out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bronze_rows = spark.read.parquet(bronze).count()
+    return table.read(spark).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", _SPARK_FMT_US).alias("ts_s"),
+        "value",
+        F.lit(bronze_rows).cast("bigint").alias("bronze_rows"),
+    )

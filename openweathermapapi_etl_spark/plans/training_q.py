@@ -1972,3 +1972,131 @@ def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", "neighbor_id", "label", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — centroid drift (index staleness audit)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_drift_oracle(cmod: int = 40, scale: int = 1_000_000) -> str:
+    from .tier_c import _O_NORMS, _o_dot
+
+    cos = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored AS (
+      SELECT v.vec_id AS vid, v.vec_id % 2 AS half, v.embedding AS v,
+             c.centroid_id, {cos} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, half, v, centroid_id FROM (
+        SELECT vid, half, v, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) r WHERE rn = 1),
+    e AS (SELECT half, centroid_id, i, v[i] AS val
+          FROM assigned,
+               LATERAL unnest(generate_series(1, len(v))) AS u(i)),
+    cells AS (
+      SELECT half, centroid_id, i AS dim,
+             CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {scale}) AS BIGINT))
+                  AS DOUBLE) / ({scale}.0 * COUNT(*)) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY half, centroid_id, i)
+    SELECT a.centroid_id, CAST(a.dim AS INTEGER) AS dim,
+           a.n AS n_a, b.n AS n_b,
+           a.m AS mean_a, b.m AS mean_b,
+           ABS(a.m - b.m) AS drift
+    FROM cells a
+    JOIN cells b ON a.centroid_id = b.centroid_id AND a.dim = b.dim
+               AND a.half = 0 AND b.half = 1
+    """
+
+
+@register("c03_centroid_drift", oracle=_centroid_drift_oracle())
+def c03_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3v: CENTROID DRIFT — the index STALENESS audit: split the
+    corpus into two cohorts (even/odd ids here; "indexed then" vs
+    "ingested since" in production), assign both against the SAME
+    frozen coarse centroids, and compare the per-cell mean vectors
+    dimension by dimension. Large drift means the data distribution
+    has moved away from the quantizer that routes it — IVF cells go
+    lopsided, probe recall decays silently — and THIS number, not a
+    calendar, is what should trigger an index rebuild (c03_kmeans_iter
+    retrains; c03_ivf_persist re-materializes). Cells are compared
+    only where both cohorts populate them: a cell one cohort abandons
+    entirely shows up as the n_a/n_b imbalance.
+
+    Scale shape: one broadcast-centroid assignment per cohort (same
+    pass — the cohort tag rides the row), one (cohort, cell, dim)
+    partial-sum agg, and a cells-sized self-join — everything after
+    the assignment is k·dim-sized. Means are ppm-floor-quantized
+    (exact integer sums; the kmeans_update discipline), the drift one
+    IEEE subtraction on identical operands."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    cent = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        norm_fold(F.col("embedding")).alias("cvn"),
+    )
+    normed = e.select(
+        F.col("vec_id").alias("vid"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").alias("v"),
+        norm_fold(F.col("embedding")).alias("vn"),
+    )
+    assigned = (
+        normed.join(F.broadcast(cent))
+        .select(
+            "vid", "half", "v", "centroid_id",
+            cosine_pre(
+                F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn")
+            ).alias("cs"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.any_value("half").alias("half"),
+            F.any_value("v").alias("v"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("centroid_id"),
+        )
+    )
+    exploded = assigned.select(
+        "half", "centroid_id", F.posexplode("v").alias("pos", "val")
+    )
+    qsum = F.sum(
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("bigint")
+    )
+    cells = exploded.groupBy(
+        "half", "centroid_id", (F.col("pos") + 1).alias("dim")
+    ).agg(
+        (qsum.cast("double") / (1_000_000.0 * F.count("*"))).alias("m"),
+        F.count("*").alias("n"),
+    )
+    a = cells.filter(F.col("half") == 0).select(
+        "centroid_id", "dim",
+        F.col("m").alias("mean_a"), F.col("n").alias("n_a"),
+    )
+    b = cells.filter(F.col("half") == 1).select(
+        "centroid_id", "dim",
+        F.col("m").alias("mean_b"), F.col("n").alias("n_b"),
+    )
+    return a.join(b, ["centroid_id", "dim"]).select(
+        "centroid_id",
+        F.col("dim").cast("int").alias("dim"),
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.abs(F.col("mean_a") - F.col("mean_b")).alias("drift"),
+    )

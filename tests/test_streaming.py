@@ -540,3 +540,42 @@ def test_streaming_query_progress_listener_observes_batches(spark, sf_dir, tmp_p
     batches = [n for n in rows_per_batch if n > 0]
     assert len(batches) == 2  # one progress event per replayed file
     assert sum(batches) == 1000  # every event accounted for, exactly once
+
+
+def test_dualsink_fanout_batch_replay_is_idempotent(spark, tmp_path):
+    """b44_dualsink_fanout's crash-recovery contract: re-running a
+    batch with the SAME batch_id leaves both sinks unchanged — bronze
+    because the per-batch subdir is overwritten, gold because the
+    keyed upsert converges."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.merge import (
+        VersionedParquetTable,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    table = VersionedParquetTable(str(tmp_path / "gold"))
+    batch = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0)], "user_id long, event_type string, value double"
+    )
+
+    def fan_out(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(bronze, f"batch_id={batch_id}")
+        )
+        table.upsert(spark, batch_df, keys=["user_id", "event_type"])
+
+    fan_out(batch, 0)
+    first_bronze = spark.read.parquet(bronze).count()
+    first_gold = sorted(map(tuple, table.read(spark).collect()))
+    fan_out(batch, 0)  # crash-replay of the same batch id
+    assert spark.read.parquet(bronze).count() == first_bronze
+    assert sorted(map(tuple, table.read(spark).collect())) == first_gold
+    # A genuinely NEW batch does land in both sinks.
+    fan_out(
+        spark.createDataFrame([(2, "a", 5.0)], batch.schema), 1
+    )
+    assert spark.read.parquet(bronze).count() == first_bronze + 1
+    assert len(table.read(spark).collect()) == 3
