@@ -825,3 +825,29 @@ class MultiTableTxn:
         if cur is None or name not in cur["tables"]:
             raise FileNotFoundError(f"table {name!r} has no committed version")
         return self.table(name).read_version(spark, cur["tables"][name])
+
+
+def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
+    """M20: classify every version directory on disk against the
+    committed pointer — the crash-forensics audit that finds work a
+    failed writer left behind: ``current`` (the pointer target),
+    ``retained`` (older, inside the vacuum window — time-travel
+    readable), and ``staged-uncommitted`` (NEWER than the pointer: a
+    stage() whose commit never happened — crashed ingest, abandoned
+    WAP audit, or an M16 transaction that died between stage and
+    publish). Staged-uncommitted dirs are safe to abandon() after the
+    writer is confirmed dead; they are invisible to readers either
+    way, which is the crash-safety property this audit verifies from
+    the OUTSIDE. Control-plane-sized (one listdir), independent of
+    data volume."""
+    cur = table.current_version() or 0
+    out: list[tuple[int, str]] = []
+    for v in table.versions():
+        if v == cur:
+            state = "current"
+        elif v < cur:
+            state = "retained"
+        else:
+            state = "staged-uncommitted"
+        out.append((v, state))
+    return sorted(out)

@@ -2867,3 +2867,63 @@ def c07_interleave_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "slot",
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 continued — language-ID confusion matrix (classifier eval vs gold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c04_langid_confusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang AS gold_lang,
+                         string_split(text, ' ') AS tk
+                  FROM documents),
+    pred AS (SELECT doc_id, gold_lang, {_o_langid_expr()} AS pred_lang
+             FROM toks),
+    cells AS (SELECT gold_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pred GROUP BY gold_lang, pred_lang),
+    tot AS (SELECT gold_lang, CAST(SUM(n) AS BIGINT) AS gold_total
+            FROM cells GROUP BY gold_lang)
+    SELECT c.gold_lang, c.pred_lang, c.n, t.gold_total,
+           CAST(c.n AS DOUBLE) / t.gold_total AS recall_share
+    FROM cells c JOIN tot t USING (gold_lang)
+    """,
+)
+def c04_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4w: language-ID CONFUSION MATRIX — the classifier eval every
+    curation heuristic owes its users: gold label (the corpus `lang`
+    column) against the stopword-heuristic prediction (c04_langid's
+    scorer, unchanged), as (gold, predicted) cells with per-gold
+    recall shares. The matrix is what turns "langid is pretty good"
+    into routing decisions: a language whose recall leaks into 'und'
+    needs a bigger stopword list BEFORE the per-language pipelines
+    fork (c07_domain_mix, c04_ppl_buckets group on this prediction);
+    the zh row here — romanized stopwords barely fire — is exactly
+    the visible failure the audit exists to surface.
+
+    Scale shape: scoring is the usual row-local chain; the matrix is
+    one (gold, pred) groupBy — ≤ |langs|² cells — and the share
+    attach joins the |langs|-row totals back broadcast. One corpus
+    shuffle on a tiny key."""
+    d = t(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("gold_lang"),
+        lang_id(tokens("text")).alias("pred_lang"),
+    )
+    cells = pred.groupBy("gold_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.groupBy("gold_lang").agg(
+        F.sum("n").cast("bigint").alias("gold_total")
+    )
+    return cells.join(F.broadcast(tot), "gold_lang").select(
+        "gold_lang",
+        "pred_lang",
+        "n",
+        "gold_total",
+        (F.col("n").cast("double") / F.col("gold_total")).alias(
+            "recall_share"
+        ),
+    )

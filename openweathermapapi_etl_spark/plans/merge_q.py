@@ -1256,3 +1256,55 @@ def m19_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.upsert(spark, up, keys=["o_orderkey"])
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M20 — orphaned-version audit (crash forensics on the version store)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m20_orphan_audit",
+    oracle="""
+    SELECT 1 AS version, 'retained' AS state
+    UNION ALL SELECT 2, 'current'
+    UNION ALL SELECT 3, 'staged-uncommitted'
+    """,
+)
+def m20_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20: ORPHAN AUDIT (operators/merge.py::version_states) — after a
+    seed (v1), an upsert (v2, now current) and a stage() whose commit
+    "crashed" (v3, pointer never swung), the audit classifies every
+    version dir on disk: v1 retained for time travel, v2 current, v3
+    staged-uncommitted — the leftover a dead writer abandons. The
+    deterministic classification IS the crash-safety proof from the
+    outside: the orphan exists on disk yet the committed state the
+    readers see (and the oracle pins) never includes it. Cleanup is
+    abandon() once the writer is confirmed dead (pytest pins that
+    path); M16's multi-table transactions rely on exactly this
+    property between their stage and publish steps.
+
+    Scale: one listdir against one pointer read — O(retained
+    versions), independent of data bytes; the audit never opens a
+    parquet footer."""
+    from ..operators.merge import version_states
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m20_orphan_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(orders.select("o_orderkey", "o_custkey"))
+    table.upsert(
+        spark,
+        orders.select("o_orderkey", "o_custkey").filter(
+            F.col("o_custkey") % 9 == 0
+        ),
+        keys=["o_orderkey"],
+    )
+    # Crash simulation: stage a third version, never commit it.
+    table.stage(orders.select("o_orderkey", "o_custkey").limit(10))
+    return spark.createDataFrame(
+        version_states(table), "version int, state string"
+    )
