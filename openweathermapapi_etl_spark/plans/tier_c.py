@@ -1619,3 +1619,85 @@ def c05_patchify_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         psum.cast("bigint").alias("patch_sum"),
         (psum.cast("double") / 8).alias("patch_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — Johnson-Lindenstrauss projection audit
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle(dim: int = 64, proj: int = 16) -> str:
+    planes = make_planes(dim, proj)
+
+    def dot_lit(plane: list[float]) -> str:
+        # Exponent notation, deliberately: DuckDB parses a plain
+        # decimal-point literal as DECIMAL first and only then casts
+        # the array to DOUBLE[] — a double-rounding that loses the
+        # last ulp vs the Spark-side F.lit doubles (observed). An
+        # exponent literal parses as DOUBLE directly.
+        lit = "[" + ", ".join(format(x, ".17e") for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    comps = " + ".join(f"(y{j} * y{j})" for j in range(proj))
+    ys = ", ".join(f"{dot_lit(p)} AS y{j}" for j, p in enumerate(planes))
+    return f"""
+    WITH p AS (SELECT vec_id,
+                      list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b) AS orig_sq,
+                      {ys}
+               FROM embeddings)
+    SELECT vec_id, orig_sq,
+           ({comps}) * 3.0 / {proj} AS proj_sq,
+           (({comps}) * 3.0 / {proj}) / orig_sq AS ratio
+    FROM p
+    """
+
+
+@register("c03_jl_projection", oracle=_jl_oracle())
+def c03_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3w: JOHNSON-LINDENSTRAUSS projection (random projection to 16
+    of 64 dims) with its norm-preservation audit: each vector's
+    squared norm before vs after projection, scaled unbiasedly (the
+    planes are uniform[-1,1] LCG rows, E[p²]=1/3, so the estimator is
+    (3/m)·Σ⟨v,p_j⟩²). The ratio column concentrating near 1 is the
+    JL lemma made measurable — and the audit a pipeline runs BEFORE
+    trusting a cheaper projected space for near-dup or clustering
+    (c02_embedding_neardup's hyperplane buckets are the sign-bit
+    version of this same projection; MRL prefix truncation is its
+    learned competitor, c03_mrl_rerank_funnel).
+
+    Scale shape: the planes inline as LITERALS (deterministic LCG —
+    no RNG state, no broadcast variable, reproducible on any
+    cluster), every projection component is a row-local fold, zero
+    shuffle in the whole query — scan-speed dimension reduction, the
+    property that makes projecting 100 TB of embeddings a map-only
+    job."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import dot_fold
+
+    planes = make_planes(64, 16)
+    v = F.col("embedding")
+    orig_sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    ys = [
+        dot_fold(v, F.array(*[F.lit(x) for x in p])) for p in planes
+    ]
+    comps = None
+    for y in ys:
+        term = y * y
+        comps = term if comps is None else comps + term
+    proj_sq = comps * 3.0 / 16
+    return e.select(
+        "vec_id",
+        orig_sq.alias("orig_sq"),
+        proj_sq.alias("proj_sq"),
+        (proj_sq / orig_sq).alias("ratio"),
+    )
