@@ -146,6 +146,12 @@ BENCH_QUERIES = [
     # Round-7i additions (cont.): graph-expansion ANN — frontier hop
     # joins over the k-NN edge list, the only graph-index search path.
     "c03_graph_expand_topk",
+    # Round-7j additions: the centroid-drift audit (broadcast
+    # assignment + cells-sized self-join — the index-staleness pass)
+    # and the JL projection (the widest row-local codegen expression
+    # in the book: 16 inline 64-term folds, zero shuffle).
+    "c03_centroid_drift",
+    "c03_jl_projection",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -607,3 +607,36 @@ def test_incremental_clusters_matches_full_recompute(spark):
     # The bridge merges everything reachable into root 1, size 6.
     assert got[20] == (1, 6) and got[11] == (1, 6)
     assert got[30] == (30, 2) and got[31] == (30, 2)
+
+
+if _HAVE_HYP:
+
+    @given(
+        base=st.lists(_edge, min_size=0, max_size=10),
+        delta=st.lists(_edge, min_size=1, max_size=8),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_incremental_clusters_equals_full_cc_on_any_graph(
+        spark, base, delta
+    ):
+        """incremental_clusters(base CC, delta edges) must equal the
+        full-graph CC on base ∪ delta for ANY split hypothesis throws
+        at it — bridges between base clusters, delta-only components,
+        repeated/stale edges, edges landing entirely inside one
+        existing cluster (contract to self-loops and must drop)."""
+        from openweathermapapi_etl_spark.operators.cluster import (
+            dedup_clusters,
+            incremental_clusters,
+        )
+
+        schema = "id_a long, id_b long"
+        base_df = spark.createDataFrame(base, schema) if base else (
+            spark.createDataFrame([], schema)
+        )
+        delta_df = spark.createDataFrame(delta, schema)
+        base_cc = dedup_clusters(base_df)
+        inc = incremental_clusters(base_cc, delta_df)
+        full = dedup_clusters(base_df.unionAll(delta_df))
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
