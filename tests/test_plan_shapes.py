@@ -556,3 +556,56 @@ def test_agg_pushdown_answers_from_parquet_footers(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_pareto_cut_single_source_partitioning(spark, sf):
+    """b16_pareto_cut's contract: rank window, running sum, full-frame
+    total, and the final group rollup all share ONE source-keyed
+    partitioning — a second source-hash exchange means a window
+    stopped reusing the sort. (The catalog's heavy-row scan fixup may
+    add a round-robin exchange at bench SF; it is not keyed on
+    source, so the keyed count stays the contract.)"""
+    s, tree = plan_of(spark, "b16_pareto_cut", sf)
+    assert s.count("hashpartitioning(source") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in tree
+
+
+def test_dsir_lm_lookup_stays_broadcast(spark, sf):
+    """c04_dsir_importance's contract: the 64-row bucket LM attaches
+    map-side (BroadcastHashJoin); a SortMergeJoin here would shuffle
+    the exploded corpus on the bucket key — the exact skew the
+    hashed-bucket design exists to avoid."""
+    s, tree = plan_of(spark, "c04_dsir_importance", sf)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_blocklist_probe_is_map_side(spark, sf):
+    """c04_blocklist_hits' contract: the ban-list probe is a broadcast
+    hash join against the exploded tokens (map-side, O(tokens));
+    only the doc-spine re-attach — corpus-sized on both sides — may
+    sort-merge."""
+    s, tree = plan_of(spark, "c04_blocklist_hits", sf)
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("SortMergeJoin") <= 1
+
+
+def test_mrl_funnel_narrow_coarse_tier(spark, sf):
+    """c03_mrl_rerank_funnel's contract: exactly one pairwise stage
+    (the broadcast nested-loop of queries x corpus over the 16-float
+    prefix) and never a CartesianProduct; the rerank re-attaches full
+    vectors by broadcast/id hash joins."""
+    s, tree = plan_of(spark, "c03_mrl_rerank_funnel", sf)
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") >= 1
+
+
+def test_k_anonymity_class_table_broadcasts(spark, sf):
+    """c04_k_anonymity's contract: the quasi-id class table (bounded by
+    the quasi-id domain) re-attaches broadcast — the corpus shuffles
+    once for the groupBy and never again for the flag join."""
+    s, tree = plan_of(spark, "c04_k_anonymity", sf)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
