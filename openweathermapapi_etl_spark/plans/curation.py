@@ -2927,3 +2927,90 @@ def c04_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — the dataset card (one-row release summary)
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card_oracle() -> str:
+    pairs = _lsh_oracle(max_bucket=10_000).strip()
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, source, text,
+                         string_split(text, ' ') AS tk
+                  FROM documents),
+    base AS (SELECT
+      CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+      CAST(SUM(len(tk)) AS BIGINT)                      AS total_tokens,
+      CAST(COUNT(DISTINCT lang) AS BIGINT)              AS n_langs,
+      CAST(COUNT(DISTINCT source) AS BIGINT)            AS n_sources,
+      CAST(SUM(CAST(
+        (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk)
+                     BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN len(list_filter(tk,
+                     x -> x IN ('the','and','of','to','a'))) > 0
+                THEN 0.2 ELSE 0.0 END) AS DECIMAL(38,6)))
+        AS DOUBLE) / COUNT(*)                           AS mean_quality
+      FROM toks),
+    pairs AS ({pairs}),
+    nd AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS neardup_docs FROM (
+             SELECT id_a AS d FROM pairs
+             UNION ALL SELECT id_b AS d FROM pairs) u)
+    SELECT base.*, nd.neardup_docs,
+           CAST(nd.neardup_docs AS DOUBLE) / base.n_docs AS neardup_rate
+    FROM base, nd
+    """
+
+
+@register("c07_dataset_card", oracle=_dataset_card_oracle())
+def c07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7u: the DATASET CARD — the one-row release summary every
+    published training corpus ships (datasheets-for-datasets made
+    queryable): document and token counts, language and source
+    cardinalities, decimal-exact mean quality score, and the near-dup
+    exposure (distinct documents appearing in any capped-LSH
+    candidate pair, as a count and a rate). One query, one artifact —
+    the number set a consumer reads before deciding to train on the
+    release, and the regression gate a release pipeline diffs against
+    the previous card.
+
+    Scale shape: the corpus-statistics half is ONE scan with scalar
+    aggregates (token counts and quality are row-local expressions);
+    the near-dup half reuses the banding pipeline (bucket-bounded,
+    production cap); the two 1-row frames cross-join broadcast.
+    Nothing here is new machinery — the card is deliberately a
+    COMPOSITION of audited primitives, so its numbers match the
+    standalone queries they summarize."""
+    d = t(spark, sf_dir, "documents")
+    from ..operators.text import quality_score
+
+    tk = tokens("text")
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tk)).cast("bigint").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (
+            F.sum(
+                quality_score(F.col("text"), tk).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("mean_quality"),
+    )
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    nd = (
+        pairs.select(F.col("id_a").alias("d"))
+        .unionAll(pairs.select(F.col("id_b").alias("d")))
+        .agg(F.count_distinct("d").alias("neardup_docs"))
+    )
+    return base.crossJoin(F.broadcast(nd)).select(
+        "*",
+        (
+            F.col("neardup_docs").cast("double") / F.col("n_docs")
+        ).alias("neardup_rate"),
+    )

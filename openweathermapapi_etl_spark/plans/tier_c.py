@@ -1701,3 +1701,87 @@ def c03_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj_sq.alias("proj_sq"),
         (proj_sq / orig_sq).alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C5 continued — audio fingerprint dedup (energy-delta signature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c05_audio_fingerprint",
+    oracle="""
+    WITH f0 AS (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)) // 64)) AS frame_idx
+      FROM documents WHERE octet_length(encode(text)) >= 320),
+    f AS (
+      SELECT doc_id, frame_idx,
+             list_reduce(list_transform(generate_series(1, 64),
+                 j -> ascii(substr(text, CAST(frame_idx * 64 + j AS BIGINT), 1))),
+               (a, b) -> a + b) AS energy
+      FROM f0 WHERE frame_idx < 5),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN frame_idx = 0 THEN energy END) AS e0,
+             MAX(CASE WHEN frame_idx = 1 THEN energy END) AS e1,
+             MAX(CASE WHEN frame_idx = 2 THEN energy END) AS e2,
+             MAX(CASE WHEN frame_idx = 3 THEN energy END) AS e3,
+             MAX(CASE WHEN frame_idx = 4 THEN energy END) AS e4
+      FROM f GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             CAST((CASE WHEN e1 >= e0 THEN 1 ELSE 0 END)
+                + (CASE WHEN e2 >= e1 THEN 2 ELSE 0 END)
+                + (CASE WHEN e3 >= e2 THEN 4 ELSE 0 END)
+                + (CASE WHEN e4 >= e3 THEN 8 ELSE 0 END) AS BIGINT)
+               AS fingerprint
+      FROM wide)
+    SELECT a.doc_id AS id, a.fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY a.fingerprint) AS BIGINT)
+             AS n_matches
+    FROM fp a
+    """,
+)
+def c05_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5m: AUDIO FINGERPRINTING (Haitsma-Kalker 2002 family, public) —
+    the energy-DELTA sign signature: per-frame energies (the
+    mapInPandas Arrow path of c05_energy_segments, i.e. the REAL
+    decode plumbing) reduce to a bit per consecutive-frame comparison
+    (energy rose → 1), packed into a small integer fingerprint that is
+    robust to volume scaling (signs survive gain changes; absolute
+    energies don't) — then fingerprint-equality groups are the
+    near-dup audio candidates, exactly C1's hash-dedup discipline on
+    a perceptual key instead of a content hash. Production widens to
+    32-band spectral deltas per frame; the 4-bit shape here keeps the
+    collision structure visible at test SF.
+
+    Scale shape: framing and energy are the Arrow mapInPandas pass
+    (row-local), the wide pivot is one doc-keyed agg, and matching is
+    one fingerprint-keyed window count — two key shuffles, no pair
+    join anywhere (candidates emerge from equality, not comparison)."""
+    d = t(spark, sf_dir, "documents")
+    wrapped = to_binary_payload(d, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    frames = energy_frames(wrapped, "id", "payload", frame_bytes=64).filter(
+        F.col("frame_idx") < 5
+    )
+    es = [
+        F.max(F.when(F.col("frame_idx") == i, F.col("energy"))).alias(f"e{i}")
+        for i in range(5)
+    ]
+    wide = frames.groupBy("id").agg(*es).filter(F.col("e4").isNotNull())
+    fp = None
+    for i in range(4):
+        bit = F.when(
+            F.col(f"e{i+1}") >= F.col(f"e{i}"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    from pyspark.sql import Window as W
+
+    out = wide.select("id", fp.cast("bigint").alias("fingerprint"))
+    return out.withColumn(
+        "n_matches",
+        F.count("*").over(W.partitionBy("fingerprint")).cast("bigint"),
+    )
