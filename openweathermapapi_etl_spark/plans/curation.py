@@ -3014,3 +3014,86 @@ def c07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neardup_docs").cast("double") / F.col("n_docs")
         ).alias("neardup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 continued — HITS hubs/authorities over the directed candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle() -> str:
+    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM edges),
+    a1 AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+           FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+    h1 AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+           FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+           FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+    h2 AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+           FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src)
+    SELECT COALESCE(h2.node, a2.node) AS doc_id,
+           COALESCE(h2.h, 0) AS hub,
+           COALESCE(a2.a, 0) AS authority
+    FROM h2 FULL OUTER JOIN a2 ON a2.node = h2.node
+    """
+
+
+@register("c06_hits_scores", oracle=_hits_oracle())
+def c06_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6j: HITS hubs and authorities (Kleinberg 1999, public) over the
+    DIRECTED candidate graph (id_a → id_b, the banding join's a<b
+    orientation): two un-normalized mutual-reinforcement rounds —
+    authority = Σ hub of in-neighbors, hub = Σ authority of
+    out-neighbors — kept in EXACT integer arithmetic (the scores are
+    path counts, so fixed-iteration HITS needs no decimal dance at
+    all, a stronger determinism property than even PageRank's
+    quantized rounds). On a dedup graph the high-authority nodes are
+    the documents many earlier-id near-dups point at — a cheap
+    canonical-candidate signal orthogonal to c06_pagerank's symmetric
+    centrality, and the second member of the eigenvector-centrality
+    family the graph layer supports.
+
+    Scale shape: identical per-round machinery to PageRank — one
+    edge⋈score join + one keyed agg per half-round, lineage truncated
+    per round (localCheckpoint); edges come from the capped banding
+    join, so rounds are edge-list-sized."""
+    sigs = minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    h = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1).cast("bigint").alias("h")
+    )
+    for _ in range(2):
+        a = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+            .localCheckpoint(eager=True)
+        )
+    hs = h.select(F.col("node").alias("hn"), "h")
+    as_ = a.select(F.col("node").alias("an"), "a")
+    return hs.join(
+        as_, hs["hn"] == as_["an"], "full_outer"
+    ).select(
+        F.coalesce("hn", "an").alias("doc_id"),
+        F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+    )
