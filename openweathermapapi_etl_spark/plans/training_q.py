@@ -2100,3 +2100,157 @@ def c03_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_b",
         F.abs(F.col("mean_a") - F.col("mean_b")).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — IVF hot-cell rebalance (index maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_rebalance_oracle(cmod: int = 40, cap: int = 45) -> str:
+    from .tier_c import _O_NORMS, _o_dot
+
+    cos = f"{_o_dot('v.embedding', 'c.cv')} / (nv.nrm * nc.nrm)"
+    seed_cos = f"{_o_dot('m.embedding', 'se.embedding')} / (nm.nrm * ns.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+             FROM embeddings WHERE vec_id % {cmod} = 0),
+    scored AS (
+      SELECT v.vec_id AS vid, c.centroid_id, {cos} AS cs
+      FROM embeddings v
+      JOIN cent c ON TRUE
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assigned AS (
+      SELECT vid, centroid_id AS old_cell FROM (
+        SELECT vid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) r WHERE rn = 1),
+    sizes AS (SELECT old_cell, COUNT(*) AS n FROM assigned
+              GROUP BY old_cell),
+    hot AS (SELECT old_cell FROM sizes WHERE n > {cap}),
+    seeds AS (
+      SELECT a.old_cell,
+             MIN(a.vid) AS seed_lo, MAX(a.vid) AS seed_hi
+      FROM assigned a JOIN hot USING (old_cell)
+      GROUP BY a.old_cell),
+    resc AS (
+      SELECT a.vid, a.old_cell, s.seed_id,
+             {seed_cos} AS cs
+      FROM assigned a
+      JOIN (SELECT old_cell, seed_lo AS seed_id FROM seeds
+            UNION ALL SELECT old_cell, seed_hi FROM seeds) s
+        ON s.old_cell = a.old_cell
+      JOIN embeddings m ON m.vec_id = a.vid
+      JOIN embeddings se ON se.vec_id = s.seed_id
+      JOIN norms nm ON nm.vec_id = a.vid
+      JOIN norms ns ON ns.vec_id = s.seed_id),
+    split AS (
+      SELECT vid, old_cell, seed_id AS new_cell FROM (
+        SELECT vid, old_cell, seed_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cs DESC, seed_id) AS rn
+        FROM resc) r WHERE rn = 1)
+    SELECT a.vid AS vec_id, a.old_cell,
+           COALESCE(sp.new_cell, a.old_cell) AS new_cell,
+           sp.new_cell IS NOT NULL AS was_split
+    FROM assigned a LEFT JOIN split sp ON sp.vid = a.vid
+    """
+
+
+@register("c03_ivf_rebalance", oracle=_ivf_rebalance_oracle())
+def c03_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3x: IVF HOT-CELL REBALANCE — the index maintenance step the
+    audits call for: cells whose population exceeds the cap (the
+    lopsided cells c03_kmeans_inertia and c03_centroid_drift detect)
+    SPLIT in place — two deterministic sub-seeds (the cell's min- and
+    max-id members) partition the hot cell's members by cosine, cold
+    cells keep their assignment untouched. This is how a production
+    IVF index absorbs distribution drift WITHOUT a global retrain: a
+    full re-cluster is a corpus-wide job; the split re-scores only
+    hot-cell members against two seeds — work proportional to the
+    overflow, not the index.
+
+    Scale shape: one broadcast-centroid assignment (the standard
+    pass), a cell-count agg (k rows), and the split re-score joins
+    hot-cell members to exactly 2 seed vectors each (id joins — the
+    2-row-per-cell seed table broadcasts); the relabel is a left
+    join on vector id. Seeds by min/max id rather than kmeans++ keeps
+    the operation deterministic and oracle-checkable; production
+    swaps in a proper 2-means on the same plumbing."""
+    e = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pre, norm_fold
+
+    cent = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        norm_fold(F.col("embedding")).alias("cvn"),
+    )
+    normed = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        norm_fold(F.col("embedding")).alias("vn"),
+    )
+    assigned = (
+        normed.join(F.broadcast(cent))
+        .select(
+            "vid", "v", "vn", "centroid_id",
+            cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn"))
+            .alias("cs"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.any_value("vn").alias("vn"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
+            ).alias("old_cell"),
+        )
+    )
+    sizes = assigned.groupBy("old_cell").agg(F.count("*").alias("n"))
+    hot = sizes.filter(F.col("n") > 45).select("old_cell")
+    seeds = (
+        assigned.join(F.broadcast(hot), "old_cell")
+        .groupBy("old_cell")
+        .agg(F.min("vid").alias("seed_lo"), F.max("vid").alias("seed_hi"))
+    )
+    seed_ids = seeds.select(
+        "old_cell", F.col("seed_lo").alias("seed_id")
+    ).unionAll(seeds.select("old_cell", F.col("seed_hi").alias("seed_id")))
+    seed_vecs = seed_ids.join(
+        e.select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("sv"),
+            norm_fold(F.col("embedding")).alias("sn"),
+        ),
+        "seed_id",
+    )
+    resc = assigned.join(F.broadcast(seed_vecs), "old_cell").select(
+        "vid",
+        "old_cell",
+        "seed_id",
+        cosine_pre(F.col("v"), F.col("sv"), F.col("vn"), F.col("sn")).alias(
+            "cs"
+        ),
+    )
+    wr = W.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("seed_id"))
+    split = (
+        resc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("seed_id").alias("new_cell"))
+    )
+    return (
+        assigned.select("vid", "old_cell")
+        .join(split, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "old_cell",
+            F.coalesce("new_cell", "old_cell").alias("new_cell"),
+            F.col("new_cell").isNotNull().alias("was_split"),
+        )
+    )
