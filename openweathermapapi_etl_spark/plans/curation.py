@@ -3097,3 +3097,100 @@ def c06_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
         F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 continued — span-level contamination attribution
+# ---------------------------------------------------------------------------
+
+
+_O_GRAMS4 = (
+    "CASE WHEN len(tk) >= 4 THEN "
+    "list_transform(generate_series(1, len(tk) - 3), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "c09_decon_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_O_GRAMS4}) AS g
+      FROM toks WHERE doc_id % 53 = 0),
+    corpus AS (
+      SELECT doc_id, len(tk) AS n_tokens, i AS pos,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS u(i)
+      WHERE doc_id % 53 <> 0 AND len(tk) >= 4),
+    hits AS (
+      SELECT c.doc_id, c.n_tokens, c.pos
+      FROM corpus c JOIN eval_grams e USING (g))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_hit_grams,
+           CAST(MIN(pos) AS BIGINT)  AS first_pos,
+           CAST(MAX(pos) AS BIGINT)  AS last_pos,
+           CAST(MAX(pos) - MIN(pos) + 4 AS DOUBLE) / n_tokens AS span_frac
+    FROM hits GROUP BY doc_id, n_tokens
+    """,
+)
+def c09_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9d: SPAN-LEVEL contamination attribution — c09_decontaminate
+    says WHICH documents overlap the eval set; this says WHERE: every
+    corpus 4-gram carries its token position through the broadcast
+    eval-gram join, and the per-document rollup reports the hit count,
+    the first/last contaminated positions, and the contaminated span
+    fraction. Reviewers need the span to decide between dropping the
+    document and EXCISING the quoted benchmark passage (the common
+    case: one embedded eval question inside an otherwise-clean page —
+    c04_boilerplate_strip's surgery, pointed at these positions,
+    rescues the document); a doc-level flag forces the lossy choice.
+
+    Scale shape: same as the doc-level gate — eval grams are
+    benchmark-sized and broadcast; positions ride the existing
+    explode (posexplode is free — the index was already there); the
+    rollup is one doc-keyed agg. Span attribution costs ZERO extra
+    shuffles over detection."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    toks = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n_tokens")
+    )
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = (
+        toks.filter(F.col("n_tokens") >= 4)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tk",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - 3)
+            ).alias("pos"),
+        )
+        .select("doc_id", "n_tokens", "pos", gram.alias("g"))
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 53 == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 53 != 0)
+    hits = corpus.join(F.broadcast(eval_grams), "g")
+    return hits.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_hit_grams"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        (
+            (F.max("pos") - F.min("pos") + 4).cast("double")
+            / F.col("n_tokens")
+        ).alias("span_frac"),
+    ).drop("n_tokens").select(
+        "doc_id", "n_hit_grams", "first_pos", "last_pos", "span_frac"
+    )
