@@ -3194,3 +3194,109 @@ def c09_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("n_tokens").select(
         "doc_id", "n_hit_grams", "first_pos", "last_pos", "span_frac"
     )
+
+
+@register(
+    "c09_excise_apply",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_O_GRAMS4}) AS g
+      FROM toks WHERE doc_id % 53 = 0),
+    corpus AS (
+      SELECT doc_id, len(tk) AS n_tokens, i AS pos,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS u(i)
+      WHERE doc_id % 53 <> 0 AND len(tk) >= 4),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS p0, MAX(pos) + 3 AS p1
+      FROM corpus c JOIN eval_grams e USING (g)
+      GROUP BY doc_id),
+    excised AS (
+      SELECT t.doc_id,
+             list_concat(t.tk[1:s.p0 - 1], t.tk[s.p1 + 1:len(t.tk)])
+               AS kept
+      FROM toks t JOIN spans s USING (doc_id))
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+           -- a fully-excised document rebuilds to the empty string
+           -- (DuckDB's empty-list concat folds to NULL; Spark's '')
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned
+    FROM excised
+    """,
+)
+def c09_excise_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9e: contamination EXCISION — the surgery c09_decon_spans points
+    at, applied: for each contaminated document, cut the token range
+    [first contaminated position, last + 3] and rebuild the text from
+    the surviving prefix and suffix — the document is RESCUED minus
+    the quoted benchmark passage, instead of dropped whole (on real
+    corpora the contaminated span is typically a few percent of an
+    otherwise-useful page; doc-level dropping pays that loss
+    corpus-wide). The conservative single-envelope cut (min..max hit)
+    guarantees no eval 4-gram can survive reassembly — two separate
+    quoted passages excise the clean text between them too, the safe
+    direction for a decontamination gate.
+
+    Scale shape: span bounds are the C9d rollup (one doc-keyed agg on
+    the broadcast-join hits); the excision itself is ROW-LOCAL array
+    slicing + join back to the doc spine — rebuilding costs no
+    shuffle beyond attaching the 2-number span to each contaminated
+    row (a doc-keyed broadcast-sized join: contaminated docs are the
+    rare case)."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    toks = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n_tokens")
+    )
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = (
+        toks.filter(F.col("n_tokens") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - 3)
+            ).alias("pos"),
+            gram.alias("g"),
+        )
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 53 == 0).select("g").distinct()
+    )
+    spans = (
+        grams.filter(F.col("doc_id") % 53 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.min("pos").alias("p0"),
+            (F.max("pos") + 3).alias("p1"),
+        )
+    )
+    kept = F.concat(
+        F.slice(F.col("tk"), 1, F.greatest(F.col("p0") - 1, F.lit(0))),
+        F.when(
+            F.col("p1") < F.col("n_tokens"),
+            F.slice(
+                F.col("tk"),
+                F.col("p1") + 1,
+                F.col("n_tokens") - F.col("p1"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        toks.join(F.broadcast(spans), "doc_id")
+        .select("doc_id", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("kept").cast("bigint").alias("n_tokens_kept"),
+            F.array_join(F.col("kept"), " ").alias("cleaned"),
+        )
+    )
