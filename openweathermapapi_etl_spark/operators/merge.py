@@ -200,7 +200,9 @@ class VersionedParquetTable:
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(self._version_dir(version))
+        # Through read_version so merge-on-read tombstones (M21), when
+        # present, apply to current-version reads too.
+        return self.read_version(spark, version)
 
     def versions(self) -> list[int]:
         """Version numbers still on disk (ascending). The retention
@@ -229,7 +231,20 @@ class VersionedParquetTable:
                 f"version {version} not on disk under {self.root} "
                 f"(retained: {self.versions()}) — vacuumed or never written"
             )
-        return spark.read.parquet(d)
+        df = spark.read.parquet(d)
+        # M21 merge-on-read: a tombstone set beside the version applies
+        # at READ time (null-safe anti join on the tombstone columns) —
+        # the data files themselves are the previous version's, linked
+        # unchanged. Versions without tombstones read as before.
+        tomb_dir = self._deletes_dir(version)
+        if os.path.isdir(tomb_dir):
+            tomb = spark.read.parquet(tomb_dir)
+            cond = None
+            for k in tomb.columns:
+                c = df[k].eqNullSafe(tomb[k])
+                cond = c if cond is None else cond & c
+            df = df.join(F.broadcast(tomb), on=cond, how="left_anti")
+        return df
 
     def _write(self, df: DataFrame, target: str) -> None:
         w = df.write.mode("overwrite")
@@ -307,6 +322,13 @@ class VersionedParquetTable:
         if not self.exists():
             return self.overwrite(dedup_last_write_wins(updates, keys, order_col))
         if self.partition_by:
+            # Merge-on-read tombstones must fold into the data before a
+            # partition-pruned merge: untouched partitions are
+            # hard-linked as-is, which would RESURRECT tombstoned rows
+            # the moment the new version commits without its
+            # predecessor's side file. One compaction, then prune.
+            if os.path.isdir(self._deletes_dir(self.current_version())):
+                self.apply_deletes(spark)
             return self._upsert_partitioned(spark, updates, keys, order_col)
         merged = keyed_upsert(self.read(spark), updates, keys, order_col)
         return self.overwrite(merged)
@@ -449,6 +471,9 @@ class VersionedParquetTable:
                     continue
                 if v <= keep - retain and v not in pinned:
                     shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+                    # A vacuumed version's merge-on-read tombstones go
+                    # with it (they are side files OF that snapshot).
+                    shutil.rmtree(self._deletes_dir(v), ignore_errors=True)
 
     # -- M14: branches -------------------------------------------------
     #
@@ -530,6 +555,54 @@ class VersionedParquetTable:
 
     def delete_branch(self, name: str) -> None:
         os.remove(self._branch_pointer(name))
+
+    # -- M21: merge-on-read deletes ------------------------------------
+
+    def _deletes_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"_DELETES_v{version}")
+
+    def delete_mor(
+        self, spark: SparkSession, keys_df: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE-ON-READ delete (Iceberg v2 position/equality deletes,
+        Delta deletion vectors — the write-cheap half of the delete
+        spectrum): instead of rewriting data files (M6's eager
+        delete), commit a new version whose DATA is the previous
+        version hard-linked unchanged plus a TOMBSTONE key set that
+        readers anti-join at scan time. Write cost is O(tombstones) —
+        a 3-row GDPR delete against a 100 TB table costs 3 rows of
+        I/O — traded for a per-read anti-join until
+        :meth:`apply_deletes` compacts. Repeated MOR deletes UNION
+        their tombstones (data files stay the seed's), so reads always
+        apply one combined set."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError("cannot delete from an empty table")
+        new_version = self._next_version()
+        target = self._version_dir(new_version)
+        os.makedirs(target, exist_ok=True)
+        self._link_tree(self._version_dir(cur), target)
+        tomb = keys_df.select(*keys)
+        if os.path.isdir(self._deletes_dir(cur)):
+            tomb = tomb.unionByName(
+                spark.read.parquet(self._deletes_dir(cur))
+            )
+        tomb.distinct().write.mode("overwrite").parquet(
+            self._deletes_dir(new_version)
+        )
+        return self._commit(new_version)
+
+    def apply_deletes(self, spark: SparkSession) -> int:
+        """Compact tombstones into the data (the maintenance half of
+        merge-on-read): rewrite the current version minus its
+        tombstone set as a plain version with no side file — reads go
+        back to pure scans. A no-op when no tombstones exist.
+        Schedule with M5 compaction; until it runs, every reader pays
+        the anti-join, which is the explicit trade MOR makes."""
+        cur = self.current_version()
+        if cur is None or not os.path.isdir(self._deletes_dir(cur)):
+            return cur or 0
+        return self.overwrite(self.read(spark))
 
     # -- M19: partition evolution --------------------------------------
 

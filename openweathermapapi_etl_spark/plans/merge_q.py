@@ -1308,3 +1308,59 @@ def m20_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         version_states(table), "version int, state string"
     )
+
+
+# ---------------------------------------------------------------------------
+# M21 — merge-on-read delete (tombstones applied at scan, compacted later)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m21_merge_on_read_delete",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    WHERE o_custkey % 6 <> 0 AND o_custkey % 11 <> 0
+    """,
+)
+def m21_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M21: MERGE-ON-READ deletes
+    (operators/merge.py::VersionedParquetTable.delete_mor /
+    apply_deletes) — the write-cheap half of the delete spectrum
+    (Iceberg v2 deletes, Delta deletion vectors): two successive
+    tombstone commits (customers %6, then %11) each cost
+    O(tombstones) I/O — the data files are hard-linked unchanged —
+    and readers apply the UNIONED tombstone set as a broadcast
+    anti-join at scan time; then :meth:`apply_deletes` compacts the
+    tombstones away and the final pure-scan read must equal what the
+    MOR reads showed all along (the oracle is the double anti-join —
+    one hash over seed → MOR → compacted proves all three states
+    agree). Eager M6 rewrites and MOR tombstones are the two ends of
+    the same trade: write amplification vs read amplification; a
+    real table mixes them (MOR for small urgent deletes, eager at
+    compaction time — exactly this query's lifecycle).
+
+    pytest pins the mechanics: linked (unrewritten) data files,
+    tombstone accumulation across deletes, and tombstone removal
+    after compaction."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m21_mor_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(orders.select(*ORDER_COLS))
+    table.delete_mor(
+        spark,
+        orders.filter(F.col("o_custkey") % 6 == 0).select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    table.delete_mor(
+        spark,
+        orders.filter(F.col("o_custkey") % 11 == 0).select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    table.apply_deletes(spark)
+    return _present(table.read(spark))

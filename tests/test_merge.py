@@ -954,3 +954,49 @@ def test_shallow_clone_refuses_empty_table(spark, tmp_path):
     empty = VersionedParquetTable(str(tmp_path / "e"))
     with _pytest.raises(FileNotFoundError):
         empty.clone_to(str(tmp_path / "e2"))
+
+
+def test_merge_on_read_delete_links_tombstones_and_compacts(spark, tmp_path):
+    import os as _os
+
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(
+        make_df(spark, [("a", 1, "x"), ("b", 1, "y"), ("c", 1, "z")])
+    )
+    v2 = table.delete_mor(
+        spark, spark.createDataFrame([("a",)], "k string"), keys=["k"]
+    )
+    # MOR read applies tombstones; data files are LINKS, not rewrites.
+    assert _rows(table.read(spark)) == {("b", 1, "y"), ("c", 1, "z")}
+    vdir = table._version_dir(v2)
+    linked = [
+        _os.stat(_os.path.join(dp, f)).st_nlink
+        for dp, _d, fs in _os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert linked and all(n >= 2 for n in linked)
+    # A second MOR delete accumulates tombstones against the same data.
+    table.delete_mor(
+        spark, spark.createDataFrame([("b",)], "k string"), keys=["k"]
+    )
+    assert _rows(table.read(spark)) == {("c", 1, "z")}
+    # Time travel still sees v2 with only its own tombstone set.
+    assert _rows(table.read_version(spark, v2)) == {("b", 1, "y"), ("c", 1, "z")}
+    # Compaction folds tombstones into data; the new current version
+    # has no side file and reads identically.
+    v4 = table.apply_deletes(spark)
+    assert not _os.path.isdir(table._deletes_dir(v4))
+    assert _rows(table.read(spark)) == {("c", 1, "z")}
+
+
+def test_partitioned_upsert_compacts_tombstones_first(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    table.overwrite(make_df(spark, [("a", 1, "p1"), ("b", 1, "p2")]))
+    table.delete_mor(
+        spark, spark.createDataFrame([("a",)], "k string"), keys=["k"]
+    )
+    # An upsert touching ONLY partition p2 must not resurrect 'a'
+    # (whose partition p1 would be hard-linked untouched).
+    table.upsert(spark, make_df(spark, [("b", 2, "p2")]), keys=["k"])
+    assert _rows(table.read(spark)) == {("b", 2, "p2")}
