@@ -556,6 +556,38 @@ class VersionedParquetTable:
     def delete_branch(self, name: str) -> None:
         os.remove(self._branch_pointer(name))
 
+    # -- M22: rollback / RESTORE ---------------------------------------
+
+    def rollback(self, to_version: int) -> int:
+        """RESTORE the table to a retained earlier snapshot: swing the
+        pointer BACK to ``to_version`` — one atomic rename, zero data
+        movement (the bad deploy's version dirs stay on disk for
+        forensics until vacuum; the restored dir was immutable all
+        along). The inverse guard of :meth:`publish` (which refuses to
+        move backwards precisely so that only an EXPLICIT rollback
+        can): the target must still be on disk — a vacuumed version
+        cannot be restored and fails loudly. Subsequent writes
+        allocate past the abandoned versions (the counter never
+        reuses numbers), so history stays unambiguous."""
+        if not os.path.isdir(self._version_dir(to_version)):
+            raise FileNotFoundError(
+                f"cannot rollback to v{to_version}: not on disk "
+                f"(retained: {self.versions()})"
+            )
+        cur = self.current_version() or 0
+        if to_version >= cur:
+            raise ValueError(
+                f"rollback target v{to_version} is not earlier than "
+                f"current v{cur}"
+            )
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": to_version, "committed_at": time.time()}, fh
+            )
+        os.replace(tmp, self._pointer)
+        return to_version
+
     # -- M21: merge-on-read deletes ------------------------------------
 
     def _deletes_dir(self, version: int) -> str:

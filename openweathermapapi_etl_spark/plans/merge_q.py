@@ -1364,3 +1364,49 @@ def m21_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.apply_deletes(spark)
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M22 — rollback / RESTORE (pointer-swing recovery from a bad deploy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m22_rollback_restore",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def m22_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M22: ROLLBACK / RESTORE
+    (operators/merge.py::VersionedParquetTable.rollback) — the
+    incident-recovery primitive: a bad deploy corrupts every 5th
+    customer's totals (v2), rollback swings the pointer BACK to the
+    seed (one atomic rename, zero data movement — the immutable v1
+    dir was sitting there the whole time), and the read must equal
+    the untouched seed; the corrupted v2 stays on disk for forensics
+    until vacuum. This is publish()'s guard inverted on purpose:
+    normal commits refuse to move backwards exactly so that ONLY an
+    explicit rollback can, and a vacuumed target fails loudly (the
+    restore window IS the retention window — m18's history depth).
+
+    Scale: O(1) pointer metadata; recovery time is independent of
+    table size, which is the entire point of keeping snapshots
+    immutable."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m22_restore_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    v1 = table.overwrite(orders.select(*ORDER_COLS))
+    # The bad deploy: corrupt totals for every 5th customer.
+    bad = orders.select(*ORDER_COLS).filter(
+        F.col("o_custkey") % 5 == 0
+    ).withColumn("o_totalprice", F.col("o_totalprice") * -1.0)
+    table.upsert(spark, bad, keys=["o_orderkey"])
+    table.rollback(v1)
+    return _present(table.read(spark))

@@ -1000,3 +1000,23 @@ def test_partitioned_upsert_compacts_tombstones_first(spark, tmp_path):
     # (whose partition p1 would be hard-linked untouched).
     table.upsert(spark, make_df(spark, [("b", 2, "p2")]), keys=["k"])
     assert _rows(table.read(spark)) == {("b", 2, "p2")}
+
+
+def test_rollback_restores_and_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    v1 = table.overwrite(make_df(spark, [("a", 1, "x")]))
+    v2 = table.upsert(spark, make_df(spark, [("a", 2, "BAD")]), keys=["k"])
+    table.rollback(v1)
+    assert _rows(table.read(spark)) == {("a", 1, "x")}
+    # The abandoned version stays readable for forensics.
+    assert _rows(table.read_version(spark, v2)) == {("a", 2, "BAD")}
+    # A post-rollback write allocates PAST the abandoned version.
+    v3 = table.upsert(spark, make_df(spark, [("a", 3, "ok")]), keys=["k"])
+    assert v3 > v2
+    # Guards: no forward rollback, no rollback to a missing version.
+    with _pytest.raises(ValueError):
+        table.rollback(v3)
+    with _pytest.raises(FileNotFoundError):
+        table.rollback(99)
