@@ -627,3 +627,89 @@ def c07_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("fert", "fertility"),
         davg("cpt", "chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C2 continued — dedup precision/recall audit (LSH vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_pr_oracle() -> str:
+    from .tier_c import _O_SHINGLES, _lsh_oracle
+
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    sets AS (SELECT doc_id, list_distinct({_O_SHINGLES}) AS s FROM toks),
+    ne AS (SELECT * FROM sets WHERE len(s) > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s)) AS inter,
+            len(a.s) + len(b.s) AS ssum
+          FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+    truth AS (SELECT id_a, id_b FROM p
+              WHERE inter * 2 >= (ssum - inter) * 1),
+    cand AS ({_lsh_oracle(max_bucket=10_000)}),
+    tp AS (SELECT COUNT(*) AS n FROM truth t
+           JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT)  AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(tp.n AS BIGINT)                         AS tp,
+           CAST(tp.n AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand)              AS precision,
+           CAST(tp.n AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth)             AS recall
+    FROM tp
+    """
+
+
+@register("c02_dedup_pr_audit", oracle=_dedup_pr_oracle())
+def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2n: dedup PRECISION/RECALL audit — the two dedup families audit
+    each other: the exact prefix-filtered set-similarity join
+    (operators/setsim.py, no false negatives BY CONSTRUCTION) is the
+    ground truth at Jaccard >= 1/2, and the production capped-LSH
+    banding is the system under test; one row reports candidate
+    count, truth count, true positives, precision, and recall. This
+    is the audit that SIZES the verify stage (precision < 1 is
+    exactly the fraction of candidate pairs the C2e/C2f verifiers
+    will reject — budget them accordingly) and would CATCH a banding
+    regression as recall < 1 (a bucket cap set too low, a band-width
+    change pushing the S-curve past the corpus's similarity mass).
+    Estimator calibration (c02_minhash_estimate_error) explains WHY a
+    pair was missed; this measures HOW MANY.
+
+    Scale shape: both sides are the audited pipelines unchanged
+    (bucketed banding; rarest-shingle prefix join) — the audit adds
+    one pair-keyed join of two candidate-sized sets and three scalar
+    counts. At 100 TB the ground-truth side runs on a SAMPLE (the
+    exact join is no-false-negative at any size, but paying it
+    corpus-wide is the cost banding exists to avoid) — the P/R
+    estimate is unbiased under uniform pair sampling."""
+    from fractions import Fraction as Fr
+
+    d = t(spark, sf_dir, "documents")
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    truth = setsim_join(d, "doc_id", "text", tau=Fr(1, 2)).select(
+        "id_a", "id_b"
+    )
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    ).select("id_a", "id_b")
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
+    return (
+        tp.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "tp",
+            (F.col("tp").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+            (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )
