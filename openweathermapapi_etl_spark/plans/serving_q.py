@@ -273,3 +273,85 @@ def c07_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # pin=False: deterministic parquet lineage (see rank.py policy).
     return epoch_shuffle(docs, "doc_id", n_epochs=_N_EPOCHS, pin=False)
+
+
+@register(
+    "c07_epoch_decorrelation",
+    oracle=f"""
+    WITH e AS (SELECT CAST(unnest(generate_series(0, 1)) AS INT) AS epoch),
+    x AS (SELECT epoch, doc_id,
+                 {{h}} AS h0
+          FROM documents, e),
+    k AS (SELECT epoch, doc_id,
+                 ((h0 * h0) % 1000000007 * 2654435761 + h0)
+                   % 1000000007 AS h
+          FROM x),
+    pos AS (SELECT epoch, doc_id,
+                   CAST(row_number() OVER (PARTITION BY epoch
+                                           ORDER BY h, doc_id) AS BIGINT)
+                     AS pos
+            FROM k),
+    paired AS (
+      SELECT a.doc_id, a.pos AS p0, b.pos AS p1
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+      WHERE a.epoch = 0 AND b.epoch = 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((p0 - p1) * (p0 - p1)) AS BIGINT) AS d2
+          FROM paired)
+    SELECT n, d2,
+           1.0 - 6.0 * d2 / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) * n - 1)) AS spearman_rho
+    FROM s
+    """.format(h=_O_HASH.format(
+        s="'eshuf:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    )),
+)
+def c07_epoch_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7v: epoch DECORRELATION audit — does the reshuffle actually
+    shuffle? Spearman rank correlation between a document's position
+    in epoch 0 and epoch 1: ρ = 1 − 6·Σd²/(n(n²−1)), where Σd² over
+    the paired positions is EXACT integer arithmetic (positions are
+    ranks by construction) and only the final normalization is a
+    double — bit-exact cross-engine with no quantization tricks. A
+    healthy shuffle sits near 0; ρ near 1 is the classic
+    seed-reuse/salt-collision bug (every epoch replays the same
+    order, the model sees data in one fixed curriculum and
+    overfits order artifacts), ρ near −1 an accidental reversal.
+    This audit is why the scramble in epoch_shuffle is load-bearing:
+    the raw polynomial hash's trailing-character order-preservation
+    would show up HERE as ρ >> 0 across epochs.
+
+    Scale shape: positions come from the audited operator's own
+    range-shuffle ranks; the pairing is one id-keyed self-join of two
+    epoch slices; the rollup is three scalar integers. Auditing the
+    shuffle costs one join over what the shuffle itself cost."""
+    docs = t(spark, sf_dir, "documents")
+    pos = epoch_shuffle(docs, "doc_id", n_epochs=2, pin=False).select(
+        "epoch", "doc_id", "pos"
+    )
+    a = pos.filter(F.col("epoch") == 0).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    b = pos.filter(F.col("epoch") == 1).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    s = (
+        a.join(b, "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("p0") - F.col("p1")) * (F.col("p0") - F.col("p1"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "d2",
+        (
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("d2") / (n_d * (n_d * F.col("n") - 1))
+        ).alias("spearman_rho"),
+    )
