@@ -3584,3 +3584,49 @@ def b73_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+@register(
+    "b74_null_skew_left_join",
+    oracle="""
+    WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer),
+    s AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS seg_n
+          FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_custkey, c.seg, s.seg_n
+    FROM c LEFT JOIN s ON s.seg = c.seg
+    """,
+)
+def b74_null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B74: NULL-key skew shortcut for outer joins — the classic silent
+    scale killer: a LEFT join's NULL keys can never match, but a
+    plain shuffle join still HASHES them, and since every NULL hashes
+    identically, ALL null-key rows land on ONE reducer (a 20%-null
+    fact table puts 20% of the corpus on a single task). The fix is
+    algebraic: split the left side — non-null keys take the real
+    join, null keys bypass it entirely with NULL-filled right columns
+    — and union. Result-identical to the naive join (the oracle IS
+    the naive join), but the exchange now carries zero null keys;
+    the same split handles any hot sentinel value (empty string,
+    'unknown', epoch-0 dates) with `when` in place of isNull.
+
+    At 100 TB this is the difference between a join that finishes and
+    one whose straggler task spills forever; AQE's skew handling
+    splits oversized partitions after the fact, this prevents the
+    skew from entering the shuffle at all — prevention and cure
+    compose."""
+    cust = t(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    s = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("seg_n")
+    )
+    matched = c.filter(F.col("seg").isNotNull()).join(s, "seg", "left")
+    bypassed = c.filter(F.col("seg").isNull()).withColumn(
+        "seg_n", F.lit(None).cast("bigint")
+    )
+    return matched.select("c_custkey", "seg", "seg_n").unionByName(
+        bypassed.select("c_custkey", "seg", "seg_n")
+    )
