@@ -3300,3 +3300,105 @@ def c09_excise_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.col("kept"), " ").alias("cleaned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 continued — water-filling token budget allocation across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_budget_waterfill",
+    oracle="""
+    WITH caps AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS cap
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(cap) * 49 / 50 AS BIGINT) AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM caps),
+    ordered AS (
+      SELECT source, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS rk,
+             CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS taken_before
+      FROM caps),
+    cands AS (
+      SELECT o.source, o.cap,
+             CAST(FLOOR(CAST(t.budget - o.taken_before AS DOUBLE)
+                        / (t.n - o.rk + 1)) AS BIGINT) AS cand
+      FROM ordered o, tot t),
+    line AS (SELECT CAST(MAX(cand) AS BIGINT) AS waterline FROM cands)
+    SELECT c.source, c.cap,
+           CAST(LEAST(c.cap, l.waterline) AS BIGINT) AS alloc,
+           LEAST(c.cap, l.waterline) = c.cap AS exhausted
+    FROM cands c, line l
+    """,
+)
+def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7w: WATER-FILLING budget allocation — distribute a token
+    budget (half the corpus here) across sources targeting equal
+    shares, under SUPPLY constraints (budget = 98% of the corpus, so scarce
+    sources genuinely exhaust at test SF): a source with fewer tokens than
+    its fair share is taken whole ("exhausted") and its unused
+    entitlement redistributes to the rest. The greedy one-pass form:
+    sort sources by capacity ascending; the WATERLINE is
+    max over prefixes of ⌊(budget − smaller caps) / sources left⌋
+    (the one-pass closed form — prefixes past the transition
+    under-estimate and the max ignores them), and every source takes
+    min(cap, waterline). Floor rounding strands < n_sources tokens,
+    the documented remainder.
+    This is the real shape of mixture planning (c07_domain_mix picks
+    target shares; this reconciles them with what actually exists —
+    the step naive mixture math gets wrong by oversampling scarce
+    domains into repetition). All integer arithmetic (floor
+    division), bit-exact cross-engine.
+
+    Scale shape: one corpus pass for per-source caps, then the
+    waterfill runs on the SOURCE table — thousands of rows at worst —
+    as one window pass; the allocation table then drives
+    c07_token_budget_sample per source. The corpus never shuffles for
+    the planning step."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    caps = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("cap")
+    )
+    tot = caps.agg(
+        (F.sum("cap") * 49 / 50).cast("bigint").alias("budget"),
+        F.count("*").alias("n"),
+    )
+    wo = W.orderBy("cap", "source")
+    ordered = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(wo).alias("rk"),
+        F.coalesce(
+            F.sum("cap").over(
+                wo.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("taken_before"),
+    )
+    cands = ordered.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cap",
+        F.floor(
+            (F.col("budget") - F.col("taken_before")).cast("double")
+            / (F.col("n") - F.col("rk") + 1)
+        )
+        .cast("bigint")
+        .alias("cand"),
+    )
+    line = cands.agg(F.max("cand").cast("bigint").alias("waterline"))
+    return cands.crossJoin(F.broadcast(line)).select(
+        "source",
+        "cap",
+        F.least(F.col("cap"), F.col("waterline")).alias("alloc"),
+        (F.least(F.col("cap"), F.col("waterline")) == F.col("cap")).alias(
+            "exhausted"
+        ),
+    )
