@@ -3630,3 +3630,59 @@ def b74_null_skew_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select("c_custkey", "seg", "seg_n").unionByName(
         bypassed.select("c_custkey", "seg", "seg_n")
     )
+
+
+@register(
+    "b75_dynamic_partition_pruning",
+    oracle=f"""
+    WITH dim AS (SELECT DISTINCT o_orderstatus AS st FROM orders
+                 WHERE o_orderpriority = '1-URGENT')
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN dim ON dim.st = o.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+)
+def b75_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B75: DYNAMIC PARTITION PRUNING — the fact table is hive-
+    partitioned on the join key, and the dimension's filter sits on a
+    DIFFERENT column, so the set of surviving join keys is unknowable
+    at plan time: static pruning cannot help, and without DPP the
+    fact scan reads every partition only to throw most rows away at
+    the join. Spark's DPP turns the broadcast dim into a runtime
+    partition filter on the scan (`dynamicpruningexpression(key IN
+    dynamicpruning#N)` — pinned in tests/test_plan_shapes.py): the
+    fact side never lists, opens, or decodes the pruned partitions.
+    On a 100 TB date/tenant-partitioned fact this is the star-schema
+    workhorse — the dim filter prunes I/O proportionally, not just
+    compute. (When the dim filter IS on the join key, Catalyst
+    already infers a static filter through the equi-join — DPP is
+    specifically the runtime-valued case, which is why this query's
+    dim filters on priority, not status.)
+
+    The query materializes the partitioned fact from the testdata
+    (partition layouts are a WRITER choice — B4c), joins, and
+    aggregates; the oracle computes the identical semi-filtered
+    aggregate from the flat table."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b75_dpp_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders.write.partitionBy("o_orderstatus").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderstatus").alias("st"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["o_orderstatus"] == dim["st"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

@@ -609,3 +609,14 @@ def test_k_anonymity_class_table_broadcasts(spark, sf):
     s, tree = plan_of(spark, "c04_k_anonymity", sf)
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_dynamic_partition_pruning_engages(spark):
+    """b75_dynamic_partition_pruning's contract: with the dim filtered
+    on a non-key column, the partitioned fact scan carries a runtime
+    `dynamicpruningexpression` partition filter — pruned partitions
+    are never listed or decoded. (Checked at one SF: the DPP decision
+    keys on plan structure, not data volume, once stats pass the
+    benefit heuristic.)"""
+    s, _tree = plan_of(spark, "b75_dynamic_partition_pruning", SF_DIRS[0])
+    assert "dynamicpruningexpression" in s
