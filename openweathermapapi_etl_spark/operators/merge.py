@@ -165,10 +165,42 @@ class VersionedParquetTable:
       existing key in an untouched partition would escape the merge.
     """
 
+    #: sentinel distinguishing "no sidecar on disk" from a persisted
+    #: ``None`` (an explicit unpartitioned relayout).
+    _NO_LAYOUT = object()
+
     def __init__(self, root: str, partition_by: str | None = None) -> None:
         self.root = root
         self.partition_by = partition_by
         os.makedirs(root, exist_ok=True)
+        # The committed layout on disk WINS over the constructor
+        # argument: after repartition_layout() (M19), a handle opened
+        # later with the old column would otherwise run the partitioned
+        # upsert/delete link logic against dirs that no longer match
+        # f"{pcol}=" and silently drop every untouched row. Versions
+        # written before layout sidecars existed fall back to the
+        # constructor argument.
+        cur = self.current_version()
+        if cur is not None:
+            persisted = self._persisted_layout(cur)
+            if persisted is not self._NO_LAYOUT:
+                self.partition_by = persisted
+
+    def _layout_path(self, version: int) -> str:
+        # Inside the version dir: underscore-prefixed files are
+        # invisible to Spark's parquet reader (like _SUCCESS), and the
+        # sidecar travels with hard-link clones for free.
+        return os.path.join(self._version_dir(version), "_LAYOUT.json")
+
+    def _persisted_layout(self, version: int):
+        """The hive layout ``version`` was WRITTEN with, from its
+        ``_LAYOUT.json`` sidecar; ``_NO_LAYOUT`` when the version
+        predates layout metadata."""
+        try:
+            with open(self._layout_path(version)) as fh:
+                return json.load(fh)["partition_by"]
+        except (OSError, ValueError, KeyError):
+            return self._NO_LAYOUT
 
     @property
     def _pointer(self) -> str:
@@ -195,6 +227,26 @@ class VersionedParquetTable:
         tests/test_merge.py::test_branch_merge_refuses_diverged_main:
         a main-line upsert clobbered the branch head's snapshot)."""
         return max(self.versions() or [0], default=0) + 1
+
+    def _txn_pinned_versions(self) -> set[int]:
+        """Versions of THIS table referenced by an enclosing
+        :class:`MultiTableTxn` pointer (``root/../_TXN``). A txn commit
+        never swings the per-table ``_VERSION`` pointer, so without
+        this the cleanup paths (``version_states`` / ``abandon`` /
+        ``_vacuum``) would classify a txn-committed snapshot as
+        abandoned staged work and delete the very version the txn
+        pointer references."""
+        txn_pointer = os.path.join(
+            os.path.dirname(self.root.rstrip(os.sep)), "_TXN"
+        )
+        name = os.path.basename(self.root.rstrip(os.sep))
+        try:
+            with open(txn_pointer) as fh:
+                ref = json.load(fh)
+            v = ref.get("tables", {}).get(name)
+        except (OSError, ValueError, AttributeError):
+            return set()
+        return {int(v)} if v is not None else set()
 
     def read(self, spark: SparkSession) -> DataFrame:
         version = self.current_version()
@@ -251,6 +303,11 @@ class VersionedParquetTable:
         if self.partition_by:
             w = w.partitionBy(self.partition_by)
         w.parquet(target)
+        # Persist the layout this version was written with (M19): a
+        # handle opened later resolves partition_by from disk instead
+        # of trusting its constructor argument.
+        with open(os.path.join(target, "_LAYOUT.json"), "w") as fh:
+            json.dump({"partition_by": self.partition_by}, fh)
 
     def _commit(self, new_version: int) -> int:
         tmp = self._pointer + ".tmp"
@@ -302,9 +359,17 @@ class VersionedParquetTable:
 
     def abandon(self, staged_version: int) -> None:
         """Drop a staged version after a failed audit. Guarded: never
-        removes the committed current version."""
+        removes the committed current version, and never a version an
+        enclosing MultiTableTxn pointer references (txn commits don't
+        swing the per-table pointer, so such versions LOOK staged from
+        the per-table view but are committed state)."""
         if staged_version == (self.current_version() or 0):
             raise ValueError(f"v{staged_version} is published; not removable")
+        if staged_version in self._txn_pinned_versions():
+            raise ValueError(
+                f"v{staged_version} is committed by the enclosing "
+                f"multi-table transaction (_TXN); not removable"
+            )
         shutil.rmtree(self._version_dir(staged_version), ignore_errors=True)
 
     def upsert(
@@ -393,9 +458,18 @@ class VersionedParquetTable:
         this edge).
         """
         dk = delete_keys.select(keys).distinct()
-        old = self.read(spark)
         if not self.partition_by:
-            return self.overwrite(old.join(F.broadcast(dk), keys, "left_anti"))
+            return self.overwrite(
+                self.read(spark).join(F.broadcast(dk), keys, "left_anti")
+            )
+        # Same hazard the partitioned upsert guards against: untouched
+        # partitions hard-link from the previous version WITHOUT its
+        # merge-on-read side file, so pending tombstones would be
+        # resurrected the moment the new version commits. Fold them
+        # into the data first, then prune.
+        if os.path.isdir(self._deletes_dir(self.current_version())):
+            self.apply_deletes(spark)
+        old = self.read(spark)
         pcol = self.partition_by
         old_version = self.current_version()
         old_dir = self._version_dir(old_version)
@@ -463,6 +537,11 @@ class VersionedParquetTable:
             ref = self._branch_ref(b)
             pinned.add(ref["head"])
             pinned.add(ref["base"])
+        # Versions an enclosing multi-table transaction committed are
+        # live state even when older than the per-table pointer's
+        # vacuum horizon — the _TXN pointer is the reader's source of
+        # truth for those.
+        pinned |= self._txn_pinned_versions()
         for entry in os.listdir(self.root):
             if entry.startswith("v="):
                 try:
@@ -586,6 +665,12 @@ class VersionedParquetTable:
                 {"version": to_version, "committed_at": time.time()}, fh
             )
         os.replace(tmp, self._pointer)
+        # A rollback may cross a partition-evolution boundary (M19):
+        # re-resolve this handle's layout from the restored version so
+        # subsequent partitioned writes match the restored dirs.
+        persisted = self._persisted_layout(to_version)
+        if persisted is not self._NO_LAYOUT:
+            self.partition_by = persisted
         return to_version
 
     # -- M21: merge-on-read deletes ------------------------------------
@@ -652,7 +737,11 @@ class VersionedParquetTable:
         a normal staged version behind the same atomic pointer swing.
 
         Cost is one full rewrite of current data — schedule with
-        compaction (M5); the layout metadata itself is free."""
+        compaction (M5); the layout metadata itself is free. The new
+        layout is persisted in the version's ``_LAYOUT.json`` sidecar,
+        so handles opened later resolve it from disk — a stale
+        constructor argument cannot desync writes from the dirs on
+        disk."""
         current = self.read(spark)
         self.partition_by = new_partition_by
         return self.overwrite(current)
@@ -676,6 +765,12 @@ class VersionedParquetTable:
         target = clone._version_dir(1)
         os.makedirs(target, exist_ok=True)
         self._link_tree(self._version_dir(cur), target)
+        # Pending merge-on-read tombstones (M21) are part of the
+        # snapshot's LOGICAL content — without them the clone would
+        # resurrect every MOR-deleted row (e.g. a GDPR delete) in its
+        # v=1. Link the side file as the clone's own tombstone set.
+        if os.path.isdir(self._deletes_dir(cur)):
+            self._link_tree(self._deletes_dir(cur), clone._deletes_dir(1))
         clone._commit(1)
         return clone
 
@@ -937,19 +1032,25 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
     committed pointer — the crash-forensics audit that finds work a
     failed writer left behind: ``current`` (the pointer target),
     ``retained`` (older, inside the vacuum window — time-travel
-    readable), and ``staged-uncommitted`` (NEWER than the pointer: a
-    stage() whose commit never happened — crashed ingest, abandoned
-    WAP audit, or an M16 transaction that died between stage and
-    publish). Staged-uncommitted dirs are safe to abandon() after the
-    writer is confirmed dead; they are invisible to readers either
-    way, which is the crash-safety property this audit verifies from
-    the OUTSIDE. Control-plane-sized (one listdir), independent of
-    data volume."""
+    readable), ``txn-committed`` (referenced by an enclosing
+    MultiTableTxn's ``_TXN`` pointer — committed state that only LOOKS
+    staged from the per-table view because txn commits never swing the
+    per-table pointer; NOT safe to remove), and ``staged-uncommitted``
+    (NEWER than the pointer and unreferenced: a stage() whose commit
+    never happened — crashed ingest, abandoned WAP audit, or an M16
+    transaction that died between stage and publish).
+    Staged-uncommitted dirs are safe to abandon() after the writer is
+    confirmed dead; they are invisible to readers either way, which is
+    the crash-safety property this audit verifies from the OUTSIDE.
+    Control-plane-sized (one listdir), independent of data volume."""
     cur = table.current_version() or 0
+    txn_pinned = table._txn_pinned_versions()
     out: list[tuple[int, str]] = []
     for v in table.versions():
         if v == cur:
             state = "current"
+        elif v in txn_pinned:
+            state = "txn-committed"
         elif v < cur:
             state = "retained"
         else:

@@ -3314,7 +3314,7 @@ def c09_excise_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                AS cap
       FROM documents GROUP BY source),
-    tot AS (SELECT CAST(SUM(cap) * 49 / 50 AS BIGINT) AS budget,
+    tot AS (SELECT CAST((SUM(cap) * 49) // 50 AS BIGINT) AS budget,
                    CAST(COUNT(*) AS BIGINT) AS n FROM caps),
     ordered AS (
       SELECT source, cap,
@@ -3337,8 +3337,8 @@ def c09_excise_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7w: WATER-FILLING budget allocation — distribute a token
-    budget (half the corpus here) across sources targeting equal
-    shares, under SUPPLY constraints (budget = 98% of the corpus, so scarce
+    budget across sources targeting equal shares, under SUPPLY
+    constraints (budget = 98% of the corpus, so scarce
     sources genuinely exhaust at test SF): a source with fewer tokens than
     its fair share is taken whole ("exhausted") and its unused
     entitlement redistributes to the rest. The greedy one-pass form:
@@ -3365,8 +3365,13 @@ def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = d.groupBy("source").agg(
         F.sum(F.size(tokens("text"))).cast("bigint").alias("cap")
     )
+    # Integer floor division on BOTH sides (Spark DIV, DuckDB //): the
+    # earlier double route differed by 1 whenever SUM(cap)*49 wasn't
+    # divisible by 50 (DuckDB's double->bigint cast rounds to nearest,
+    # Spark's truncates) — enough to shift the waterline. Caps are
+    # non-negative, so truncation == floor and the two are bit-exact.
     tot = caps.agg(
-        (F.sum("cap") * 49 / 50).cast("bigint").alias("budget"),
+        F.expr("CAST((sum(cap) * 49) DIV 50 AS BIGINT)").alias("budget"),
         F.count("*").alias("n"),
     )
     wo = W.orderBy("cap", "source")

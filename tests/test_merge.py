@@ -1020,3 +1020,95 @@ def test_rollback_restores_and_guards(spark, tmp_path):
         table.rollback(v3)
     with _pytest.raises(FileNotFoundError):
         table.rollback(99)
+
+
+def test_partitioned_delete_compacts_tombstones_first(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    table.overwrite(
+        make_df(spark, [("a", 1, "p1"), ("b", 1, "p2"), ("c", 1, "p2")])
+    )
+    table.delete_mor(
+        spark, spark.createDataFrame([("a",)], "k string"), keys=["k"]
+    )
+    # An eager delete touching ONLY partition p2 must not resurrect
+    # 'a' (whose partition p1 is hard-linked untouched — the same
+    # hazard the partitioned upsert guards against).
+    table.delete(spark, spark.createDataFrame([("b",)], "k string"), keys=["k"])
+    assert _rows(table.read(spark)) == {("c", 1, "p2")}
+
+
+def test_clone_carries_pending_mor_tombstones(spark, tmp_path):
+    src = VersionedParquetTable(str(tmp_path / "src"))
+    src.overwrite(make_df(spark, [("a", 1, "x"), ("b", 1, "y")]))
+    src.delete_mor(
+        spark, spark.createDataFrame([("a",)], "k string"), keys=["k"]
+    )
+    clone = src.clone_to(str(tmp_path / "dst"))
+    # The MOR-deleted row must stay deleted in the clone's v=1...
+    assert _rows(clone.read(spark)) == {("b", 1, "y")}
+    # ...and the clone's tombstones are its OWN: compacting them in
+    # the clone leaves the source's pending set untouched.
+    clone.apply_deletes(spark)
+    assert _rows(clone.read(spark)) == {("b", 1, "y")}
+    assert os.path.isdir(src._deletes_dir(src.current_version()))
+    assert _rows(src.read(spark)) == {("b", 1, "y")}
+
+
+def test_txn_committed_versions_survive_per_table_cleanup(spark, tmp_path):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import (
+        MultiTableTxn,
+        version_states,
+    )
+
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    a = txn.table("a")
+    txn.commit({"a": a.stage(make_df(spark, [("a", 1, "x")]))})
+    # The txn-committed version is NEWER than the per-table pointer
+    # (txn commits never swing it) — the audit must not call it
+    # abandonable staged work.
+    assert version_states(a) == [(1, "txn-committed")]
+    with _pytest.raises(ValueError):
+        a.abandon(1)
+    assert _rows(txn.read(spark, "a")) == {("a", 1, "x")}
+    # Per-table vacuum (run by any direct commit) must pin the
+    # txn-referenced version even when it falls outside the per-table
+    # retention window.
+    for i in range(2, 6):
+        a.overwrite(make_df(spark, [("a", i, "direct")]))
+    assert os.path.isdir(a._version_dir(1))
+    assert _rows(txn.read(spark, "a")) == {("a", 1, "x")}
+
+
+def test_repartition_layout_persists_across_handles(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t1 = VersionedParquetTable(root, partition_by="val")
+    t1.upsert(spark, make_df(spark, [("a", 1, "p1"), ("b", 1, "p2")]), keys=["k"])
+    t1.repartition_layout(spark, "k")
+    # A handle opened later with the STALE constructor argument must
+    # resolve the evolved layout from disk — otherwise its partitioned
+    # upsert would link nothing (no 'val=' dirs remain) and silently
+    # drop every untouched row.
+    t2 = VersionedParquetTable(root, partition_by="val")
+    assert t2.partition_by == "k"
+    t2.upsert(spark, make_df(spark, [("b", 2, "p2b")]), keys=["k"])
+    # select() normalizes hive-partition column position on read.
+    assert _rows(t2.read(spark).select("k", "ord", "val")) == {
+        ("a", 1, "p1"),
+        ("b", 2, "p2b"),
+    }
+
+
+def test_rollback_across_partition_evolution_restores_layout(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    v1 = table.overwrite(make_df(spark, [("a", 1, "p1"), ("b", 1, "p2")]))
+    table.repartition_layout(spark, "k")
+    table.rollback(v1)
+    # The handle's write layout follows the restored snapshot.
+    assert table.partition_by == "val"
+    table.upsert(spark, make_df(spark, [("b", 2, "p2")]), keys=["k"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {
+        ("a", 1, "p1"),
+        ("b", 2, "p2"),
+    }
