@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     # in the book: 16 inline 64-term folds, zero shuffle).
     "c03_centroid_drift",
     "c03_jl_projection",
+    # Round-8 additions: the first-copy chunk dedup (global min-by over
+    # chunk text + winner join-back — the map-side-combining sibling of
+    # the boilerplate strip's count+filter shape).
+    "c04_first_copy_dedup",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -283,6 +283,28 @@ class VersionedParquetTable:
                 f"version {version} not on disk under {self.root} "
                 f"(retained: {self.versions()}) — vacuumed or never written"
             )
+        has_data = any(
+            fn.endswith(".parquet")
+            for _dp, _dn, fns in os.walk(d)
+            for fn in fns
+        )
+        if not has_data:
+            # An all-rows-deleted version: a partitioned write of an
+            # empty frame produces no data files, so schema inference
+            # has nothing to read. The _LAYOUT.json sidecar recorded
+            # the schema at write time — an empty table is a normal
+            # state, not an error.
+            try:
+                with open(self._layout_path(version)) as fh:
+                    schema_json = json.load(fh)["schema"]
+            except (OSError, ValueError, KeyError):
+                raise FileNotFoundError(
+                    f"version {version} under {self.root} has no data "
+                    f"files and no schema sidecar — unreadable"
+                ) from None
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(schema_json))
         df = spark.read.parquet(d)
         # M21 merge-on-read: a tombstone set beside the version applies
         # at READ time (null-safe anti join on the tombstone columns) —
@@ -305,9 +327,18 @@ class VersionedParquetTable:
         w.parquet(target)
         # Persist the layout this version was written with (M19): a
         # handle opened later resolves partition_by from disk instead
-        # of trusting its constructor argument.
+        # of trusting its constructor argument. The schema rides along
+        # so an ALL-ROWS-DELETED version (a partitioned write of an
+        # empty frame leaves no data files at all) stays readable as
+        # an empty frame instead of failing schema inference.
         with open(os.path.join(target, "_LAYOUT.json"), "w") as fh:
-            json.dump({"partition_by": self.partition_by}, fh)
+            json.dump(
+                {
+                    "partition_by": self.partition_by,
+                    "schema": df.schema.jsonValue(),
+                },
+                fh,
+            )
 
     def _commit(self, new_version: int) -> int:
         tmp = self._pointer + ".tmp"

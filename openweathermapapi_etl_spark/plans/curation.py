@@ -3407,3 +3407,91 @@ def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exhausted"
         ),
     )
+
+
+@register(
+    "c04_first_copy_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_no,
+             array_to_string(tk[i:i+2], ' ') AS ctext
+      FROM toks, unnest(generate_series(1, len(tk), 3)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, chunk_no, ctext,
+             ROW_NUMBER() OVER (PARTITION BY ctext
+                                ORDER BY doc_id, chunk_no) AS rn
+      FROM chunks),
+    kept AS (SELECT doc_id, chunk_no, ctext FROM ranked WHERE rn = 1),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(ctext, ' ' ORDER BY chunk_no) AS cleaned
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.cleaned, '') AS cleaned
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4w: FIRST-COPY exact dedup at chunk granularity — every chunk
+    survives exactly ONCE corpus-wide, in its earliest position by
+    (doc_id, chunk_no); all later copies are excised and each doc is
+    reassembled from its surviving chunks in original order. This is
+    the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" semantic at paragraph granularity, and it is NOT
+    c04_boilerplate_strip (which drops ALL copies of chunks above a
+    document-frequency threshold): here rare-but-repeated text keeps
+    one canonical copy, so no content is lost — only repetition.
+
+    Scale shape: explode → groupBy(chunk text) with min(struct(doc_id,
+    chunk_no)) — partial aggregation combines map-side, so the shuffle
+    carries one candidate winner per chunk per input partition, not
+    every occurrence (cheaper than the oracle's window, which would
+    sort each chunk group) → broadcast-friendly join back on the
+    winner triple → one doc-keyed rollup with an order-restoring
+    array_sort (collect_list order is partition-nondeterministic and
+    must never reach the output). At 100 TB key the shuffle by
+    xxhash64(ctext) (collision-checked) so it carries 8 bytes per
+    chunk, not the text."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(token_chunks(tokens("text"), 3, 3)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.array_join(F.col("c.toks"), " ").alias("ctext"),
+    )
+    firsts = ch.groupBy("ctext").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("f")
+    )
+    kept = ch.join(
+        firsts.select(
+            "ctext",
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.chunk_no").alias("chunk_no"),
+        ),
+        ["ctext", "doc_id", "chunk_no"],
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_no", "ctext"))
+                ),
+                lambda x: x.ctext,
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )

@@ -1410,3 +1410,94 @@ def m22_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.upsert(spark, bad, keys=["o_orderkey"])
     table.rollback(v1)
     return _present(table.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# M23 — write-time CHECK constraints (Delta-invariant style commit gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m23_write_constraints",
+    oracle="""
+    WITH batch AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 103 = 0 THEN NULL
+                  ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders)
+    SELECT 'price_positive' AS rule,
+           CAST(COUNT(*) FILTER (WHERE (o_totalprice > 0) IS NOT TRUE)
+                AS BIGINT) AS n_violations
+    FROM batch
+    UNION ALL
+    SELECT 'status_enum',
+           CAST(COUNT(*) FILTER (
+             WHERE (o_orderstatus IN ('O', 'F', 'P')) IS NOT TRUE)
+                AS BIGINT)
+    FROM batch
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM batch
+    UNION ALL
+    SELECT 'date_in_range',
+           CAST(COUNT(*) FILTER (
+             WHERE (o_orderdate BETWEEN DATE '1995-01-01'
+                                    AND DATE '2001-12-31') IS NOT TRUE)
+                AS BIGINT)
+    FROM batch
+    """,
+)
+def m23_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M23: write-time CHECK constraints
+    (operators/constraints.py::audit_constraints) — the commit gate a
+    production lakehouse puts in front of every write (Delta
+    invariants / CHECK constraints; the reference DAG has no such
+    layer — /root/reference/dags/weather-etl.py loads the payload
+    straight into staging, which is exactly the gap this closes). A
+    simulated dirty upstream batch (deterministically corrupted
+    slices of orders: negated prices, an out-of-enum status, NULLed
+    customer keys) is audited against four declared rules; the
+    output is the per-rule violation report — including the
+    zero-violation rule, proving every rule ran. A row violates when
+    its predicate is NOT TRUE (FALSE or NULL both fail — Delta
+    semantics, stricter than ANSI CHECK where UNKNOWN passes);
+    `enforce_constraints` raising before any version dir is written
+    is pinned by pytest.
+
+    Scale shape: ONE full-scan Aggregate — every rule compiles to a
+    conditional count inside the same whole-stage-codegen pass, so 40
+    rules cost one scan, not 40; the report is rules-sized regardless
+    of batch size and the table never holds a contract-breaking row."""
+    from ..operators.constraints import audit_constraints
+
+    o = t(spark, sf_dir, "orders")
+    batch = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    return audit_constraints(
+        batch,
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_enum": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "date_in_range": F.col("o_orderdate").between(
+                "1995-01-01", "2001-12-31"
+            ),
+        },
+    )

@@ -3686,3 +3686,44 @@ def b75_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+@register(
+    "b76_parameterized_sql",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def b76_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B76: named-parameter SQL (``spark.sql(..., args={...})``,
+    Spark 3.4+) — the injection-safe way to template a query: values
+    bind as TYPED literal expressions in the parsed plan, never by
+    string interpolation, so a hostile string parameter cannot change
+    the query's structure (the SQL-injection class is gone by
+    construction) and Catalyst still constant-folds the bound
+    literals into pushed-down scan filters exactly as if they were
+    inline.
+
+    The oracle is the same query with the parameters inlined — the
+    hash match proves binding is semantics-neutral. Scale: identical
+    plan to the literal query (filter pushdown + partial agg); the
+    binding itself is driver-side parse-time work, free at any data
+    size."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_totalprice > :minp AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"minp": 50000.0, "prio": "1-URGENT"},
+    )

@@ -1112,3 +1112,54 @@ def test_rollback_across_partition_evolution_restores_layout(spark, tmp_path):
         ("a", 1, "p1"),
         ("b", 2, "p2"),
     }
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    table.overwrite(make_df(spark, [("a", 1, "p1"), ("b", 1, "p2")]))
+    table.delete(
+        spark, spark.createDataFrame([("a",), ("b",)], "k string"), keys=["k"]
+    )
+    # A partitioned write of an empty frame leaves no data files;
+    # the schema sidecar keeps the empty version readable.
+    out = table.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "ord", "val"}
+    # And the table stays writable past the empty state.
+    table.upsert(spark, make_df(spark, [("c", 1, "p3")]), keys=["k"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {("c", 1, "p3")}
+
+
+def test_enforce_constraints_blocks_dirty_batch_zero_trace(spark, tmp_path):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.constraints import (
+        ConstraintViolation,
+        audit_constraints,
+        enforce_constraints,
+    )
+
+    rules = {
+        "ord_positive": F.col("ord") > 0,
+        "val_not_null": F.col("val").isNotNull(),
+    }
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(
+        enforce_constraints(make_df(spark, [("a", 1, "x")]), rules)
+    )
+    dirty = make_df(spark, [("b", -1, "y"), ("c", 2, None), ("d", None, "z")])
+    with _pytest.raises(ConstraintViolation) as exc:
+        table.overwrite(enforce_constraints(dirty, rules))
+    # NULL predicate results count as violations (Delta semantics):
+    # ord=-1 and ord=NULL both fail ord_positive.
+    assert dict(exc.value.report) == {"ord_positive": 2, "val_not_null": 1}
+    # Zero trace: the refused batch wrote no version dir; the table
+    # still reads the last good commit.
+    assert table.versions() == [1]
+    assert _rows(table.read(spark)) == {("a", 1, "x")}
+    # The audit report includes zero-violation rules (proof each ran).
+    clean = audit_constraints(make_df(spark, [("e", 3, "w")]), rules)
+    assert _rows(clean) == {("ord_positive", 0), ("val_not_null", 0)}
+    # An empty batch passes every rule (vacuously valid).
+    empty = audit_constraints(make_df(spark, []), rules)
+    assert _rows(empty) == {("ord_positive", 0), ("val_not_null", 0)}
