@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     # chunk text + winner join-back — the map-side-combining sibling of
     # the boilerplate strip's count+filter shape).
     "c04_first_copy_dedup",
+    # Round-8 additions (cont.): the RVQ encoder — two chained
+    # broadcast-argmin passes where the second stage's codebook is
+    # DERIVED from the first stage's output (the only two-level
+    # quantizer dependency chain in the book).
+    "c03_rvq_encode",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -1179,3 +1179,103 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "ip")
     )
+
+
+def l2sq_fold(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same deterministic left-to-right
+    double fold as :func:`dot_fold` — element differences squared in
+    array order, so DuckDB's ``list_reduce(list_transform(...))``
+    produces bit-identical doubles."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def rvq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_mod: int = 40,
+    resid_mod: int = 67,
+) -> DataFrame:
+    """Two-stage RESIDUAL vector quantization (RVQ — the additive
+    cousin of PQ): stage 1 assigns each vector to its nearest coarse
+    centroid (L2), stage 2 quantizes the RESIDUAL ``v - c1`` against a
+    second codebook built from the residuals of a deterministic seed
+    slice. Unlike PQ (which splits dimensions into independent
+    subspaces), RVQ codebooks are full-dimensional and ADD:
+    ``v ≈ c1 + c2``, so stage 2 corrects exactly the error stage 1
+    left — the construction RQ/SoundStream-style neural codecs and
+    ScaNN's residual re-ranking build on.
+
+    Codebooks are deterministic seed slices (``id % mod == 0``) so the
+    whole operator stays SQL-oracle-expressible — swap in k-means
+    codebooks in production (:func:`kmeans_update` per stage); the
+    plan shape is identical.
+
+    Returns ``(vid, coarse_id, resid_id, distortion)`` where
+    distortion is the exact fold ``||v - c1 - c2||²``.
+
+    Scale shape: two broadcast joins (codebooks are corpus/mod-sized)
+    + two map-side-combinable argmin groupBys — the corpus never
+    self-joins and never shuffles by anything but its own id. Ties
+    break on smaller centroid id, bit-matching the oracle."""
+    normed = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    c1 = corpus.filter(F.col(id_col) % coarse_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    asg = (
+        normed.join(F.broadcast(c1))
+        .select(
+            "vid",
+            "v",
+            "cid",
+            "cv",
+            l2sq_fold(F.col("v"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.min_by(
+                F.struct("cid", "cv"), F.struct("d", "cid")
+            ).alias("best"),
+            F.any_value("v").alias("v"),
+        )
+        .select(
+            "vid",
+            F.col("best.cid").alias("coarse_id"),
+            F.zip_with(
+                "v",
+                F.col("best.cv"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("resid"),
+        )
+    )
+    c2 = asg.filter(F.col("vid") % resid_mod == 0).select(
+        F.col("vid").alias("rid"), F.col("resid").alias("rv")
+    )
+    return (
+        asg.join(F.broadcast(c2))
+        .select(
+            "vid",
+            "coarse_id",
+            "rid",
+            l2sq_fold(F.col("resid"), F.col("rv")).alias("d"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.any_value("coarse_id").alias("coarse_id"),
+            F.min(F.struct("d", "rid")).alias("bd"),
+        )
+        .select(
+            "vid",
+            "coarse_id",
+            F.col("bd.rid").alias("resid_id"),
+            F.col("bd.d").alias("distortion"),
+        )
+    )

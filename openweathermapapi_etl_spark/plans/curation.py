@@ -3495,3 +3495,68 @@ def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
+
+
+@register(
+    "c06_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT src, dst FROM ({_knn_graph_oracle()})),
+    bfs(node, d) AS (
+      SELECT vec_id, 0 FROM embeddings WHERE vec_id % 50 = 0
+      UNION
+      SELECT e.dst, b.d + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.d < 3)
+    SELECT node, CAST(MIN(d) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b: multi-source BFS hop distance over the k-NN graph — every
+    node's MINIMUM hop count from the seed set (vec_id % 50 == 0)
+    within 3 hops; unreached nodes are absent. The graph primitive
+    the c06 family was missing: connected components answers
+    "same cluster?", PageRank/HITS answer "how central?", BFS answers
+    "HOW FAR from a trusted seed set?" — the quality-propagation /
+    contamination-blast-radius query (how many hops from a known-bad
+    document is this one?) and the reachability check behind
+    crawl-frontier curation.
+
+    Level-synchronous frontier expansion, the textbook distributed
+    BFS: each round joins the CURRENT frontier (not the whole visited
+    set) against the edge list, anti-joins out already-visited nodes
+    (so a node's FIRST discovery fixes its distance — exactly min-hop
+    semantics), and unions the survivors in. Work per round is
+    O(frontier · out-degree), not O(visited); 3 rounds = 3 bounded
+    shuffles over edge-list-sized frames. The oracle is a recursive
+    CTE with the same horizon; UNION (not ALL) dedups re-discoveries.
+
+    At 100 TB the edge list shuffles by src once per round — bucket
+    the edge table by src (B10c) to make every round's join
+    zero-exchange; the frontier is hop-bounded and stays the small
+    side."""
+    e = t(spark, sf_dir, "embeddings")
+    # The edge list is reused by every round's join: materialize it
+    # ONCE (the k-NN bucketed self-join is the expensive part) and
+    # truncate per-round lineage so round 3 doesn't replay rounds 1-2.
+    edges = (
+        knn_graph(e, k=3, dim=64, n_planes=6)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    visited = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("node"), F.lit(0).alias("d")
+    )
+    frontier = visited
+    for r in range(1, 4):
+        discovered = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(r).alias("d"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(discovered)
+        frontier = discovered
+    return visited.groupBy("node").agg(F.min("d").cast("int").alias("dist"))

@@ -3727,3 +3727,37 @@ def b76_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minp": 50000.0, "prio": "1-URGENT"},
     )
+
+
+@register(
+    "b77_distribute_sort_by",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_totalprice > 10000.0
+    """,
+)
+def b77_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B77: DISTRIBUTE BY + SORT BY — explicit physical layout control
+    from SQL: hash-partition the output by a key and sort WITHIN each
+    partition without a global total order (Sort global=false — no
+    range exchange, no sampling pass). This is the write-preparation
+    primitive: a downstream partitioned/bucketed sink consumes
+    exactly this (co-located, locally ordered runs make parquet
+    row-group min/max statistics tight for later skipping), at a
+    fraction of ORDER BY's cost — the global sort's range partitioner
+    is the thing you pay for and don't need.
+
+    Values are unchanged by layout (the oracle is the bare
+    projection; the driver's canonical sort proves it); the plan pin
+    (tests/test_plan_shapes.py) asserts the hash exchange + local
+    sort materialize and no global sort sneaks in."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_totalprice > 10000.0
+        DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderkey
+        """
+    )

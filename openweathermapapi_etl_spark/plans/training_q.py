@@ -23,6 +23,7 @@ from ..operators.compaction import compaction_plan
 from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
+    rvq_encode,
     adc_topk,
     knn_graph,
     ivf_build,
@@ -2253,4 +2254,78 @@ def c03_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_cell", "old_cell").alias("new_cell"),
             F.col("new_cell").isNotNull().alias("was_split"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — residual vector quantization (RVQ)
+# ---------------------------------------------------------------------------
+
+_RVQ_L2 = (
+    "list_reduce(list_transform(generate_series(1, 64), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@register(
+    "c03_rvq_encode",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings),
+    c1 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 40 = 0),
+    a1 AS (
+      SELECT e.vec_id, e.v, c.cid, c.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_RVQ_L2.format(a='e.v', b='c.cv')}, c.cid) AS rn
+      FROM vecs e CROSS JOIN c1 c),
+    asg AS (
+      SELECT vec_id, cid,
+             list_transform(generate_series(1, 64),
+                            i -> v[i] - cv[i]) AS resid
+      FROM a1 WHERE rn = 1),
+    c2 AS (SELECT vec_id AS rid, resid AS rv FROM asg
+           WHERE vec_id % 67 = 0),
+    a2 AS (
+      SELECT a.vec_id, a.cid, r.rid,
+             {_RVQ_L2.format(a='a.resid', b='r.rv')} AS distortion,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY {_RVQ_L2.format(a='a.resid', b='r.rv')}, r.rid) AS rn
+      FROM asg a CROSS JOIN c2 r)
+    SELECT vec_id,
+           CAST(cid AS VARCHAR) || '-' || CAST(rid AS VARCHAR) AS rvq_code,
+           distortion
+    FROM a2 WHERE rn = 1
+    """,
+)
+def c03_rvq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3r: RESIDUAL vector quantization
+    (operators/similarity.py::rvq_encode) — the additive quantizer
+    tier between SQ8 (C3i) and PQ (C3f): stage 1 snaps each vector to
+    its nearest coarse centroid, stage 2 quantizes the residual
+    ``v - c1`` against a second full-dimensional codebook, so
+    ``v ≈ c1 + c2`` and stage 2 corrects exactly the error stage 1
+    left. This is the construction behind RQ/ScaNN residual re-ranking
+    and neural-codec (SoundStream) token stacks — at 100 TB an
+    RVQ-coded corpus serves coarse candidate generation from c1 alone
+    and cheap refinement from c1+c2, without touching raw floats.
+
+    Codebooks are deterministic seed slices (id % 40, id % 67) so the
+    operator stays oracle-expressible; the production path swaps in
+    k-means codebooks per stage with an identical plan. Exact-fold L2
+    throughout (same element order both engines); ties break on
+    smaller centroid id. Two broadcast joins + two map-side-combined
+    argmin groupBys — the corpus never self-joins."""
+    emb = t(spark, sf_dir, "embeddings")
+    enc = rvq_encode(emb, "vec_id", "embedding", coarse_mod=40, resid_mod=67)
+    return enc.select(
+        F.col("vid").alias("vec_id"),
+        F.concat_ws(
+            "-",
+            F.col("coarse_id").cast("string"),
+            F.col("resid_id").cast("string"),
+        ).alias("rvq_code"),
+        "distortion",
     )

@@ -620,3 +620,16 @@ def test_dynamic_partition_pruning_engages(spark):
     benefit heuristic.)"""
     s, _tree = plan_of(spark, "b75_dynamic_partition_pruning", SF_DIRS[0])
     assert "dynamicpruningexpression" in s
+
+
+def test_distribute_sort_by_local_sort_only(spark, sf):
+    s, tree = plan_of(spark, "b77_distribute_sort_by", sf)
+    assert tree.count("Exchange") == 1 and tree.count("Sort") == 1
+    # The hash exchange on the DISTRIBUTE BY key materializes...
+    assert "hashpartitioning(o_orderstatus" in s
+    # ...the sort is per-partition (global=false) — no range exchange,
+    # which is the whole point vs ORDER BY.
+    assert re.search(
+        r"Arguments: \[o_orderstatus[^\]]*ASC NULLS FIRST\], false, 0", s
+    )
+    assert "rangepartitioning" not in s
