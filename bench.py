@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     # DERIVED from the first stage's output (the only two-level
     # quantizer dependency chain in the book).
     "c03_rvq_encode",
+    # Round-8 additions (cont.): CDC chunking — the widest row-local
+    # char-array expression (per-byte polynomial boundary scan) feeding
+    # one chunk-keyed frequency shuffle.
+    "c05_cdc_chunking",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

@@ -52,6 +52,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A compare-and-swap commit lost its race: the committed pointer
+    moved past the base this write was merged against (or another
+    writer holds the commit lock). Re-read and retry the merge."""
+
+
 def dedup_last_write_wins(
     updates: DataFrame, keys: list[str], order_col: str | None = None
 ) -> DataFrame:
@@ -353,6 +359,92 @@ class VersionedParquetTable:
         new_version = self._next_version()
         self._write(df, self._version_dir(new_version))
         return self._commit(new_version)
+
+    # -- M24: optimistic concurrency control ---------------------------
+    #
+    # _commit is last-write-wins by design (the reference's single
+    # cron writer owns its table). With MULTIPLE writers, last-write-
+    # wins silently drops the earlier commit: writer B, merged against
+    # base v4, publishes over writer A's v5 and A's rows vanish. The
+    # Delta/Iceberg answer is optimistic concurrency: claim a version
+    # slot exclusively, commit only if the pointer still equals the
+    # base you merged against, and RETRY the whole merge on conflict.
+
+    def claim_version(self) -> int:
+        """Exclusively allocate the next version slot: ``os.mkdir`` is
+        atomic, so two racing writers can never claim the same dir —
+        the loser's mkdir fails and it claims the next number."""
+        while True:
+            n = self._next_version()
+            try:
+                os.mkdir(self._version_dir(n))
+                return n
+            except FileExistsError:
+                continue  # raced: another writer claimed n first
+
+    def commit_if(self, new_version: int, expected_current: int | None) -> int:
+        """Compare-and-swap commit: publish ``new_version`` only if the
+        committed pointer still equals ``expected_current`` (the base
+        this write was computed against). Raises
+        :class:`ConcurrentWriteError` when another writer committed in
+        between — the caller re-reads and retries its merge. A short
+        exclusive lock file closes the check-then-rename window; a
+        writer that died holding it leaves ``_COMMIT_LOCK`` behind,
+        removable once the writer is confirmed dead."""
+        lock = os.path.join(self.root, "_COMMIT_LOCK")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit lock held at {lock} — another writer is "
+                f"mid-commit (or died holding it; remove after fencing)"
+            ) from None
+        try:
+            cur = self.current_version()
+            if cur != expected_current:
+                raise ConcurrentWriteError(
+                    f"stale base: expected v{expected_current} but "
+                    f"v{cur} is committed — re-read and retry the merge"
+                )
+            return self._commit(new_version)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def upsert_occ(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+        max_retries: int = 3,
+    ) -> tuple[int, int]:
+        """M24: multi-writer-safe upsert — merge against the current
+        snapshot, stage into an exclusively claimed slot, CAS-commit;
+        on conflict, re-read the NEW current (which includes the
+        competing writer's rows) and redo the merge, so no commit is
+        ever lost. Returns ``(version, attempts)``.
+
+        Scale: conflicts cost one extra merge of the same micro-batch —
+        the retry loop's work is batch-sized, not table-sized, because
+        the partitioned merge path only rewrites touched partitions.
+        Writers on DISJOINT partitions still conflict here (single
+        pointer); partition-level pointers are the classic extension."""
+        if not self.exists():
+            self.overwrite(dedup_last_write_wins(updates, keys, order_col))
+            return self.current_version(), 1
+        for attempt in range(1, max_retries + 1):
+            base = self.current_version()
+            merged = keyed_upsert(self.read(spark), updates, keys, order_col)
+            slot = self.claim_version()
+            self._write(merged, self._version_dir(slot))
+            try:
+                return self.commit_if(slot, base), attempt
+            except ConcurrentWriteError:
+                shutil.rmtree(self._version_dir(slot), ignore_errors=True)
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     # -- M8: write-audit-publish -------------------------------------
     #

@@ -1501,3 +1501,88 @@ def m23_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# M24 — optimistic concurrency control (multi-writer CAS commits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m24_optimistic_concurrency",
+    oracle="""
+    SELECT 'conflicts_detected' AS event, CAST(1 AS BIGINT) AS n
+    UNION ALL
+    SELECT 'rows_a', CAST(COUNT(*) AS BIGINT) FROM orders
+    WHERE o_custkey % 7 = 0
+    UNION ALL
+    SELECT 'rows_b', CAST(COUNT(*) AS BIGINT) FROM orders
+    WHERE o_custkey % 11 = 0 AND o_custkey % 7 <> 0
+    UNION ALL
+    SELECT 'rows_untouched', CAST(COUNT(*) AS BIGINT) FROM orders
+    WHERE o_custkey % 7 <> 0 AND o_custkey % 11 <> 0
+    """,
+)
+def m24_optimistic_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M24: optimistic concurrency control
+    (operators/merge.py::claim_version / commit_if / upsert_occ) —
+    the multi-writer commit protocol last-write-wins lacks: version
+    slots are claimed exclusively (atomic mkdir — two writers can
+    never collide on a dir), and the pointer swing is a
+    COMPARE-AND-SWAP against the base version the merge was computed
+    on, so a competing commit in between raises instead of being
+    silently overwritten; the loser re-merges against the NEW current
+    and retries — no lost update, which this query PROVES by staging
+    the classic race: writer A merges against v1 and stalls, writer B
+    commits, A's CAS correctly conflicts, A's retry folds B's rows in.
+    The final table carries BOTH writers' marks (the overlap goes to
+    A, who committed last); the oracle recomputes all three row
+    classes straight from orders.
+
+    Scale: the protocol is O(1) pointer metadata per attempt plus one
+    batch-sized re-merge per conflict — table size never enters;
+    writers on disjoint partitions still serialize on the single
+    pointer (partition-level pointers are the classic extension,
+    same CAS per pointer)."""
+    from ..operators.merge import ConcurrentWriteError
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m24_occ_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    a = VersionedParquetTable(root)
+    b = VersionedParquetTable(root)
+    seed = orders.select(*ORDER_COLS)
+    a.overwrite(seed)
+    upd_a = seed.filter(F.col("o_custkey") % 7 == 0).withColumn(
+        "o_orderpriority", F.lit("A-WRITE")
+    )
+    upd_b = seed.filter(F.col("o_custkey") % 11 == 0).withColumn(
+        "o_orderpriority", F.lit("B-WRITE")
+    )
+    # Writer A merges against base v1 and stages its slot...
+    base_a = a.current_version()
+    merged_a = keyed_upsert(a.read(spark), upd_a, keys=["o_orderkey"])
+    slot_a = a.claim_version()
+    a._write(merged_a, a._version_dir(slot_a))
+    # ...writer B commits first; A's CAS must detect the race.
+    b.upsert(spark, upd_b, keys=["o_orderkey"])
+    conflicts = 0
+    try:
+        a.commit_if(slot_a, base_a)
+    except ConcurrentWriteError:
+        conflicts += 1
+        shutil.rmtree(a._version_dir(slot_a), ignore_errors=True)
+        a.upsert_occ(spark, upd_a, keys=["o_orderkey"])
+    final = a.read(spark)
+    counts = final.select(
+        F.when(F.col("o_orderpriority") == "A-WRITE", "rows_a")
+        .when(F.col("o_orderpriority") == "B-WRITE", "rows_b")
+        .otherwise("rows_untouched")
+        .alias("event")
+    ).groupBy("event").agg(F.count("*").alias("n"))
+    log = spark.createDataFrame(
+        [("conflicts_detected", conflicts)], "event string, n long"
+    )
+    return counts.unionByName(log)

@@ -1785,3 +1785,129 @@ def c05_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matches",
         F.count("*").over(W.partitionBy("fingerprint")).cast("bigint"),
     )
+
+
+@register(
+    "c05_cdc_chunking",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(substring(text, i, 1))) AS cs
+      FROM documents),
+    bounds AS (
+      SELECT doc_id, text, n,
+             list_filter(generate_series(4, n),
+               i -> (cs[i-3]*343 + cs[i-2]*49 + cs[i-1]*7 + cs[i]) % 31 = 0
+                    AND i < n) AS bs
+      FROM base),
+    segs AS (
+      SELECT doc_id, text, n,
+             list_concat([1], list_transform(bs, b -> b + 1)) AS starts,
+             list_concat(bs, [n]) AS ends
+      FROM bounds),
+    chunks AS (
+      SELECT doc_id,
+             substring(text, starts[j], ends[j] - starts[j] + 1) AS chunk
+      FROM segs, unnest(generate_series(1, len(starts))) AS u(j)),
+    freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+             FROM chunks GROUP BY chunk),
+    shared AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM chunks c JOIN freq f USING (chunk)
+      WHERE f.nd > 1 GROUP BY c.doc_id)
+    SELECT s.doc_id,
+           CAST(len(s.starts) AS BIGINT) AS n_chunks,
+           COALESCE(h.shared_chunks, 0) AS shared_chunks,
+           array_to_string(
+             list_transform(generate_series(1, len(s.starts)),
+               j -> CAST(s.ends[j] - s.starts[j] + 1 AS VARCHAR)),
+             '-') AS chunk_lens
+    FROM segs s LEFT JOIN shared h USING (doc_id)
+    """,
+)
+def c05_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5n: CONTENT-DEFINED CHUNKING (FastCDC/Rabin family) — split
+    each blob where a rolling window hash hits a boundary condition
+    (here a degree-3 polynomial over a 4-byte window, boundary when
+    ``h % 31 == 0``), so chunk boundaries follow CONTENT, not offsets:
+    insert one byte at the front of a fixed-size chunker and every
+    downstream chunk shifts (total re-store); the CDC boundaries
+    re-synchronize within one window, which is why blob stores,
+    backup systems, and multimodal ingest dedup at CDC-chunk
+    granularity. The ``shared_chunks`` column is that payoff measured:
+    chunks whose exact content recurs in other documents dedup away
+    at 100 TB. Byte access is modeled with ``ascii(substring)`` (the
+    corpus is ASCII; on real ``binary`` columns the same plan runs
+    over the byte array).
+
+    Scale shape: boundary detection is row-local array arithmetic
+    inside whole-stage codegen (ZERO shuffle — scan speed over 100 TB
+    of blobs); the only exchange is the chunk-content frequency
+    groupBy, which at scale keys on xxhash64(chunk) so the shuffle
+    carries 8-byte keys. The per-doc rollup joins back on doc_id.
+
+    Reference basis: public CDC literature (FastCDC, USENIX ATC'16;
+    LBFS rolling hash) — not in the reference repo, which never
+    chunks payloads."""
+    d = t(spark, sf_dir, "documents")
+    segs = (
+        d.select("doc_id", "text", F.length("text").alias("n"))
+        .withColumn(
+            "cs",
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> ascii(substr(text, i, 1)))"
+            ),
+        )
+        .withColumn(
+            "bs",
+            F.expr(
+                "CASE WHEN n >= 4 THEN"
+                " filter(sequence(4, n),"
+                "  i -> (element_at(cs, i-3)*343 + element_at(cs, i-2)*49"
+                "        + element_at(cs, i-1)*7 + element_at(cs, i)) % 31 = 0"
+                "       AND i < n)"
+                " ELSE array() END"
+            ),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "n",
+            F.expr(
+                "concat(array(1), transform(bs, b -> b + 1))"
+            ).alias("starts"),
+            F.expr("concat(bs, array(n))").alias("ends"),
+        )
+    )
+    chunks = segs.select(
+        "doc_id",
+        F.explode(
+            F.expr("zip_with(starts, ends, (s, e) -> substr(text, s, e - s + 1))")
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    shared = (
+        chunks.join(freq, "chunk")
+        .filter(F.col("nd") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+    return (
+        segs.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("starts").cast("bigint").alias("n_chunks"),
+            F.coalesce("shared_chunks", F.lit(0)).alias("shared_chunks"),
+            F.array_join(
+                F.expr(
+                    "zip_with(starts, ends,"
+                    " (s, e) -> cast(e - s + 1 as string))"
+                ),
+                "-",
+            ).alias("chunk_lens"),
+        )
+    )

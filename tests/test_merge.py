@@ -1163,3 +1163,70 @@ def test_enforce_constraints_blocks_dirty_batch_zero_trace(spark, tmp_path):
     # An empty batch passes every rule (vacuously valid).
     empty = audit_constraints(make_df(spark, []), rules)
     assert _rows(empty) == {("ord_positive", 0), ("val_not_null", 0)}
+
+
+def test_occ_commit_conflict_detected_and_retry_merges_all(spark, tmp_path):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import (
+        ConcurrentWriteError,
+        keyed_upsert,
+    )
+
+    root = str(tmp_path / "t")
+    a = VersionedParquetTable(root)
+    b = VersionedParquetTable(root)
+    a.overwrite(make_df(spark, [("k1", 1, "seed"), ("k2", 1, "seed")]))
+    # Writer A merges against base v1 and stages its slot...
+    base_a = a.current_version()
+    merged_a = keyed_upsert(
+        a.read(spark), make_df(spark, [("k1", 2, "A")]), keys=["k"]
+    )
+    slot_a = a.claim_version()
+    a._write(merged_a, a._version_dir(slot_a))
+    # ...but writer B commits first (plain last-write-wins upsert).
+    b.upsert(spark, make_df(spark, [("k2", 2, "B")]), keys=["k"])
+    # A's CAS must refuse: committing would silently drop B's write.
+    with _pytest.raises(ConcurrentWriteError):
+        a.commit_if(slot_a, base_a)
+    # The OCC retry loop re-merges against B's commit: NO lost update.
+    v, attempts = a.upsert_occ(
+        spark, make_df(spark, [("k1", 2, "A")]), keys=["k"]
+    )
+    assert attempts == 1  # no new competitor during the retry
+    assert _rows(a.read(spark)) == {("k1", 2, "A"), ("k2", 2, "B")}
+
+
+def test_occ_claim_version_slots_are_exclusive(spark, tmp_path):
+    import os as _os
+
+    root = str(tmp_path / "t")
+    a = VersionedParquetTable(root)
+    b = VersionedParquetTable(root)
+    a.overwrite(make_df(spark, [("k1", 1, "x")]))
+    s1, s2 = a.claim_version(), b.claim_version()
+    assert s1 != s2
+    assert _os.path.isdir(a._version_dir(s1))
+    assert _os.path.isdir(b._version_dir(s2))
+
+
+def test_occ_commit_lock_held_raises(spark, tmp_path):
+    import os as _os
+
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root)
+    table.overwrite(make_df(spark, [("k1", 1, "x")]))
+    slot = table.claim_version()
+    table._write(table.read(spark), table._version_dir(slot))
+    lock = _os.path.join(root, "_COMMIT_LOCK")
+    open(lock, "w").close()
+    with _pytest.raises(ConcurrentWriteError, match="lock"):
+        table.commit_if(slot, 1)
+    _os.unlink(lock)  # fenced: the dead writer's lock is removed
+    assert table.commit_if(slot, 1) == slot
