@@ -175,9 +175,18 @@ class VersionedParquetTable:
     #: ``None`` (an explicit unpartitioned relayout).
     _NO_LAYOUT = object()
 
-    def __init__(self, root: str, partition_by: str | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        partition_by: str | None = None,
+        retain: int = 2,
+    ) -> None:
         self.root = root
         self.partition_by = partition_by
+        #: retention policy: how many trailing versions survive vacuum
+        #: (the Delta logRetention knob). 2 = current + predecessor;
+        #: raise it to keep a deeper time-travel / change-feed window.
+        self.retain = retain
         os.makedirs(root, exist_ok=True)
         # The committed layout on disk WINS over the constructor
         # argument: after repartition_layout() (M19), a handle opened
@@ -649,12 +658,15 @@ class VersionedParquetTable:
         merged = self.read(spark).coalesce(files_per_partition)
         return self.overwrite(merged)
 
-    def _vacuum(self, keep: int, retain: int = 2) -> None:
+    def _vacuum(self, keep: int, retain: int | None = None) -> None:
         """Drop version dirs older than ``keep - retain`` (readers of the
-        immediately previous version may still be in flight). Versions
+        immediately previous version may still be in flight; ``retain``
+        defaults to the table's retention policy). Versions
         referenced by a BRANCH pointer (head or base) are always
         retained — a main-line commit must never vacuum an open
         branch's snapshots out from under it."""
+        if retain is None:
+            retain = self.retain
         pinned: set[int] = set()
         for b in self.branches():
             ref = self._branch_ref(b)
@@ -896,6 +908,52 @@ class VersionedParquetTable:
             self._link_tree(self._deletes_dir(cur), clone._deletes_dir(1))
         clone._commit(1)
         return clone
+
+    # -- M25: change data feed -----------------------------------------
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        tracked: list[str],
+        from_version: int,
+        to_version: int,
+    ) -> DataFrame:
+        """M25: CHANGE DATA FEED — every row-level change the table
+        went through between two retained versions (Delta CDF /
+        ``table_changes(from, to)``): the union of
+        :func:`snapshot_diff` over each consecutive retained version
+        pair, stamped with the ``version`` that introduced the change.
+        This is how downstream consumers incrementally follow a table
+        they don't write: instead of re-diffing full snapshots (or
+        re-reading 100 TB), they read the changes for versions they
+        haven't seen. Requires the window to be retained — raise the
+        table's ``retain`` policy to keep a deeper feed; a vacuumed
+        version fails loudly, never a silently incomplete feed.
+
+        Scale: one keyed full-outer diff join per version step, each
+        O(changed + table) at worst and O(touched partitions) when
+        snapshots share partition layout; the feed itself is
+        change-sized, which is the entire point."""
+        vs = [v for v in self.versions() if from_version <= v <= to_version]
+        if from_version not in vs or to_version not in vs:
+            raise FileNotFoundError(
+                f"change feed window [{from_version}, {to_version}] not "
+                f"fully retained (on disk: {self.versions()}) — raise "
+                f"the retain policy to keep a deeper feed"
+            )
+        if len(vs) < 2:
+            raise ValueError("change feed needs at least two versions")
+        out = None
+        for lo, hi in zip(vs, vs[1:]):
+            d = snapshot_diff(
+                self.read_version(spark, lo),
+                self.read_version(spark, hi),
+                keys,
+                tracked,
+            ).withColumn("version", F.lit(hi))
+            out = d if out is None else out.unionByName(d)
+        return out
 
 
 def scd2_apply(

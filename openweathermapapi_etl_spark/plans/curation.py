@@ -3560,3 +3560,93 @@ def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(discovered)
         frontier = discovered
     return visited.groupBy("node").agg(F.min("d").cast("int").alias("dist"))
+
+
+@register(
+    "c06_label_conductance",
+    oracle=f"""
+    WITH edges AS (SELECT src, dst FROM ({_knn_graph_oracle()})),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    le AS (
+      SELECT ls.label AS src_label, ld.label AS dst_label
+      FROM edges e
+      JOIN lbl ls ON ls.vec_id = e.src
+      JOIN lbl ld ON ld.vec_id = e.dst),
+    vol AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS vol FROM (
+        SELECT src_label AS label FROM le
+        UNION ALL SELECT dst_label FROM le) GROUP BY label),
+    cut AS (
+      SELECT src_label AS label, CAST(COUNT(*) AS BIGINT) AS cut_out
+      FROM le WHERE src_label <> dst_label GROUP BY src_label),
+    tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM le)
+    SELECT v.label, v.vol,
+           COALESCE(c.cut_out, 0) AS cut_out,
+           CAST(COALESCE(c.cut_out, 0) AS DOUBLE)
+             / LEAST(v.vol, t.vol_all - v.vol) AS conductance
+    FROM vol v LEFT JOIN cut c USING (label) CROSS JOIN tot t
+    """,
+)
+def c06_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6c: label CONDUCTANCE over the k-NN graph — per label class:
+    its edge-endpoint volume, the out-cut (edges leaving the class),
+    and conductance cut/min(vol, vol_total − vol), the standard
+    cluster-quality score (low = the class is a tight neighborhood;
+    near 1 = the labels don't respect embedding geometry at all). The
+    graph-metric EVALUATION the c06 family was missing: CC/label-
+    spread PRODUCE groupings, this SCORES one against the geometry —
+    the audit that catches a broken embedding (or mislabeled slice)
+    before it drives semantic dedup or label propagation at 100 TB.
+    On the synthetic i.i.d. embeddings conductance sits near 1 BY
+    CONSTRUCTION (labels carry no geometry) — the operator measures
+    the data and the oracle pins the arithmetic, exactly like
+    c03_ivf_recall's stance.
+
+    Shape: edge list ⋈ label table twice (id-keyed shuffle-hash
+    joins; the label side is corpus-sized so it never broadcasts),
+    then label-keyed integer rollups — everything downstream of the
+    k-NN graph is edge-list-sized. Exact integers until the single
+    final division (one IEEE op, bit-exact)."""
+    e = t(spark, sf_dir, "embeddings")
+    edges = knn_graph(e, k=3, dim=64, n_planes=6).select("src", "dst")
+    lbl = e.select("vec_id", "label")
+    le = (
+        edges.join(
+            lbl.select(
+                F.col("vec_id").alias("src"), F.col("label").alias("src_label")
+            ),
+            "src",
+        )
+        .join(
+            lbl.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("dst_label")
+            ),
+            "dst",
+        )
+        .select("src_label", "dst_label")
+    )
+    vol = (
+        le.select(F.col("src_label").alias("label"))
+        .unionAll(le.select(F.col("dst_label").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("vol"))
+    )
+    cut = (
+        le.filter(F.col("src_label") != F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count("*").alias("cut_out"))
+    )
+    tot = le.agg((2 * F.count("*")).alias("vol_all"))
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "vol",
+            F.coalesce("cut_out", F.lit(0)).alias("cut_out"),
+            (
+                F.coalesce("cut_out", F.lit(0)).cast("double")
+                / F.least(F.col("vol"), F.col("vol_all") - F.col("vol"))
+            ).alias("conductance"),
+        )
+    )

@@ -1586,3 +1586,83 @@ def m24_optimistic_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("conflicts_detected", conflicts)], "event string, n long"
     )
     return counts.unionByName(log)
+
+
+# ---------------------------------------------------------------------------
+# M25 — change data feed (table_changes across the version history)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m25_change_data_feed",
+    oracle="""
+    SELECT CAST(2 AS INT) AS version, o_orderkey,
+           'update' AS change_type,
+           o_orderpriority AS old_o_orderpriority,
+           'CHANGED' AS new_o_orderpriority
+    FROM orders WHERE o_custkey % 5 = 0
+    UNION ALL
+    SELECT 2, o_orderkey + 10000000, 'insert',
+           CAST(NULL AS VARCHAR), o_orderpriority
+    FROM orders WHERE o_custkey % 13 = 0
+    UNION ALL
+    SELECT 3, o_orderkey, 'delete',
+           CASE WHEN o_custkey % 5 = 0 THEN 'CHANGED'
+                ELSE o_orderpriority END,
+           CAST(NULL AS VARCHAR)
+    FROM orders WHERE o_custkey % 9 = 0
+    """,
+)
+def m25_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M25: CHANGE DATA FEED
+    (operators/merge.py::VersionedParquetTable.change_feed) — the
+    Delta-CDF / ``table_changes(from, to)`` consumer surface: after a
+    seed (v1), a mixed upsert (updates + inserts → v2) and a targeted
+    delete (→ v3), the feed reports every row-level change with the
+    version that introduced it — consecutive retained snapshots
+    diffed pairwise (snapshot_diff's null-safe full-outer join per
+    step) and stamped. The oracle recomputes all three change classes
+    straight from orders, so the hash match proves the feed is
+    exactly the deltas — no phantom changes, no missed ones. The
+    table runs a retain=10 policy: CDF depth IS the retention window,
+    and a vacuumed version fails loudly rather than yielding a
+    silently incomplete feed (pytest pins that guard).
+
+    Scale: downstream consumers follow a 100 TB table by reading
+    change-sized feeds instead of re-diffing snapshots; each step is
+    one keyed full-outer join, O(touched partitions) when layouts
+    match."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m25_cdf_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, retain=10)
+    seed = orders.select(*ORDER_COLS)
+    table.overwrite(seed)
+    updates = seed.filter(F.col("o_custkey") % 5 == 0).withColumn(
+        "o_orderpriority", F.lit("CHANGED")
+    )
+    inserts = seed.filter(F.col("o_custkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    table.upsert(spark, updates.unionByName(inserts), keys=["o_orderkey"])
+    table.delete(
+        spark,
+        seed.filter(F.col("o_custkey") % 9 == 0).select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    feed = table.change_feed(
+        spark,
+        keys=["o_orderkey"],
+        tracked=["o_orderpriority"],
+        from_version=1,
+        to_version=3,
+    )
+    return feed.select(
+        "version",
+        "o_orderkey",
+        "change_type",
+        "old_o_orderpriority",
+        "new_o_orderpriority",
+    )

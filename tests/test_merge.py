@@ -1230,3 +1230,34 @@ def test_occ_commit_lock_held_raises(spark, tmp_path):
         table.commit_if(slot, 1)
     _os.unlink(lock)  # fenced: the dead writer's lock is removed
     assert table.commit_if(slot, 1) == slot
+
+
+def test_change_feed_reports_deltas_and_guards_vacuumed_window(spark, tmp_path):
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=10)
+    table.overwrite(make_df(spark, [("a", 1, "x"), ("b", 1, "y")]))
+    table.upsert(spark, make_df(spark, [("a", 2, "x2"), ("c", 1, "z")]), keys=["k"])
+    table.delete(spark, spark.createDataFrame([("b",)], "k string"), keys=["k"])
+    feed = table.change_feed(
+        spark, keys=["k"], tracked=["val"], from_version=1, to_version=3
+    )
+    got = {
+        (r["version"], r["k"], r["change_type"], r["old_val"], r["new_val"])
+        for r in feed.collect()
+    }
+    assert got == {
+        (2, "a", "update", "x", "x2"),
+        (2, "c", "insert", None, "z"),
+        (3, "b", "delete", "y", None),
+    }
+    # Default retention (2) vacuums the feed's history: the same
+    # window must fail LOUDLY, never yield a silently partial feed.
+    short = VersionedParquetTable(str(tmp_path / "s"))
+    short.overwrite(make_df(spark, [("a", 1, "x")]))
+    short.upsert(spark, make_df(spark, [("a", 2, "y")]), keys=["k"])
+    short.upsert(spark, make_df(spark, [("a", 3, "z")]), keys=["k"])
+    with _pytest.raises(FileNotFoundError, match="retain"):
+        short.change_feed(
+            spark, keys=["k"], tracked=["val"], from_version=1, to_version=3
+        )
