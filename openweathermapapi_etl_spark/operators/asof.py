@@ -35,18 +35,31 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; matched right values appear as ``__asof_<col>``
-    (NULL when no right row precedes the left row).
+    (NULL when no right row matches).
 
     ``tolerance_us`` bounds staleness (pandas ``merge_asof(tolerance=)``
-    semantics): a preceding right row older than the bound does NOT
-    match — point-in-time feature joins use this to refuse stale
-    features rather than silently serve them. Row-local post-mask on
-    the carried right timestamp; plan shape identical to the unbounded
-    join (the window still fills forward — only the unpack nulls out
-    expired matches).
-    """
+    semantics): a match farther than the bound does NOT count —
+    point-in-time feature joins use this to refuse stale features
+    rather than silently serve them. Row-local post-mask on the
+    carried right timestamp; plan shape identical to the unbounded
+    join (the window still fills — only the unpack nulls out expired
+    matches).
+
+    ``direction`` (pandas ``merge_asof(direction=)`` family):
+    ``backward`` (default) = latest right row at-or-before;
+    ``forward`` = earliest right row at-or-after; ``nearest`` =
+    whichever is closer in time, ties to backward. All three come out
+    of the SAME single shuffle: the sort order places equal-timestamp
+    right rows before left rows, so the backward fill captures
+    ``rt <= lt`` and the forward fill captures ``rt > lt`` — forward
+    then reclaims exact-timestamp matches from the backward column
+    row-locally, and nearest picks the closer of the two. No second
+    exchange, no re-sort."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction: {direction!r}")
     payload = F.struct(
         F.col(right_ts).alias("__rt"), *[F.col(c) for c in value_cols]
     ).alias("__payload")
@@ -74,12 +87,47 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = left_tagged.unionByName(right_tagged).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
+        "__match_b", F.last("__payload", ignorenulls=True).over(w)
     )
+    if direction == "backward":
+        filled = filled.withColumn("__match", F.col("__match_b"))
+    else:
+        w_fwd = (
+            W.partitionBy(on)
+            .orderBy(F.col("__t"), F.col("__side"))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        filled = filled.withColumn(
+            "__match_f", F.first("__payload", ignorenulls=True).over(w_fwd)
+        )
+        if direction == "forward":
+            # The forward frame starts at the left row itself, so an
+            # equal-timestamp right row (sorted just BEFORE it) lives
+            # in the backward column — reclaim it: forward semantics
+            # include exact matches.
+            match = F.when(
+                F.unix_micros(F.col("__match_b.__rt"))
+                == F.unix_micros(F.col("__t")),
+                F.col("__match_b"),
+            ).otherwise(F.col("__match_f"))
+        else:  # nearest, ties to backward (pandas semantics)
+            bd = F.unix_micros(F.col("__t")) - F.unix_micros(
+                F.col("__match_b.__rt")
+            )
+            fd = F.unix_micros(F.col("__match_f.__rt")) - F.unix_micros(
+                F.col("__t")
+            )
+            match = (
+                F.when(F.col("__match_b").isNull(), F.col("__match_f"))
+                .when(F.col("__match_f").isNull(), F.col("__match_b"))
+                .when(bd <= fd, F.col("__match_b"))
+                .otherwise(F.col("__match_f"))
+            )
+        filled = filled.withColumn("__match", match)
     if tolerance_us is None:
         fresh = F.lit(True)
     else:
-        fresh = (
+        fresh = F.abs(
             F.unix_micros(F.col("__t"))
             - F.unix_micros(F.col("__match.__rt"))
         ) <= F.lit(tolerance_us)

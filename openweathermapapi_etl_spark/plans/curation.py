@@ -3650,3 +3650,113 @@ def c06_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+@register(
+    "c04_bpe_merge_rounds",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w WHERE word <> '' GROUP BY word),
+    v0 AS (SELECT word, n,
+                  list_transform(generate_series(1, length(word)),
+                                 i -> substring(word, i, 1)) AS syms
+           FROM wf),
+    c1 AS (SELECT syms[j] AS a, syms[j+1] AS b, SUM(n) AS total
+           FROM v0, unnest(generate_series(1, len(syms)-1)) AS u(j)
+           GROUP BY 1, 2),
+    p1 AS (SELECT a, b FROM c1 ORDER BY total DESC, a, b LIMIT 1),
+    v1 AS (SELECT word, n,
+             list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+               CASE WHEN acc[len(acc)] = p.a AND x[1] = p.b
+                    THEN list_concat(acc[1:len(acc)-1], [p.a || p.b])
+                    ELSE list_concat(acc, x) END) AS syms
+           FROM v0 CROSS JOIN p1 p),
+    c2 AS (SELECT syms[j] AS a, syms[j+1] AS b, SUM(n) AS total
+           FROM v1, unnest(generate_series(1, len(syms)-1)) AS u(j)
+           GROUP BY 1, 2),
+    p2 AS (SELECT a, b FROM c2 ORDER BY total DESC, a, b LIMIT 1),
+    v2 AS (SELECT word, n,
+             list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+               CASE WHEN acc[len(acc)] = p.a AND x[1] = p.b
+                    THEN list_concat(acc[1:len(acc)-1], [p.a || p.b])
+                    ELSE list_concat(acc, x) END) AS syms
+           FROM v1 CROSS JOIN p2 p)
+    SELECT word, n, array_to_string(syms, ' ') AS seg,
+           CAST(len(syms) AS BIGINT) AS n_syms
+    FROM v2
+    """,
+)
+def c04_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4x: BPE TRAINING ROUNDS APPLIED (Sennrich et al., ACL 2016 —
+    public algorithm): two full merge rounds of the byte-pair-encoding
+    trainer, not just the pair-count inner step (c04_bpe_pair_counts):
+    per round, the globally most frequent adjacent symbol pair
+    (weighted by word frequency, ties lexicographic) becomes a merge
+    rule, and every vocabulary word is re-segmented by the greedy
+    left-to-right non-overlapping rewrite — the exact scan BPE
+    defines, expressed as a deterministic array FOLD (accumulator
+    last-element check), identical on both engines so 'aaa' under
+    merge (a,a) gives [aa, a] on both. Output: each word's
+    segmentation and symbol count after round 2 — the tokenizer's
+    actual state, from which fertility (tokens/word) falls out.
+
+    Scale shape: ONE corpus pass builds the word-frequency table;
+    everything after runs on the VOCABULARY (~10⁵ rows at web scale,
+    25 here) — pair counting is a vocab-keyed agg, the argmax pair is
+    a 1-row broadcast into a row-local rewrite. k merge rounds = k
+    bounded vocab-sized jobs, the same driver-iteration contract as
+    c03_kmeans_iter; the corpus is never touched again."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    v = wf.select(
+        "word",
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    apply_merge = (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        "CASE WHEN size(acc) = 0 THEN array(x) "
+        "WHEN element_at(acc, -1) = a AND x = b "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    for _round in range(2):
+        pairs = v.select(
+            "n",
+            F.explode(
+                F.expr(
+                    # sequence(1, 0) is DESCENDING in Spark — guard
+                    # single-symbol words out instead.
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), j -> "
+                    "struct(element_at(syms, j) AS a,"
+                    "       element_at(syms, j + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        ).select("n", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.col("total").desc(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        v = v.crossJoin(F.broadcast(top)).select(
+            "word", "n", F.expr(apply_merge).alias("syms")
+        )
+    return v.select(
+        "word",
+        "n",
+        F.array_join("syms", " ").alias("seg"),
+        F.size("syms").cast("bigint").alias("n_syms"),
+    )

@@ -3761,3 +3761,76 @@ def b77_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderkey
         """
     )
+
+
+@register(
+    "b15_asof_directions",
+    oracle="""
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type, value FROM events),
+         purchases AS (SELECT event_id, user_id, ts FROM ev
+                       WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts, MAX(value) AS value
+                       FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+         b AS (SELECT p.event_id, p.user_id, p.ts,
+                      c.ts AS bts, c.value AS bval
+               FROM purchases p ASOF LEFT JOIN clicks c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts),
+         f AS (SELECT p.event_id, c.ts AS fts, c.value AS fval
+               FROM purchases p ASOF LEFT JOIN clicks c
+                 ON p.user_id = c.user_id AND p.ts < c.ts)
+    SELECT b.event_id, b.user_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(CASE WHEN b.bts IS NOT NULL AND b.bts = b.ts
+                         THEN b.bts ELSE f.fts END,
+                    '%Y-%m-%d %H:%M:%S') AS fwd_click_ts,
+           CASE WHEN b.bts IS NULL THEN f.fval
+                WHEN f.fts IS NULL THEN b.bval
+                WHEN date_diff('microsecond', b.bts, b.ts)
+                     <= date_diff('microsecond', b.ts, f.fts) THEN b.bval
+                ELSE f.fval END AS near_click_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def b15_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15c: as-of join DIRECTIONS (operators/asof.py, pandas
+    merge_asof's direction family from one shuffle): ``forward`` —
+    the earliest click at-or-after each purchase (the "next action"
+    join: post-purchase attribution, next-heartbeat lookups) — and
+    ``nearest`` — whichever click is closer in time, ties to backward
+    (sensor alignment where staleness cuts both ways). Both come out
+    of the SAME union+window pass as backward: the sort places
+    equal-ts right rows before left rows, so the backward fill owns
+    ``rt <= lt`` and the forward fill owns ``rt > lt``; forward
+    reclaims exact-ts matches row-locally and nearest picks the
+    closer side. One exchange on user_id for all three directions —
+    never a per-direction re-sort.
+
+    The oracle builds backward and forward with DuckDB's native ASOF
+    (>= and strict <) and composes the same row-local choices."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    fwd = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts"], direction="forward",
+    ).select("event_id", "user_id", "ts", F.col("__asof_ts").alias("fts"))
+    near = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="nearest",
+    ).select("event_id", F.col("__asof_value").alias("near_click_value"))
+    return fwd.join(near, "event_id").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("fts", "yyyy-MM-dd HH:mm:ss").alias("fwd_click_ts"),
+        "near_click_value",
+    )
