@@ -3760,3 +3760,101 @@ def c04_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("syms", " ").alias("seg"),
         F.size("syms").cast("bigint").alias("n_syms"),
     )
+
+
+@register(
+    "c07_nested_subsets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+             ((doc_id * doc_id) % 1000000007 * 2654435761 + doc_id)
+               % 1000000007 AS h
+      FROM documents),
+    lv AS (SELECT d.doc_id, d.ntok, k
+           FROM d, unnest(generate_series(0, 6)) AS u(k)
+           WHERE h % (1 << k) = 0)
+    SELECT CAST(k AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM lv GROUP BY k
+    """,
+)
+def c07_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7x: NESTED scaling-law subsets — seven power-of-2 data subsets
+    where each level is BY CONSTRUCTION a subset of the previous
+    (membership at level k ⇔ hash % 2^k == 0, and 2^k | h implies
+    2^(k-1) | h), the property scaling-law experiments require:
+    training on the 1/64 slice then the 1/32 slice must ADD data,
+    never swap it, or the curve measures sampling noise instead of
+    scale. One deterministic arithmetic hash (the engine's portable
+    scramble, bit-identical in the oracle), zero coordination — any
+    worker can answer "is this doc in subset k?" row-locally, which
+    is what makes the construction work across a 1000-executor
+    ingest with no membership table to look up.
+
+    Shape: one corpus pass, explode over 7 levels (bounded fan-out),
+    one 7-key map-side-combined rollup. The level counts halving (and
+    token sums with them) is the nesting made visible."""
+    d = t(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id") * F.col("doc_id")) % 1000000007 * 2654435761
+        + F.col("doc_id")
+    ) % 1000000007
+    return (
+        d.select(
+            h.alias("h"),
+            F.size(tokens("text")).alias("ntok"),
+        )
+        .select(
+            "ntok",
+            F.explode(
+                F.expr("filter(sequence(0, 6), k -> h % shiftleft(1, k) = 0)")
+            ).alias("level"),
+        )
+        .groupBy(F.col("level").cast("int").alias("level"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "c07_soft_dedup_weights",
+    oracle=f"""
+    SELECT d.doc_id,
+           COALESCE(s.cluster_size, 1) AS cluster_size,
+           CAST(1 AS DOUBLE) / COALESCE(s.cluster_size, 1) AS weight
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+               FROM ({_clusters_oracle()})) s USING (doc_id)
+    """,
+)
+def c07_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7y: SOFT dedup — REWEIGHT duplicates instead of dropping them:
+    every doc in a near-dup cluster of size n gets sampling weight
+    1/n (singletons keep 1), so each piece of CONTENT contributes one
+    unit to the training mixture regardless of how many copies exist.
+    This is the dedup-vs-diversity middle ground (hard dedup loses
+    paraphrase variation; no dedup over-trains on boilerplate):
+    downstream, c07_weighted_sample consumes exactly these weights.
+
+    Shape: the LSH→connected-components cluster pass (same bounded
+    iteration as c06_dedup_clusters), then ONE left join back to the
+    corpus — cluster table is duplicate-sized, far smaller than the
+    corpus, so the join broadcasts at scale. Weight is one IEEE
+    division of exact integers, bit-identical cross-engine."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    sizes = dedup_clusters(pairs).select("doc_id", "cluster_size")
+    return docs.join(sizes, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        (
+            F.lit(1).cast("double")
+            / F.coalesce("cluster_size", F.lit(1))
+        ).alias("weight"),
+    )

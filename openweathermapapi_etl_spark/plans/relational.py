@@ -3834,3 +3834,31 @@ def b15_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("fts", "yyyy-MM-dd HH:mm:ss").alias("fwd_click_ts"),
         "near_click_value",
     )
+
+
+_B78_PAGE_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+@register("b78_offset_pagination", oracle=_B78_PAGE_SQL)
+def b78_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B78: keyset-free pagination — ORDER BY … LIMIT k OFFSET n (page
+    3 of the price leaderboard). Identical SQL text runs on both
+    engines; the total order carries a unique tie-break key
+    (o_orderkey) so every page is deterministic — OFFSET over a
+    non-total order is the classic duplicated/missing-row pagination
+    bug. Spark executes this as a global limit of OFFSET+LIMIT with
+    per-partition pre-limits pushed below the ordering exchange (each
+    partition surrenders at most 150 rows — the driver never sees
+    more than partitions × page-end rows), then drops the first n.
+    At 100 TB deep pagination still degrades linearly with OFFSET —
+    the scale answer is keyset pagination (WHERE (price, key) <
+    last-seen, b27's top-k shape repeated), which this query's
+    tie-broken ordering makes possible; OFFSET is the right tool
+    only for shallow pages like this one."""
+    views(spark, sf_dir)
+    return spark.sql(_B78_PAGE_SQL)
