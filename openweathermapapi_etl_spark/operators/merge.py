@@ -356,12 +356,53 @@ class VersionedParquetTable:
             )
 
     def _commit(self, new_version: int) -> int:
+        now = time.time()
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": new_version, "committed_at": time.time()}, fh)
+            json.dump({"version": new_version, "committed_at": now}, fh)
         os.replace(tmp, self._pointer)  # the atomic commit point
+        self._log_history(new_version, now)
         self._vacuum(keep=new_version)
         return new_version
+
+    def _log_history(self, version: int, committed_at: float) -> None:
+        """Append-only commit log (M26): one JSON line per pointer
+        swing, the record AS-OF-TIMESTAMP time travel resolves
+        against. The pointer file only remembers its latest state;
+        the log remembers when each version BECAME current (including
+        a rollback making an old version current again)."""
+        with open(os.path.join(self.root, "_HISTORY.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps({"version": version, "committed_at": committed_at})
+                + "\n"
+            )
+
+    def read_as_of_timestamp(self, spark: SparkSession, ts: float) -> DataFrame:
+        """M26: TIMESTAMP time travel — the table as it stood at wall
+        clock ``ts``: the latest commit-log entry at-or-before ``ts``
+        (an as-of resolution over the append-only ``_HISTORY.jsonl``,
+        so a rollback correctly re-surfaces the restored version for
+        reads after the restore time). Fails loudly when the resolved
+        version is vacuumed or ``ts`` predates the first commit —
+        never a silently wrong snapshot. Resolution is control-plane
+        work (one small file read); the read itself is
+        :meth:`read_version`."""
+        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
+        try:
+            with open(hist_path) as fh:
+                entries = [json.loads(line) for line in fh if line.strip()]
+        except OSError:
+            raise FileNotFoundError(
+                f"no commit history under {self.root}"
+            ) from None
+        eligible = [e for e in entries if e["committed_at"] <= ts]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no commit at or before ts={ts} (first commit: "
+                f"{entries[0]['committed_at'] if entries else 'none'})"
+            )
+        version = eligible[-1]["version"]
+        return self.read_version(spark, version)
 
     def overwrite(self, df: DataFrame) -> int:
         """Write a new version and atomically repoint ``_VERSION``."""
@@ -800,6 +841,10 @@ class VersionedParquetTable:
                 {"version": to_version, "committed_at": time.time()}, fh
             )
         os.replace(tmp, self._pointer)
+        # The restore is itself a pointer swing: log it so
+        # AS-OF-TIMESTAMP reads after the restore resolve to the
+        # restored version, not the rolled-back one.
+        self._log_history(to_version, time.time())
         # A rollback may cross a partition-evolution boundary (M19):
         # re-resolve this handle's layout from the restored version so
         # subsequent partitioned writes match the restored dirs.

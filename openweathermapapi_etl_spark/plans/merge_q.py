@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1666,3 +1667,52 @@ def m25_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_o_orderpriority",
         "new_o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# M26 — timestamp time travel (AS OF TIMESTAMP over the commit log)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m26_time_travel_timestamp",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def m26_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M26: AS-OF-TIMESTAMP time travel
+    (operators/merge.py::read_as_of_timestamp) — version-number time
+    travel (M7) answers "show me v3"; incident forensics asks "show me
+    the table as the 14:02 job saw it". Every pointer swing appends to
+    an append-only commit log (_HISTORY.jsonl) — the pointer file only
+    remembers its LATEST state — and a timestamp read is an as-of
+    resolution over that log, so a ROLLBACK correctly re-surfaces the
+    restored version for later timestamps instead of replaying the bad
+    deploy. Here: seed, capture t_mid, then a corrupting upsert; the
+    as-of read at t_mid must return the untouched seed (the oracle),
+    while the current pointer still serves the corrupted v2 — both
+    facts from one log. pytest pins the rollback-resurfacing and
+    pre-history guards.
+
+    Scale: resolution is one control-plane file read (O(commits)
+    bytes); the data read is the normal immutable-snapshot scan —
+    recovery-point lookup cost is independent of table size."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m26_ts_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root)
+    table.overwrite(orders.select(*ORDER_COLS))
+    t_mid = time.time()
+    bad = (
+        orders.select(*ORDER_COLS)
+        .filter(F.col("o_custkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * -1.0)
+    )
+    table.upsert(spark, bad, keys=["o_orderkey"])
+    return _present(table.read_as_of_timestamp(spark, t_mid))

@@ -1261,3 +1261,27 @@ def test_change_feed_reports_deltas_and_guards_vacuumed_window(spark, tmp_path):
         short.change_feed(
             spark, keys=["k"], tracked=["val"], from_version=1, to_version=3
         )
+
+
+def test_as_of_timestamp_resolves_rollback_and_guards(spark, tmp_path):
+    import time as _time
+
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    t0 = _time.time()
+    v1 = table.overwrite(make_df(spark, [("a", 1, "good")]))
+    t1 = _time.time()
+    table.upsert(spark, make_df(spark, [("a", 2, "BAD")]), keys=["k"])
+    t2 = _time.time()
+    table.rollback(v1)
+    t3 = _time.time()
+    # Between commits each timestamp resolves to what was current THEN.
+    assert _rows(table.read_as_of_timestamp(spark, t1)) == {("a", 1, "good")}
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 2, "BAD")}
+    # After the restore, the log re-surfaces the restored version —
+    # NOT the bad deploy the pointer abandoned.
+    assert _rows(table.read_as_of_timestamp(spark, t3)) == {("a", 1, "good")}
+    # A timestamp before the first commit fails loudly.
+    with _pytest.raises(FileNotFoundError):
+        table.read_as_of_timestamp(spark, t0 - 10)
