@@ -3862,3 +3862,46 @@ def b78_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for shallow pages like this one."""
     views(spark, sf_dir)
     return spark.sql(_B78_PAGE_SQL)
+
+
+@register(
+    "b79_sql_table_function",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def b79_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B79: SQL TABLE FUNCTION (Spark 4 ``CREATE FUNCTION … RETURNS
+    TABLE``) — a parameterized view with a declared output schema,
+    defined and invoked entirely in SQL (``FROM big_orders(150000.0)``)
+    with no Python in the data path: the body INLINES into the calling
+    plan at analysis time, so Catalyst pushes the parameter predicate
+    into the parquet scan exactly as if the query were hand-written —
+    a TVF call costs nothing at runtime, unlike a Python UDTF (B48)
+    which crosses the serialization boundary per row. This is the
+    shareable-query-fragment primitive: the curation filters teams
+    re-use (quality gates, date windows) belong in TVFs, not in
+    copy-pasted SQL.
+
+    The oracle is the inlined query — the hash match proves the
+    indirection is semantics-free."""
+    views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(minp DOUBLE)
+        RETURNS TABLE(o_orderstatus STRING, n BIGINT, sum_price DOUBLE)
+        RETURN SELECT o_orderstatus,
+                      CAST(COUNT(*) AS BIGINT),
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                           AS DOUBLE)
+               FROM orders
+               WHERE o_totalprice > minp
+               GROUP BY o_orderstatus
+        """
+    )
+    return spark.sql("SELECT * FROM big_orders(150000.0)")

@@ -23,6 +23,7 @@ from ..operators.compaction import compaction_plan
 from ..operators.linalg import covariance, pca_components, pca_project
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import (
+    l2sq_fold,
     rvq_encode,
     adc_topk,
     knn_graph,
@@ -2329,3 +2330,112 @@ def c03_rvq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rvq_code"),
         "distortion",
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — k-center greedy diverse subset selection
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_oracle(rounds: int = 4) -> str:
+    l2 = (
+        "list_reduce(list_transform(generate_series(1, 64), i -> "
+        "(c.v[i] - s.v[i]) * (c.v[i] - s.v[i])), (x, y) -> x + y)"
+    )
+    parts = [
+        """
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""
+    d{r} AS (SELECT c.vec_id, any_value(c.v) AS v,
+                    MIN({l2}) AS dmin
+             FROM vecs c CROSS JOIN {prev} s GROUP BY c.vec_id),
+    p{r} AS (SELECT vec_id, v, dmin FROM d{r}
+             ORDER BY dmin DESC, vec_id LIMIT 1),
+    c{r} AS (SELECT vec_id, v FROM {prev}
+             UNION ALL SELECT vec_id, v FROM p{r})"""
+        )
+    selects = [
+        "SELECT CAST(0 AS INT) AS rank, vec_id,"
+        " CAST(0 AS DOUBLE) AS dist FROM c0"
+    ] + [
+        f"SELECT CAST({r} AS INT), vec_id, dmin FROM p{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("c03_kcenter_select", oracle=_kcenter_oracle())
+def c03_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3k: K-CENTER GREEDY diverse subset selection (Gonzalez 1985
+    farthest-point traversal — the 2-approximation for k-center):
+    seed with the smallest vec_id, then k times pick the point whose
+    distance TO THE CHOSEN SET (min over centers) is LARGEST, ties to
+    the smaller id. This is coreset/diverse-sampling curation — the
+    opposite pole from dedup: dedup removes the too-close, k-center
+    KEEPS the deliberately-far-apart (eval-set seeding, annotation
+    budget spending, balanced fine-tuning subsets) — and its
+    selection radius (the last dist column) is the covering-radius
+    certificate the approximation guarantee speaks about.
+
+    Shape per round: corpus × chosen broadcast join (chosen is
+    k-sized), map-side-combined min-dist groupBy, one
+    TakeOrderedAndProject argmax — k bounded rounds of corpus-linear
+    work, the same driver-iteration contract as c03_kmeans_iter;
+    chosen-set lineage truncates per round. The oracle unrolls the
+    same greedy with correlated MIN subqueries; exact-fold L2 keeps
+    every distance bit-identical, so selections can't diverge."""
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("v"),
+    )
+    chosen = (
+        vecs.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    )
+    out = chosen.select(
+        F.lit(0).cast("int").alias("rank"),
+        "vec_id",
+        F.lit(0.0).alias("dist"),
+    )
+    for r in range(1, 5):
+        dmin = (
+            vecs.join(
+                F.broadcast(
+                    chosen.select(
+                        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+                    )
+                )
+            )
+            .select(
+                "vec_id", "v", l2sq_fold(F.col("v"), F.col("cv")).alias("d")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"), F.any_value("v").alias("v"))
+        )
+        winner = (
+            dmin.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        chosen = chosen.unionByName(
+            winner.select("vec_id", "v")
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            winner.select(
+                F.lit(r).cast("int").alias("rank"),
+                "vec_id",
+                F.col("dmin").alias("dist"),
+            )
+        )
+    return out
