@@ -3858,3 +3858,138 @@ def c07_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.coalesce("cluster_size", F.lit(1))
         ).alias("weight"),
     )
+
+
+def _mis_oracle(rounds: int = 3) -> str:
+    parts = [
+        f"""
+    WITH e0 AS MATERIALIZED (SELECT src, dst FROM ({_knn_graph_oracle()})),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    u0 AS MATERIALIZED (SELECT vec_id,
+             (((vec_id * vec_id) % 1000000007 * 2654435761 + vec_id)
+               % 1000000007) * 1000 + vec_id % 1000 AS pkey
+           FROM embeddings)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""
+    m{r} AS MATERIALIZED (SELECT e.src AS vec_id, MAX(v.pkey) AS mx
+             FROM edges e JOIN u{p} v ON v.vec_id = e.dst
+             WHERE e.src IN (SELECT vec_id FROM u{p})
+             GROUP BY e.src),
+    i{r} AS MATERIALIZED (SELECT u.vec_id FROM u{p} u
+             LEFT JOIN m{r} ON m{r}.vec_id = u.vec_id
+             WHERE u.pkey > COALESCE(m{r}.mx, -1)),
+    o{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS vec_id
+             FROM edges e JOIN i{r} ON i{r}.vec_id = e.src
+             WHERE e.dst IN (SELECT vec_id FROM u{p})),
+    u{r} AS MATERIALIZED (SELECT * FROM u{p}
+             WHERE vec_id NOT IN (SELECT vec_id FROM i{r})
+               AND vec_id NOT IN (SELECT vec_id FROM o{r}))"""
+        )
+    selects = []
+    for r in range(1, rounds + 1):
+        selects.append(
+            f"SELECT vec_id, 'in' AS state, CAST({r} AS INT) AS round"
+            f" FROM i{r}"
+        )
+        selects.append(
+            f"SELECT vec_id, 'out', CAST({r} AS INT) FROM o{r}"
+        )
+    selects.append(
+        f"SELECT vec_id, 'undecided', CAST(0 AS INT) FROM u{rounds}"
+    )
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("c06_maximal_independent_set", oracle=_mis_oracle())
+def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6m: MAXIMAL INDEPENDENT SET by parallel local-maxima rounds
+    (Luby 1986, with a deterministic hash priority instead of fresh
+    randomness): per round, every undecided node whose priority beats
+    ALL undecided neighbors joins the set, its neighbors drop out,
+    repeat. Two adjacent nodes can never both be local maxima, so
+    independence holds by construction; every round decides at least
+    the local maxima, so progress is guaranteed. As a curation
+    primitive this is the "keep ONE per neighborhood" survivor rule —
+    unlike component canonicalization (c06_canonical_doc), which
+    keeps one per CONNECTED COMPONENT and so collapses long near-dup
+    CHAINS (A~B~C~…~Z → one survivor even though A and Z aren't
+    similar at all), MIS keeps a maximal set of mutually-dissimilar
+    docs: no two survivors are neighbors, every dropped doc has a
+    surviving neighbor. Priorities fold vec_id into the low digits
+    (pkey = scramble·1000 + id) so they are strictly unique — the
+    tie-break is inside the key, bit-identical cross-engine.
+
+    Shape per round: one edge⋈state join + max-by-dst groupBy + two
+    anti-joins — all edge-list-sized; 3 bounded rounds with lineage
+    truncated per round (expected O(log n) rounds decide everything;
+    leftovers report 'undecided', never silently resolve)."""
+    e = t(spark, sf_dir, "embeddings")
+    e0 = knn_graph(e, k=3, dim=64, n_planes=6).select("src", "dst")
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.select(
+        "vec_id",
+        (
+            (
+                (F.col("vec_id") * F.col("vec_id"))
+                % 1000000007
+                * 2654435761
+                + F.col("vec_id")
+            )
+            % 1000000007
+            * 1000
+            + F.col("vec_id") % 1000
+        ).alias("pkey"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in range(1, 4):
+        mx = (
+            edges.join(
+                und.select(F.col("vec_id").alias("dst"), "pkey"), "dst"
+            )
+            .join(und.select(F.col("vec_id").alias("src")), "src")
+            .groupBy(F.col("src").alias("vec_id"))
+            .agg(F.max("pkey").alias("mx"))
+        )
+        winners = (
+            und.join(mx, "vec_id", "left")
+            .filter(F.col("pkey") > F.coalesce("mx", F.lit(-1)))
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+        dropped = (
+            edges.join(winners.withColumnRenamed("vec_id", "src"), "src")
+            .select(F.col("dst").alias("vec_id"))
+            .join(und, "vec_id", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        decided = winners.select(
+            "vec_id", F.lit("in").alias("state"), F.lit(r).cast("int").alias("round")
+        ).unionByName(
+            dropped.select(
+                "vec_id", F.lit("out").alias("state"), F.lit(r).cast("int").alias("round")
+            )
+        )
+        out = decided if out is None else out.unionByName(decided)
+        und = (
+            und.join(winners, "vec_id", "left_anti")
+            .join(dropped, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return out.unionByName(
+        und.select(
+            "vec_id",
+            F.lit("undecided").alias("state"),
+            F.lit(0).cast("int").alias("round"),
+        )
+    )
