@@ -633,28 +633,63 @@ class VersionedParquetTable:
         dk = delete_keys.select(keys).distinct()
         if not self.partition_by:
             return self.overwrite(
-                self.read(spark).join(F.broadcast(dk), keys, "left_anti")
+                self._anti_by_keys(self.read(spark), dk, keys)
             )
         # Same hazard the partitioned upsert guards against: untouched
         # partitions hard-link from the previous version WITHOUT its
         # merge-on-read side file, so pending tombstones would be
         # resurrected the moment the new version commits. Fold them
-        # into the data first, then prune.
+        # into the data first (itself partition-pruned), then prune.
         if os.path.isdir(self._deletes_dir(self.current_version())):
             self.apply_deletes(spark)
-        old = self.read(spark)
+        return self._delete_partitioned_core(spark, dk, keys)
+
+    @staticmethod
+    def _anti_by_keys(df: DataFrame, dk: DataFrame, keys: list[str]) -> DataFrame:
+        """NULL-SAFE key anti-join (same semantics as the merge-on-read
+        scan in read_version): a NULL-keyed delete request removes the
+        NULL-keyed rows instead of silently matching nothing."""
+        dk2 = dk.select(
+            *[F.col(k).alias(f"__dk_{k}") for k in keys]
+        ).distinct()
+        cond = None
+        for k in keys:
+            c = df[k].eqNullSafe(dk2[f"__dk_{k}"])
+            cond = c if cond is None else cond & c
+        return df.join(F.broadcast(dk2), on=cond, how="left_anti")
+
+    def _delete_partitioned_core(
+        self, spark: SparkSession, dk: DataFrame, keys: list[str]
+    ) -> int:
+        """Partition-pruned key removal against the RAW current version
+        directory. Caller guarantees no pending tombstone side file
+        (delete() folds first; apply_deletes passes the tombstones
+        themselves as ``dk``, so removing them IS the fold)."""
         pcol = self.partition_by
         old_version = self.current_version()
         old_dir = self._version_dir(old_version)
+        raw = spark.read.parquet(old_dir)
+        dk2 = dk.select(
+            *[F.col(k).alias(f"__dk_{k}") for k in keys]
+        ).distinct()
+
+        def cond(frame):
+            c = None
+            for k in keys:
+                e = frame[k].eqNullSafe(dk2[f"__dk_{k}"])
+                c = e if c is None else c & e
+            return c
+
         touched = [
             r[0]
-            for r in old.join(F.broadcast(dk), keys, "left_semi")
+            for r in raw.join(F.broadcast(dk2), on=cond(raw), how="left_semi")
             .select(pcol)
             .distinct()
             .collect()
         ]
-        remaining = old.filter(F.col(pcol).isin(touched)).join(
-            F.broadcast(dk), keys, "left_anti"
+        kept = raw.filter(F.col(pcol).isin(touched))
+        remaining = kept.join(
+            F.broadcast(dk2), on=cond(kept), how="left_anti"
         )
         new_version = self._next_version()
         target = self._version_dir(new_version)
@@ -895,10 +930,18 @@ class VersionedParquetTable:
         tombstone set as a plain version with no side file — reads go
         back to pure scans. A no-op when no tombstones exist.
         Schedule with M5 compaction; until it runs, every reader pays
-        the anti-join, which is the explicit trade MOR makes."""
+        the anti-join, which is the explicit trade MOR makes.
+
+        With ``partition_by`` the compaction is PARTITION-PRUNED: only
+        partitions containing tombstoned rows rewrite, the rest
+        hard-link — a 3-row GDPR tombstone against a 100 TB table
+        compacts at O(touched partitions), not O(table)."""
         cur = self.current_version()
         if cur is None or not os.path.isdir(self._deletes_dir(cur)):
             return cur or 0
+        if self.partition_by:
+            tomb = spark.read.parquet(self._deletes_dir(cur))
+            return self._delete_partitioned_core(spark, tomb, tomb.columns)
         return self.overwrite(self.read(spark))
 
     # -- M19: partition evolution --------------------------------------

@@ -1285,3 +1285,39 @@ def test_as_of_timestamp_resolves_rollback_and_guards(spark, tmp_path):
     # A timestamp before the first commit fails loudly.
     with _pytest.raises(FileNotFoundError):
         table.read_as_of_timestamp(spark, t0 - 10)
+
+
+def test_apply_deletes_partitioned_is_pruned_and_null_safe(spark, tmp_path):
+    import os as _os
+
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    table.overwrite(
+        make_df(
+            spark,
+            [("a", 1, "p1"), (None, 1, "p1"), ("b", 1, "p2"), ("c", 1, "p3")],
+        )
+    )
+    # Tombstone a NULL key and a p1 key: compaction must remove BOTH
+    # (null-safe semantics, matching the merge-on-read scan)...
+    table.delete_mor(
+        spark,
+        spark.createDataFrame([("a",), (None,)], "k string"),
+        keys=["k"],
+    )
+    v = table.apply_deletes(spark)
+    assert not _os.path.isdir(table._deletes_dir(v))
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {
+        ("b", 1, "p2"),
+        ("c", 1, "p3"),
+    }
+    # ...and only partition p1 rewrites: p2/p3 data files hard-link
+    # from the previous version (st_nlink >= 2).
+    vdir = table._version_dir(v)
+    for part in ("val=p2", "val=p3"):
+        links = [
+            _os.stat(_os.path.join(dp, f)).st_nlink
+            for dp, _d, fs in _os.walk(_os.path.join(vdir, part))
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert links and all(n >= 2 for n in links), part
