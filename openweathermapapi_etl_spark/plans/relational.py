@@ -3905,3 +3905,59 @@ def b79_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM big_orders(150000.0)")
+
+
+@register(
+    "b04_codec_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price, 'zstd' AS codec
+    FROM orders WHERE o_custkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE), 'gzip-json'
+    FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def b04_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4e: COMPRESSION-CODEC round-trips — the same slice written as
+    zstd parquet and as gzip-compressed JSON lines, read back and
+    unioned; both must reproduce the source exactly (the oracle is
+    the slice twice). Codec choice is a first-order 100 TB decision,
+    not a detail: zstd is the modern parquet default (snappy-class
+    decode speed at notably better ratios — less I/O per scan);
+    gzip JSONL is the interchange format everything can read but is
+    NOT SPLITTABLE — one 10 GB .json.gz file is one task no matter
+    how many executors wait, which is why gzip belongs at small-file
+    interchange boundaries only (or bzip2/raw if splittability is
+    required). The codec is file-level metadata: readers need no
+    option, they sniff the extension — proven here by option-free
+    reads."""
+    out_p = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b04z_{os.getpid()}"
+    )
+    out_j = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b04gz_{os.getpid()}"
+    )
+    df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out_p)
+    df.write.mode("overwrite").option("compression", "gzip").json(out_j)
+    back_p = spark.read.parquet(out_p).withColumn("codec", F.lit("zstd"))
+    back_j = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " price double"
+        )
+        .json(out_j)
+        .withColumn("codec", F.lit("gzip-json"))
+    )
+    return back_p.unionByName(back_j)
