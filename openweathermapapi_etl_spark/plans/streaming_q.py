@@ -1416,3 +1416,101 @@ def b44_dualsink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(bronze_rows).cast("bigint").alias("bronze_rows"),
     )
+
+
+@register(
+    "b44_txn_dualsink",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV} e),
+    tagged AS (
+      SELECT *, CASE WHEN event_id < (SELECT (MAX(event_id) + 2) // 2 FROM ev)
+                     THEN 0 ELSE 1 END AS batch
+      FROM ev),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY batch DESC, ts DESC NULLS LAST,
+                        event_id DESC NULLS LAST, value DESC NULLS LAST,
+                        props DESC NULLS LAST) AS rn
+      FROM tagged)
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{_FMT_US}') AS ts_s, value,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS bronze_rows
+    FROM ranked WHERE rn = 1
+    """,
+)
+def b44_txn_dualsink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44c: TRANSACTIONAL dual-sink — the b44b medallion fan-out with
+    the two sinks committed ATOMICALLY per micro-batch through one
+    MultiTableTxn pointer (M16): bronze and gold stage as uncommitted
+    versions, then a single pointer swing publishes BOTH or NEITHER.
+    b44b gives each sink its own idempotence (a crash between the two
+    writes leaves bronze ahead of gold until the replay catches up);
+    this variant closes even that window — readers can never observe
+    the log and the serving table disagreeing, which is the streaming
+    outbox problem (the usual answer is a message bus + reconciler;
+    a shared snapshot store with one commit pointer needs neither).
+    Bronze stays replay-idempotent WITHIN the txn too: each batch
+    replaces its own batch_id slice before staging, so a replayed
+    batch converges. The oracle is b44b's — same final state, the
+    hash proves the txn indirection loses nothing.
+
+    Scale: staging is the normal write path; the commit adds one
+    O(tables) pointer rename per micro-batch — no cross-table lock,
+    no 2PC; pytest pins the neither-visible crash window."""
+    from ..operators.merge import MultiTableTxn, keyed_upsert
+
+    prep(spark)
+    d = _replay_dir(spark, sf_dir, "b44t")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b44t_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    txn = MultiTableTxn(base)
+    bronze, gold = txn.table("bronze"), txn.table("gold")
+
+    def txn_sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("batch_id", F.lit(batch_id))
+        cur = txn.current()
+        if cur is None:
+            new_bronze = tagged
+            new_gold = keyed_upsert(
+                tagged.limit(0),
+                tagged,
+                keys=["user_id", "event_type"],
+                order_col="ts",
+            )
+        else:
+            prev_bronze = txn.read(spark, "bronze")
+            new_bronze = prev_bronze.filter(
+                F.col("batch_id") != batch_id
+            ).unionByName(tagged)
+            new_gold = keyed_upsert(
+                txn.read(spark, "gold"),
+                tagged,
+                keys=["user_id", "event_type"],
+                order_col="ts",
+            )
+        txn.commit(
+            {
+                "bronze": bronze.stage(new_bronze),
+                "gold": gold.stage(new_gold),
+            }
+        )
+
+    stream = replay_files_stream(spark, d, EVENTS)
+    q = (
+        stream.writeStream.foreachBatch(txn_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bronze_rows = txn.read(spark, "bronze").count()
+    return txn.read(spark, "gold").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", _SPARK_FMT_US).alias("ts_s"),
+        "value",
+        F.lit(bronze_rows).cast("bigint").alias("bronze_rows"),
+    )
