@@ -165,6 +165,10 @@ BENCH_QUERIES = [
     # char-array expression (per-byte polynomial boundary scan) feeding
     # one chunk-keyed frequency shuffle.
     "c05_cdc_chunking",
+    # Round-8 additions (cont.): the deepest join tree in the book —
+    # four chained broadcast-hash joins over the fact table in one
+    # codegen pass (the star-schema reduction every BI query makes).
+    "flagship_q5",
 ]
 
 #: The previous round's headline set (BENCH_r06.json), so totals can be

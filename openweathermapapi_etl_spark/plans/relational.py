@@ -3961,3 +3961,65 @@ def b04_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("codec", F.lit("gzip-json"))
     )
     return back_p.unionByName(back_j)
+
+
+@register(
+    "flagship_q5",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def flagship_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP Q5 (TPC-H local-supplier-volume shape): the DEEPEST
+    join tree in the book — six tables, five joins, including the
+    non-key theta-ish constraint ``supplier.nation = customer.nation``
+    (the "local supplier" twist that makes Q5 the classic join-order
+    benchmark: planners that join supplier late explode the
+    intermediate). Spark-first shape: region/nation/supplier/customer
+    all broadcast (each ≪ the 64 MB threshold at any realistic dim
+    scale), so the fact table (lineitem) streams through FOUR chained
+    broadcast-hash joins inside one whole-stage-codegen pass with the
+    region filter pruning nations BEFORE the fact scan touches them —
+    zero fact-side shuffles until the final 5-group aggregate, which
+    partial-aggregates map-side. Plan-pinned: ≥4 BroadcastHashJoin,
+    no SortMergeJoin, no cartesian.
+
+    At 100 TB: lineitem is the only table that scales; the broadcast
+    chain means the join cost is one codegen pass over it — the
+    pattern every star-schema query here reduces to (and AQE converts
+    stragglers if a "dim" outgrows the threshold)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

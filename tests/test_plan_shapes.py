@@ -633,3 +633,10 @@ def test_distribute_sort_by_local_sort_only(spark, sf):
         r"Arguments: \[o_orderstatus[^\]]*ASC NULLS FIRST\], false, 0", s
     )
     assert "rangepartitioning" not in s
+
+
+def test_flagship_q5_broadcast_chain_no_smj(spark, sf):
+    s, tree = plan_of(spark, "flagship_q5", sf)
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
