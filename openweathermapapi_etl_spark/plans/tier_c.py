@@ -32,12 +32,15 @@ from ..operators.multimodal import (
     to_binary_payload,
 )
 from ..operators.similarity import (
+    cosine_pre,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs,
+    hyperplane_bits,
     knn_graph,
     make_planes,
+    norm_fold,
 )
 from ..operators.text import (
     STOPWORDS,
@@ -1973,3 +1976,106 @@ def c02_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= 3)
+
+
+def _hard_negative_oracle(k: int = 3, dim: int = 64, n_planes: int = 4) -> str:
+    planes = make_planes(dim, n_planes)
+
+    def dot_lit(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN {dot_lit(p)} >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos_qn = f"{_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    bucketed AS (
+      SELECT vec_id, embedding, label, CAST({bucket} AS INTEGER) AS bucket
+      FROM embeddings)
+    SELECT query_id, own_label, neighbor_id, neg_label, cos_sim, rank
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS own_label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             {cos_qn} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos_qn} DESC, c.vec_id) AS rank
+      FROM bucketed q
+      JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                     AND q.label <> c.label
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id % 50 = 0) r
+    WHERE rank <= {k}
+    """
+
+
+@register("c03_hard_negative_mining", oracle=_hard_negative_oracle())
+def c03_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3h: HARD NEGATIVE MINING for retrieval/embedding training
+    (ANCE/DPR-style, public recipe): for each query vector, the
+    most-similar candidates whose LABEL DIFFERS — maximally confusing
+    negatives, the examples contrastive training actually learns
+    from (random negatives are too easy; the model stops improving).
+    The label filter applies BEFORE ranking, which is what makes this
+    a different operator from plain ANN: the top-k is over the
+    negative POOL, so a query whose whole neighborhood shares its
+    label correctly yields fewer (or zero) rows rather than padding
+    with positives.
+
+    Shape: the same hyperplane-bucketed self-join as the LSH ANN
+    family (one shuffle on bucket id), with the label-mismatch
+    predicate folded into the join condition — candidates that can
+    never be negatives are dropped AT the join, before any cosine is
+    computed (predicate-before-scoring is the at-scale win: in a
+    balanced-label corpus it halves-or-better the scoring work).
+    Deterministic seeded planes → full value-hash oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    planes = make_planes(64, 4)
+    b = e.select(
+        "vec_id",
+        "embedding",
+        "label",
+        hyperplane_bits(F.col("embedding"), planes).alias("bucket"),
+        norm_fold(F.col("embedding")).alias("nrm"),
+    )
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("own_label"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        q.join(
+            b,
+            (F.col("qb") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id"))
+            & (F.col("own_label") != F.col("label")),
+        )
+        .select(
+            "query_id",
+            "own_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            cosine_pre(
+                F.col("qv"), F.col("embedding"), F.col("qn"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
