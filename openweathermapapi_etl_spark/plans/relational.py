@@ -4023,3 +4023,55 @@ def flagship_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "flagship_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {o_dsum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180)
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_price, b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def flagship_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP Q18 (TPC-H large-volume-customer shape): the
+    TWO-PHASE pattern — a fact-table aggregate DEFINES the
+    interesting key set (orders whose summed quantity clears a
+    threshold, ~10% of orders here), then that SMALL derived set
+    drives joins back into the star. The at-scale insight Q18
+    exists to test: the aggregate must run FIRST and the join-back
+    must treat its result as the small build side — planned
+    backwards (join everything, then aggregate) the intermediate is
+    fact-sized. Spark-first: one map-side-combined groupBy over
+    lineitem produces the filtered key set; AQE sizes it at runtime
+    and converts the joins to broadcast — the derived-build-side
+    plan a static planner can't pick (it can't know the HAVING
+    selectivity until the aggregate runs). Customer broadcasts
+    statically.
+
+    This and Q5 bracket the star-schema space: Q5 is the widest
+    broadcast CHAIN, Q18 the derived-small-side pattern."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_price"),
+            "total_qty",
+        )
+    )
