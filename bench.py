@@ -171,15 +171,11 @@ BENCH_QUERIES = [
     "flagship_q5",
 ]
 
-#: The previous round's headline set (BENCH_r06.json), so totals can be
+#: The previous round's headline set (BENCH_r07.json), so totals can be
 #: compared like-for-like round-over-round: the headline total grows
 #: whenever queries are ADDED, which otherwise reads as a regression
 #: until decomposed (round-4 verdict task 7).
 PREV_ROUND_QUERIES = [
-    "m5_compaction_plan",
-    "b24_gap_fill_ffill",
-    "c03_pq_encode",
-    "c03_ivf_pq_topk",
     "flagship_q3",
     "b06_select_expr",
     "b07_filter_predicates",
@@ -212,6 +208,39 @@ PREV_ROUND_QUERIES = [
     "c03_kmeans_iter",
     "m3_snapshot_diff",
     "b26_global_rank",
+    "m5_compaction_plan",
+    "b24_gap_fill_ffill",
+    "c03_pq_encode",
+    "c03_ivf_pq_topk",
+    "b53_state_timeout_expiry",
+    "c04_repeated_spans",
+    "c04_bm25_topk",
+    "c07_epoch_shuffle",
+    "b10_bloom_runtime_filter",
+    "c02_semdedup",
+    "c04_bigram_interp_score",
+    "c03_sq8_encode",
+    "c06_cc_alternating_star",
+    "c04_ppl_buckets",
+    "m6_targeted_delete",
+    "c02_setsim_exact",
+    "c06_jaccard_neighbors",
+    "m10_reconcile_checksum",
+    "c03_pca_project",
+    "c04_pmi_lift",
+    "b16_weighted_median",
+    "c02_incremental_neardup",
+    "c02_cross_corpus_overlap",
+    "c03_ivf_persist",
+    "c02_winnow_matches",
+    "c03_bq_rerank_funnel",
+    "m15_cdc_agg_maintenance",
+    "c03_mrl_rerank_funnel",
+    "c04_dsir_importance",
+    "c04_boilerplate_strip",
+    "c03_graph_expand_topk",
+    "c03_centroid_drift",
+    "c03_jl_projection",
 ]
 
 
