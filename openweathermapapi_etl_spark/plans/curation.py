@@ -3993,3 +3993,129 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("round"),
         )
     )
+
+
+@register(
+    "c09_decon_verify",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_O_GRAMS4}) AS g
+      FROM toks WHERE doc_id % 53 = 0),
+    corpus AS (
+      SELECT doc_id, len(tk) AS n_tokens, i AS pos,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS u(i)
+      WHERE doc_id % 53 <> 0 AND len(tk) >= 4),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits_before,
+             MIN(pos) AS p0, MAX(pos) + 3 AS p1
+      FROM corpus c JOIN eval_grams e USING (g)
+      GROUP BY doc_id),
+    excised AS (
+      SELECT t.doc_id, h.hits_before,
+             list_concat(t.tk[1:h.p0 - 1], t.tk[h.p1 + 1:len(t.tk)])
+               AS kept
+      FROM toks t JOIN hits h USING (doc_id)),
+    regrams AS (
+      SELECT doc_id,
+             kept[i] || ' ' || kept[i+1] || ' ' || kept[i+2] || ' ' ||
+               kept[i+3] AS g
+      FROM excised, unnest(generate_series(1, len(kept) - 3)) AS u(i)
+      WHERE len(kept) >= 4),
+    recheck AS (
+      SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS hits_after
+      FROM regrams r JOIN eval_grams e USING (g)
+      GROUP BY r.doc_id)
+    SELECT e.doc_id, e.hits_before,
+           COALESCE(rc.hits_after, 0) AS hits_after
+    FROM excised e LEFT JOIN recheck rc USING (doc_id)
+    """,
+)
+def c09_decon_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9v: decontamination VERIFICATION — close the loop: run the C9e
+    excision, then RE-RUN detection on the cleaned text and report
+    per-doc eval-4-gram hits before and after. ``hits_after`` is 0
+    for every row — guaranteed by the single-envelope cut (no eval
+    gram can survive [p0, p1+3] removal, and reassembly can't create
+    one because prefix and suffix were gram-free on either side of
+    the cut... except the SEAM: prefix tail + suffix head form NEW
+    4-grams the original text never had — re-detection is exactly the
+    audit that would catch a seam regression, which is WHY the gate
+    re-checks instead of trusting the proof). An eval firewall you
+    can hand an auditor: detection → surgery → re-detection, all
+    data, no trust.
+
+    Shape: the C9e pipeline plus one more gram explode over the
+    (contaminated-docs-only) cleaned text — the recheck costs
+    O(contaminated docs), not a second corpus pass; eval grams stay
+    one broadcast."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n_tokens")
+    )
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = toks.filter(F.col("n_tokens") >= 4).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens") - 3)).alias("pos"),
+        gram.alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 53 == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 53 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("hits_before"),
+            F.min("pos").alias("p0"),
+            (F.max("pos") + 3).alias("p1"),
+        )
+    )
+    kept = F.concat(
+        F.slice(F.col("tk"), 1, F.greatest(F.col("p0") - 1, F.lit(0))),
+        F.when(
+            F.col("p1") < F.col("n_tokens"),
+            F.slice(
+                F.col("tk"),
+                F.col("p1") + 1,
+                F.col("n_tokens") - F.col("p1"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    excised = (
+        toks.join(hits, "doc_id")
+        .select("doc_id", "hits_before", kept.alias("kept"))
+        .withColumn("n_kept", F.size("kept"))
+    )
+    regram = F.concat_ws(
+        " ",
+        F.col("kept")[F.col("pos") - 1],
+        F.col("kept")[F.col("pos")],
+        F.col("kept")[F.col("pos") + 1],
+        F.col("kept")[F.col("pos") + 2],
+    )
+    regrams = excised.filter(F.col("n_kept") >= 4).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_kept") - 3)).alias("pos"),
+        regram.alias("g"),
+    )
+    recheck = (
+        regrams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits_after"))
+    )
+    return excised.join(recheck, "doc_id", "left").select(
+        "doc_id",
+        "hits_before",
+        F.coalesce("hits_after", F.lit(0)).alias("hits_after"),
+    )
