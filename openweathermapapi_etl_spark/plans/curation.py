@@ -3500,7 +3500,7 @@ def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c06_bfs_distance",
     oracle=f"""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE edges AS MATERIALIZED (
       SELECT src, dst FROM ({_knn_graph_oracle()})),
     bfs(node, d) AS (
       SELECT vec_id, 0 FROM embeddings WHERE vec_id % 50 = 0
@@ -3565,7 +3565,7 @@ def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c06_label_conductance",
     oracle=f"""
-    WITH edges AS (SELECT src, dst FROM ({_knn_graph_oracle()})),
+    WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_knn_graph_oracle()})),
     lbl AS (SELECT vec_id, label FROM embeddings),
     le AS (
       SELECT ls.label AS src_label, ld.label AS dst_label
