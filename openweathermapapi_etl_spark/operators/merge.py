@@ -475,11 +475,13 @@ class VersionedParquetTable:
         competing writer's rows) and redo the merge, so no commit is
         ever lost. Returns ``(version, attempts)``.
 
-        Scale: conflicts cost one extra merge of the same micro-batch —
-        the retry loop's work is batch-sized, not table-sized, because
-        the partitioned merge path only rewrites touched partitions.
-        Writers on DISJOINT partitions still conflict here (single
-        pointer); partition-level pointers are the classic extension."""
+        Scale: each attempt stages a full merged snapshot (the
+        simple-and-correct form; composing the CAS with the
+        partition-pruned merge path is the natural extension — claim
+        the slot, run _upsert_partitioned's link logic into it, CAS).
+        A conflict therefore costs one extra merge+write. Writers on
+        DISJOINT partitions still conflict (single pointer);
+        partition-level pointers are the classic refinement."""
         if not self.exists():
             self.overwrite(dedup_last_write_wins(updates, keys, order_col))
             return self.current_version(), 1
