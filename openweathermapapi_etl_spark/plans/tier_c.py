@@ -6,6 +6,10 @@ fully reproducible in SQL — see operators/text.py).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2079,3 +2083,63 @@ def c03_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "c05_tfrecord_roundtrip",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def c05_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5t: TFRecord-style container ROUND-TRIP through a Spark 4
+    Python batch DataSource (sources/tfrecord.py) — the
+    length-prefixed + checksummed record format training stacks feed
+    from and Spark has no native reader for. Write path: executors
+    shard the slice into one ``.tfr`` container per task
+    (mapInPandas, file count == write parallelism); read path: the
+    registered ``tfrecord_lite`` source lists containers as
+    ``InputPartition``s — files decode in parallel across executors —
+    and VERIFIES every record checksum, raising with file+offset on
+    corruption (silent shard rot is the failure mode this container
+    class exists to catch; pytest pins the corruption raise). The
+    hash match against the source slice proves the container is
+    lossless.
+
+    This completes the Python DataSource API surface: A1b streams
+    (micro-batch offsets), B64 writes (commit protocol), C5t batch-
+    reads (partition planning) — the full custom-connector story for
+    a format the JVM has never heard of, at executor parallelism."""
+    import pandas as _pd
+
+    from ..sources.tfrecord import TFRecordLiteDataSource, write_records
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_c05tfr_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def shard_writer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out, f"shard-{pid:05d}.tfr")
+        n = 0
+        for pdf in batches:
+            n += write_records(
+                path, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
+            )
+        yield _pd.DataFrame({"file": [path], "n": [n]})
+
+    written = d.repartition(8).mapInPandas(
+        shard_writer, "file string, n long"
+    )
+    written.collect()  # materialize the shards (control-plane-sized)
+    spark.dataSource.register(TFRecordLiteDataSource)
+    return spark.read.format("tfrecord_lite").option("path", out).load()

@@ -1,0 +1,134 @@
+"""C5t — a Spark 4 Python DataSource batch READER for a TFRecord-style
+training-data container.
+
+Completes the Python DataSource API coverage: A1b
+(streaming/http_datasource.py) is the STREAM reader, B64
+(sources/jsonl_datasource.py) the batch WRITER with a commit protocol;
+this module is the partitioned BATCH reader — ``DataSource.reader`` →
+``DataSourceReader.partitions()`` (one ``InputPartition`` per container
+file, so files read in parallel across executors) → per-partition
+``read()`` yielding tuples.
+
+The format is a deliberately minimal TFRecord relative ("tfrecord-lite")
+— the length-prefixed record container every training stack feeds from,
+which Spark has no native reader for:
+
+    record  := <u32 payload_len LE> <payload bytes> <u32 checksum LE>
+    payload := UTF-8 JSON {"doc_id": int, "text": str}
+    checksum:= XOR-fold of the payload bytes into 4 bytes
+
+The checksum is VERIFIED on read and a mismatch raises with the file
+and byte offset — silent corruption of training shards is the failure
+mode this class of container exists to catch (real TFRecord carries
+masked CRC-32C per length and payload; the structure — and the
+fail-loudly contract — is the same).
+
+Scale notes: parallelism = container files (the writer shards by
+partition, so file count tracks write parallelism); each record is
+decoded once, streamed as a tuple, never accumulated. A corrupt record
+fails its task (and so the query) rather than dropping rows — opt-in
+permissive handling belongs in the caller, not silently in the reader.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+def xor_fold(payload: bytes) -> int:
+    """4-byte XOR fold of the payload (the checksum in the record
+    trailer). Order-sensitive within each 4-byte lane, cheap, and
+    wrong-with-certainty for truncated/shifted payloads."""
+    acc = 0
+    for i in range(0, len(payload), 4):
+        acc ^= int.from_bytes(payload[i : i + 4].ljust(4, b"\0"), "little")
+    return acc
+
+
+def write_records(path: str, rows: Iterator[tuple[int, str]]) -> int:
+    """Append length-prefixed checksummed records to ``path``;
+    returns the record count. Executor-side helper for mapInPandas
+    writers (one file per task → file count == write parallelism)."""
+    n = 0
+    with open(path, "ab") as fh:
+        for doc_id, text in rows:
+            payload = json.dumps(
+                {"doc_id": int(doc_id), "text": text}
+            ).encode("utf-8")
+            fh.write(struct.pack("<I", len(payload)))
+            fh.write(payload)
+            fh.write(struct.pack("<I", xor_fold(payload)))
+            n += 1
+    return n
+
+
+def read_records(path: str) -> Iterator[tuple[int, str]]:
+    """Parse one container file, verifying every checksum."""
+    with open(path, "rb") as fh:
+        offset = 0
+        while True:
+            header = fh.read(4)
+            if not header:
+                return
+            if len(header) < 4:
+                raise IOError(
+                    f"{path}: truncated length header at offset {offset}"
+                )
+            (length,) = struct.unpack("<I", header)
+            payload = fh.read(length)
+            trailer = fh.read(4)
+            if len(payload) < length or len(trailer) < 4:
+                raise IOError(
+                    f"{path}: truncated record at offset {offset}"
+                )
+            (want,) = struct.unpack("<I", trailer)
+            got = xor_fold(payload)
+            if got != want:
+                raise IOError(
+                    f"{path}: checksum mismatch at offset {offset} "
+                    f"(stored {want:#010x}, computed {got:#010x})"
+                )
+            rec = json.loads(payload)
+            yield rec["doc_id"], rec["text"]
+            offset += 8 + length
+
+
+class TFRecordLiteReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tfrecord_lite requires a path")
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.path, "*.tfr")))
+        if not files:
+            raise FileNotFoundError(f"no *.tfr files under {self.path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        yield from read_records(partition.value)
+
+
+class TFRecordLiteDataSource(DataSource):
+    """``spark.dataSource.register(TFRecordLiteDataSource)`` then
+    ``spark.read.format("tfrecord_lite").load(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord_lite"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema) -> TFRecordLiteReader:
+        return TFRecordLiteReader(self.options)

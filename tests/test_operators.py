@@ -521,3 +521,27 @@ def test_union_by_name_aligns_drifted_column_order(spark):
         for r in a.unionByName(b, allowMissingColumns=True).collect()
     )
     assert rows == [(1, "x"), (2, "y")]
+
+
+def test_tfrecord_lite_roundtrip_and_corruption_raises(tmp_path):
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.sources.tfrecord import (
+        read_records,
+        write_records,
+    )
+
+    path = str(tmp_path / "shard-0.tfr")
+    rows = [(1, "hello world"), (2, ""), (3, "x" * 1000)]
+    assert write_records(path, iter(rows)) == 3
+    assert list(read_records(path)) == rows
+    # Flip one payload byte: the checksum must catch it, with offset.
+    data = bytearray(open(path, "rb").read())
+    data[6] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    with _pytest.raises(IOError, match="checksum mismatch"):
+        list(read_records(path))
+    # Truncate mid-record: loud, not a silent partial yield.
+    open(path, "wb").write(bytes(data[:10]))
+    with _pytest.raises(IOError, match="truncated"):
+        list(read_records(path))
