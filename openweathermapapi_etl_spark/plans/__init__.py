@@ -45,65 +45,65 @@ from . import analytics_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 6's driver window (== CORRECTNESS_r06.json keys): the most
+# Round 7's driver window (== CORRECTNESS_r07.json keys): the most
 # recently driver-verified -> rotate to the BACK this round.
-_R6_WINDOW = [
-    "b24_gap_fill_ffill",
-    "c04_chunk_overlap",
+_PREV_WINDOW = [
     "c03_pq_encode",
-    "c07_weighted_sample",
-    "m5_compaction_plan",
     "c03_pq_adc_topk",
-    "b24_time_weighted_avg",
-    "b24_anomaly_zscore",
-    "c07_curriculum_phases",
-    "b15_asof_tolerance",
-    "b24_ewma_smooth",
-    "c07_source_quota",
-    "b20_unpivot",
-    "c04_repeated_spans",
-    "b16_mode",
-    "c03_ivf_pq_topk",
-    "c06_triangle_count",
-    "b22_freshness_audit",
-    "b53_state_timeout_expiry",
-    "b15_asof_join",
-    "b09_try_cast_dirty",
-    "b04_zorder_layout",
-    "c07_time_split",
-    "c02_edit_distance_verify",
-    "c06_pagerank",
-    "b18_hll_mergeable_rollup",
-    "c04_unigram_logprob_topk",
-    "b22_fk_orphans",
-    "b02_json_corrupt_scan",
-    "b14_binned_range_join",
-    "b05_jdbc_partitioned_read",
-    "c07_token_budget_sample",
-    "b16_histogram",
-    "b26_global_rank",
-    "c04_unigram_logprob",
-    "c07_outlier_filter",
-    "c09_decontaminate",
-    "b01_schema_evolution",
-    "b04_partitioned_sink_prune",
-    "c07_group_split",
-    "c06_dedup_clusters",
-    "c04_repetition_stats",
-    "c04_pii_redact",
-    "c04_vocab_topk",
-    "c07_hash_split",
-    "c07_stratified_sample",
-    "c07_mixture_expand",
-    "c03_label_centroids",
-    "c06_dedup_corpus",
-    "c03_kmeans_iter",
+    "b23_distribution_windows",
+    "b18_approx_topk_rollup",
+    "b55_recursive_cte",
+    "b56_sql_pipe_syntax",
+    "b57_lateral_topk_join",
+    "b58_group_by_all",
+    "b59_identifier_clause",
+    "b60_execute_immediate",
+    "b32_collated_group",
+    "b61_sql_scripting",
+    "b62_observe_metrics",
+    "b29_union_by_name",
+    "b18_bitmap_exact_rollup",
+    "b63_share_of_total",
+    "b16_percentile_disc",
+    "b22_column_profile",
+    "b20_grouping_id",
+    "b16_corr_regression",
+    "b14_interval_overlap_join",
+    "b16_weighted_median",
+    "b16_chisq_independence",
+    "b02_xml_roundtrip",
+    "b03_csv_badrecords",
+    "b67_cached_agg_reuse",
+    "b69_transpose",
+    "b70_metadata_columns",
+    "b30_intersect_all",
+    "b31_except_all",
+    "b35_explode_outer",
+    "b22_schema_drift",
+    "b10_shuffle_hash_hint",
+    "b16_bool_aggs",
+    "b35_posexplode",
+    "b71_global_temp_view",
+    "b09_try_arithmetic",
+    "b04_dynamic_partition_overwrite",
+    "b33_date_arithmetic",
+    "b72_null_semantics",
+    "b73_agg_pushdown_stats",
+    "b74_null_skew_left_join",
+    "b75_dynamic_partition_pruning",
+    "b48_udtf_polymorphic",
+    "b45_sql_udf",
+    "b47_apply_in_arrow",
+    "b49_pandas_udaf_window",
+    "c03_ivf_recall",
+    "c05_binaryfile_ingest",
+    "c05_phash_neardup",
 ]
 
 # The head is DERIVED at import time, not hand-curated (round-4
 # verdict Wrong #3; round-6 verdict Wrong #2):
 #
-#   1. _R7_RECHECK — names whose OUTPUT changed this round or whose
+#   1. _RECHECK — names whose OUTPUT changed this round or whose
 #      last driver row was RED; pinned to the very front so the only
 #      failing hard signal cannot rotate out of the window.
 #   2. every registered query NO committed CORRECTNESS_r*.json has
@@ -118,9 +118,11 @@ _R6_WINDOW = [
 # previously-green rank behind both (tools/changed_queries.py derives
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
-_R7_RECHECK = [
-    "c03_pq_encode",  # round-6 RED row: query surface stringified
-    "c03_pq_adc_topk",  # adc_topk DF query set + self-match exclusion
+_RECHECK = [
+    # round 8: the waterfill budget moved to integer floor division on
+    # both engines (round-7 advisor low) — its OUTPUT can differ by one
+    # token at the waterline, so the driver must re-record it.
+    "c07_budget_waterfill",
 ]
 
 
@@ -146,8 +148,8 @@ def _never_driver_checked() -> list[str]:
     return [n for n in QUERIES if n not in checked]
 
 
-_R7_HEAD = _R7_RECHECK + [
-    n for n in _never_driver_checked() if n not in set(_R7_RECHECK)
+_HEAD = _RECHECK + [
+    n for n in _never_driver_checked() if n not in set(_RECHECK)
 ]
 
 
@@ -155,14 +157,14 @@ def _reorder() -> None:
     # A typo'd / renamed / not-yet-implemented name in a priority list
     # must fail LOUDLY, not silently shrink the window (round-2 advisor:
     # three reserved-but-unimplemented names silently filtered out).
-    stale = (set(_R7_HEAD) | set(_R6_WINDOW)) - set(QUERIES)
+    stale = (set(_HEAD) | set(_PREV_WINDOW)) - set(QUERIES)
     if stale:
         raise AssertionError(f"priority lists name unknown queries: {sorted(stale)}")
-    head = list(_R7_HEAD)
-    in_head, in_prev = set(head), set(_R6_WINDOW)
+    head = list(_HEAD)
+    in_head, in_prev = set(head), set(_PREV_WINDOW)
     # Oldest driver check first: everything round 6's window excluded.
     rotated = [n for n in QUERIES if n not in in_prev and n not in in_head]
-    tail = [n for n in _R6_WINDOW if n not in in_head]
+    tail = [n for n in _PREV_WINDOW if n not in in_head]
     ordered = head + rotated + tail
     q_snap, o_snap = dict(QUERIES), dict(ORACLES)
     QUERIES.clear()
