@@ -4075,3 +4075,77 @@ def flagship_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "b02_multiline_json_array",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def b02_multiline_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2d: multiLine JSON — one file holding a single JSON ARRAY of
+    objects (the shape REST APIs and exports actually produce),
+    versus JSONL's record-per-line. The reader mode matters at scale:
+    JSONL splits by line so one big file still parallelizes;
+    ``multiLine=true`` must parse the whole document as one value, so
+    a multiline file is ONE task end-to-end — the operational rule is
+    multiLine for many small API payloads (parallelism = file count,
+    exactly the reference's per-city fetches), JSONL for anything
+    big. Round-trip: the nation table dumped as one JSON array, read
+    back with the mode flag, hash-matched against the source."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b02ml_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = [
+        {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+         "n_regionkey": r["n_regionkey"]}
+        for r in t(spark, sf_dir, "nation").collect()
+    ]
+    import json as _json
+
+    with open(os.path.join(out, "nations.json"), "w") as fh:
+        _json.dump(rows, fh, indent=2)  # pretty-printed: spans lines
+    return (
+        spark.read.option("multiLine", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "b01_ignore_corrupt_files",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def b01_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1c: FILE-level corruption tolerance — a non-parquet junk file
+    dropped inside a parquet directory (truncated upload, torn copy,
+    a stray log) fails the whole scan by default; with
+    ``ignoreCorruptFiles`` the scan skips the unreadable FILE and
+    reads every valid one. This is the file-granularity sibling of
+    the record-level handling B2c/B3b pin (corrupt-record columns,
+    badRecords quarantine): at 100 TB some object-store file WILL be
+    torn, and the choice between fail-the-job and skip-and-count is a
+    per-pipeline policy decision — bronze ingest skips loudly
+    (with observed-metrics counting what was read, B62), financial
+    reconciliation fails hard. The hash match proves exactly the
+    valid files' rows survive — nothing dropped, nothing invented."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b01cf_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.parquet(out)
+    with open(os.path.join(out, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .parquet(out)
+    )
