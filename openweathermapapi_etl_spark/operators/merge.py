@@ -707,6 +707,42 @@ class VersionedParquetTable:
                 )
         return self._commit(new_version)
 
+    def drop_partitions(self, spark: SparkSession, values: list) -> int:
+        """M27: PARTITION EXPIRY — drop whole hive partitions (a TTL /
+        retention sweep: "expire everything before 2019") as a PURE
+        METADATA commit: the new version hard-links every surviving
+        partition dir and simply omits the dropped ones — ZERO rows
+        are read, rewritten, or shuffled, so expiring a year from a
+        100 TB table costs milliseconds of linking, not a scan. The
+        dropped partitions stay readable via time travel until vacuum
+        (expiry is an ordinary versioned commit, not an erase — for
+        hard erasure, vacuum after, or use eager delete()).
+
+        Requires ``partition_by``; folds pending MOR tombstones first
+        (same resurrection hazard as every hard-link path). A value
+        matching no partition is a no-op, loudly absent from the
+        result rather than an error (idempotent re-runs)."""
+        if not self.partition_by:
+            raise ValueError("drop_partitions requires a partitioned table")
+        if os.path.isdir(self._deletes_dir(self.current_version())):
+            self.apply_deletes(spark)
+        pcol = self.partition_by
+        old_dir = self._version_dir(self.current_version())
+        drop = {f"{pcol}={v}" for v in values}
+        new_version = self._next_version()
+        target = self._version_dir(new_version)
+        os.makedirs(target, exist_ok=True)
+        for entry in os.listdir(old_dir):
+            if entry.startswith(f"{pcol}=") and entry not in drop:
+                self._link_tree(
+                    os.path.join(old_dir, entry), os.path.join(target, entry)
+                )
+        # Carry the layout sidecar (no _write ran for this version).
+        src_layout = self._layout_path(self.current_version())
+        if os.path.isfile(src_layout):
+            shutil.copy2(src_layout, self._layout_path(new_version))
+        return self._commit(new_version)
+
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
         for dirpath, _dirnames, filenames in os.walk(src):

@@ -4119,3 +4119,77 @@ def c09_decon_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_before",
         F.coalesce("hits_after", F.lit(0)).alias("hits_after"),
     )
+
+
+@register(
+    "c04_oov_rate",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w WHERE word <> '' GROUP BY word),
+    ranked AS (SELECT word, n,
+                      ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rk
+               FROM wf),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM wf),
+    sizes AS (SELECT unnest([5, 10, 15, 20]) AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(t.total - SUM(r.n) FILTER (WHERE r.rk <= s.vocab_size)
+                AS BIGINT) AS oov_tokens,
+           CAST(t.total - SUM(r.n) FILTER (WHERE r.rk <= s.vocab_size)
+                AS DOUBLE) / t.total AS oov_rate
+    FROM sizes s CROSS JOIN ranked r CROSS JOIN tot t
+    GROUP BY s.vocab_size, t.total
+    """,
+)
+def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4y: OUT-OF-VOCABULARY rate curve — for candidate vocabulary
+    sizes, the fraction of corpus TOKENS not covered by the top-N
+    most frequent types (ties broken lexicographically): the
+    vocab-size tuning curve every tokenizer decision reads (too small
+    → OOV explosion, too big → wasted embedding rows; the knee of
+    this curve is the answer). Zipfian text makes the curve drop
+    fast — the measurement that justifies it.
+
+    Shape: one corpus pass to the word-frequency table; the curve
+    itself is a vocab-sized rank window plus a tiny sizes×vocab
+    cross join (bounded by |sizes| · |types|) with conditional sums —
+    at web scale the ranked vocab is ~10⁵ rows, so the whole sweep
+    after the corpus pass is sub-second. oov_rate is one IEEE
+    division of exact integers, bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wf = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = wf.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "word"))
+    )
+    tot = wf.agg(F.sum("n").cast("bigint").alias("total"))
+    sizes = spark.createDataFrame(
+        [(5,), (10,), (15,), (20,)], "vocab_size int"
+    )
+    return (
+        sizes.crossJoin(ranked)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total")
+        .agg(
+            (
+                F.first("total")
+                - F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("n")).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("oov_tokens")
+        )
+        .select(
+            "vocab_size",
+            "oov_tokens",
+            (F.col("oov_tokens").cast("double") / F.col("total")).alias(
+                "oov_rate"
+            ),
+        )
+    )

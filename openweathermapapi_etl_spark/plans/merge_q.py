@@ -1716,3 +1716,49 @@ def m26_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.upsert(spark, bad, keys=["o_orderkey"])
     return _present(table.read_as_of_timestamp(spark, t_mid))
+
+
+# ---------------------------------------------------------------------------
+# M27 — partition expiry (zero-rewrite TTL sweep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m27_partition_ttl",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def m27_partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M27: PARTITION EXPIRY
+    (operators/merge.py::VersionedParquetTable.drop_partitions) — the
+    retention sweep every time-partitioned 100 TB table runs on a
+    schedule ("expire everything older than N"): dropping whole hive
+    partitions as a pure metadata commit — surviving partition dirs
+    hard-link into the new version, dropped ones are simply omitted;
+    ZERO rows read, rewritten, or shuffled, so the sweep's cost is
+    linking, never scanning. Here the orders table partitioned by
+    status expires the 'F' (finished) partition; the oracle is the
+    surviving filter. Expiry is an ordinary versioned commit: the
+    expired partition stays time-travel-readable until vacuum (and
+    pytest pins the hard-link zero-rewrite property + idempotent
+    re-run on a missing value).
+
+    Contrast with M6 (eager key delete: anti-join + touched-partition
+    rewrite) and M21 (MOR tombstones): partition expiry is the third
+    deletion granularity, and the only one whose cost is O(surviving
+    partition COUNT) — independent even of the dropped data's size."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m27_ttl_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, partition_by="o_orderstatus")
+    table.overwrite(orders.select(*ORDER_COLS))
+    table.drop_partitions(spark, ["F"])
+    return _present(
+        table.read(spark).select(*ORDER_COLS)
+    )

@@ -1321,3 +1321,46 @@ def test_apply_deletes_partitioned_is_pruned_and_null_safe(spark, tmp_path):
             if f.endswith(".parquet")
         ]
         assert links and all(n >= 2 for n in links), part
+
+
+def test_drop_partitions_zero_rewrite_and_idempotent(spark, tmp_path):
+    import os as _os
+
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    table.overwrite(
+        make_df(spark, [("a", 1, "p1"), ("b", 1, "p2"), ("c", 1, "p3")])
+    )
+    v2 = table.drop_partitions(spark, ["p2", "nonexistent"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {
+        ("a", 1, "p1"),
+        ("c", 1, "p3"),
+    }
+    # Zero rewrite: every surviving data file is a hard link.
+    vdir = table._version_dir(v2)
+    links = [
+        _os.stat(_os.path.join(dp, f)).st_nlink
+        for dp, _d, fs in _os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert links and all(n >= 2 for n in links)
+    # The expired partition stays time-travel readable until vacuum.
+    assert ("b", 1, "p2") in _rows(
+        table.read_version(spark, 1).select("k", "ord", "val")
+    )
+    # Idempotent re-run (value already gone) commits a no-op version.
+    table.drop_partitions(spark, ["p2"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {
+        ("a", 1, "p1"),
+        ("c", 1, "p3"),
+    }
+    # MOR tombstones fold before linking (no resurrection).
+    table.delete_mor(
+        spark, spark.createDataFrame([("a",)], "k string"), keys=["k"]
+    )
+    table.drop_partitions(spark, ["p3"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == set()
+    with _pytest.raises(ValueError):
+        VersionedParquetTable(str(tmp_path / "u")).drop_partitions(spark, ["x"])
