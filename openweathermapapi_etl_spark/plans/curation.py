@@ -4193,3 +4193,87 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "c02_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+                  FROM documents),
+    grams AS (
+      SELECT DISTINCT source,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 4),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM grams GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+      GROUP BY a.source, b.source)
+    SELECT s.src_a, s.src_b, za.n_grams AS grams_a, s.shared,
+           CAST(s.shared AS DOUBLE) / za.n_grams AS containment
+    FROM shared s JOIN sizes za ON za.source = s.src_a
+    """,
+)
+def c02_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2o: SOURCE-pair n-gram containment MATRIX — for every ordered
+    source pair, |grams(A) ∩ grams(B)| / |grams(A)|: the corpus-level
+    provenance audit ("which sources syndicate/mirror which") that
+    decides whether two crawl sources should be deduped against each
+    other at all, and the input to mixture planning when sources
+    overlap heavily (double-counting shared content inflates a
+    domain's effective weight). Pairwise c02_cross_corpus_overlap
+    answers one A-vs-B question; this is the full matrix in ONE
+    gram-keyed self-join — sources meet WHERE THE GRAM LIVES instead
+    of broadcasting per-pair probes, so cost is one shuffle of the
+    distinct (source, gram) set regardless of how many source pairs
+    exist (pairs² probes would dominate at hundreds of sources).
+
+    Scale shape: distinct-ify per (source, gram) first (the explode's
+    map-side combine), self-join on gram — per-gram fan-out is
+    sources-per-gram, bounded by the source count — then a
+    pair-keyed count. At 100 TB key the join by xxhash64(gram)."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    toks = d.select("source", tk.alias("tk")).filter(F.size("tk") >= 4)
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = (
+        toks.select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - 3)
+            ).alias("pos"),
+            gram.alias("g"),
+        )
+        .select("source", "g")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared.join(
+        F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("n_grams").alias("grams_a"),
+        "shared",
+        (F.col("shared").cast("double") / F.col("n_grams")).alias(
+            "containment"
+        ),
+    )
