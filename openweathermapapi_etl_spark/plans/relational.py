@@ -4149,3 +4149,44 @@ def b01_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .parquet(out)
     )
+
+
+@register(
+    "b01_type_widening",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey + 1000000000000, n_name FROM nation
+    """,
+)
+def b01_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1d: TYPE WIDENING across parquet file generations — an early
+    writer stored the key as INT32, a later one as INT64 (the schema
+    drift every long-lived table accumulates: ids outgrow int, floats
+    become doubles). ``mergeSchema`` alone REFUSES incompatible
+    primitive types; the production answer is an EXPLICIT read schema
+    at the widest type — Spark's vectorized parquet reader upcasts
+    int32 pages into int64 vectors at scan time, so both file
+    generations read through one schema with no rewrite of the old
+    files (rewriting history is exactly what a 100 TB table cannot
+    afford on every drift). The hash match proves old-generation rows
+    survive the upcast bit-exactly alongside native-wide rows."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_b01tw_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    n = t(spark, sf_dir, "nation")
+    # Generation 1: narrow key (int32).
+    n.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    ).write.parquet(os.path.join(out, "gen=1"))
+    # Generation 2: the key outgrew int32.
+    n.select(
+        (F.col("n_nationkey") + 1000000000000).alias("n_nationkey"),
+        "n_name",
+    ).write.parquet(os.path.join(out, "gen=2"))
+    return (
+        spark.read.schema("n_nationkey bigint, n_name string")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
