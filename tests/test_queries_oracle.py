@@ -87,24 +87,24 @@ def test_driver_window_rotates_to_stalest_checked():
     old rule stranded b23_distribution_windows outside every window).
     Invariants: the head leads in order, the overflow ranks
     immediately after the window (stalest for the next rotation), and
-    round 6's window rotates to the back."""
-    from openweathermapapi_etl_spark.plans import _R6_WINDOW, _R7_HEAD
+    the previous round's window rotates to the back."""
+    from openweathermapapi_etl_spark.plans import _HEAD, _PREV_WINDOW
 
     names = list(QUERIES)
-    assert names[: len(_R7_HEAD)] == _R7_HEAD, "affected queries must lead"
+    assert names[: len(_HEAD)] == _HEAD, "affected queries must lead"
     # The previous round's window rotates to the back (minus names
     # promoted into the head).
-    tail = [n for n in _R6_WINDOW if n not in set(_R7_HEAD)]
-    assert names[-len(tail):] == tail, "round-6 window must rotate to the back"
+    tail = [n for n in _PREV_WINDOW if n not in set(_HEAD)]
+    assert names[-len(tail):] == tail, "previous window must rotate to the back"
     # Everything in between is the stale remainder; nothing lost.
-    middle = names[len(_R7_HEAD):-len(tail)]
-    assert set(middle) == set(QUERIES) - set(_R7_HEAD) - set(tail)
+    middle = names[len(_HEAD):-len(tail)]
+    assert set(middle) == set(QUERIES) - set(_HEAD) - set(tail)
     # Every name the 50-slot window sheds this round is either covered
     # by round 6's window (checked last round) or ranked ahead of all
     # round-6-checked names for the next rotation — no query is both
     # dropped from the window AND deprioritized behind fresher names.
     window = set(names[:50])
-    for n in set(QUERIES) - window - set(_R6_WINDOW):
+    for n in set(QUERIES) - window - set(_PREV_WINDOW):
         assert names.index(n) < len(names) - len(tail), n
 
 
@@ -127,10 +127,10 @@ def test_driver_window_covers_every_never_checked_query():
     )
     from changed_queries import never_driver_checked
 
-    from openweathermapapi_etl_spark.plans import _R7_RECHECK
+    from openweathermapapi_etl_spark.plans import _RECHECK
 
     names = list(QUERIES)
-    must_fill = set(never_driver_checked(names)) | set(_R7_RECHECK)
+    must_fill = set(never_driver_checked(names)) | set(_RECHECK)
     window = names[:50]
     if len(must_fill) <= 50:
         outside = sorted(must_fill - set(window))
