@@ -56,6 +56,12 @@ def audit_constraints(
     """
     if not constraints:
         raise ValueError("no constraints declared")
+    for name in constraints:
+        # Names are interpolated into the stack() unpivot expression;
+        # restrict them to identifier characters so a quote/backtick
+        # can't break parsing (fail at declaration, not at audit).
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"constraint name must be identifier-like: {name!r}")
     aggs = [
         F.sum(F.when(_as_column(pred), 0).otherwise(1))
         .cast("bigint")
@@ -80,12 +86,20 @@ def enforce_constraints(
     Call in front of a table commit (e.g.
     ``table.overwrite(enforce_constraints(batch, rules))``) — the
     exception propagates before any version directory is written, so a
-    dirty batch leaves zero trace."""
+    dirty batch leaves zero trace.
+
+    The batch is PINNED (eager localCheckpoint) before the audit: a
+    non-deterministic lineage (sampled/salted/re-read sources) could
+    otherwise pass the audit scan and then materialize DIFFERENT rows
+    at write time — the audited rows must be the written rows for the
+    guarantee to mean anything. Cost is one materialization, which the
+    commit was about to pay anyway."""
+    pinned = df.localCheckpoint(eager=True)
     report = [
         (r["rule"], r["n_violations"])
-        for r in audit_constraints(df, constraints).collect()
+        for r in audit_constraints(pinned, constraints).collect()
     ]
     bad = [(rule, n) for rule, n in report if n > 0]
     if bad:
         raise ConstraintViolation(bad)
-    return df
+    return pinned

@@ -298,6 +298,10 @@ class VersionedParquetTable:
                 f"version {version} not on disk under {self.root} "
                 f"(retained: {self.versions()}) — vacuumed or never written"
             )
+        # any() short-circuits the walk at the FIRST data file (the
+        # root listing for flat tables, the first partition dir
+        # otherwise) — the full-tree cost is only paid by genuinely
+        # empty versions, where it is the point.
         has_data = any(
             fn.endswith(".parquet")
             for _dp, _dn, fns in os.walk(d)
@@ -406,7 +410,7 @@ class VersionedParquetTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Write a new version and atomically repoint ``_VERSION``."""
-        new_version = self._next_version()
+        new_version = self.claim_version()
         self._write(df, self._version_dir(new_version))
         return self._commit(new_version)
 
@@ -482,12 +486,18 @@ class VersionedParquetTable:
         A conflict therefore costs one extra merge+write. Writers on
         DISJOINT partitions still conflict (single pointer);
         partition-level pointers are the classic refinement."""
-        if not self.exists():
-            self.overwrite(dedup_last_write_wins(updates, keys, order_col))
-            return self.current_version(), 1
         for attempt in range(1, max_retries + 1):
+            # The bootstrap (no committed version yet) goes through the
+            # SAME claim+CAS path: two concurrent first writers would
+            # otherwise both run overwrite() into the same v=1 dir —
+            # the exact lost-update this method exists to prevent.
             base = self.current_version()
-            merged = keyed_upsert(self.read(spark), updates, keys, order_col)
+            if base is None:
+                merged = dedup_last_write_wins(updates, keys, order_col)
+            else:
+                merged = keyed_upsert(
+                    self.read(spark), updates, keys, order_col
+                )
             slot = self.claim_version()
             self._write(merged, self._version_dir(slot))
             try:
@@ -514,7 +524,7 @@ class VersionedParquetTable:
         snapshot is a normal parquet dir that audit queries can read
         via :meth:`read_version`. Returns the staged version number
         for :meth:`publish` / :meth:`abandon`."""
-        staged = self._next_version()
+        staged = self.claim_version()
         self._write(df, self._version_dir(staged))
         return staged
 
@@ -595,7 +605,7 @@ class VersionedParquetTable:
         merged = keyed_upsert(
             old.filter(F.col(pcol).isin(touched)), updates, keys, order_col
         )
-        new_version = self._next_version()
+        new_version = self.claim_version()
         target = self._version_dir(new_version)
         self._write(merged, target)
         written = {e for e in os.listdir(target) if e.startswith(f"{pcol}=")}
@@ -693,11 +703,11 @@ class VersionedParquetTable:
         remaining = kept.join(
             F.broadcast(dk2), on=cond(kept), how="left_anti"
         )
-        new_version = self._next_version()
+        new_version = self.claim_version()
         target = self._version_dir(new_version)
         self._write(remaining, target)
         os.makedirs(target, exist_ok=True)  # all-touched-all-empty edge
-        skip = {f"{pcol}={v}" for v in touched} | {
+        skip = self._entries_for_values(old_dir, pcol, touched) | {
             e for e in os.listdir(target) if e.startswith(f"{pcol}=")
         }
         for entry in os.listdir(old_dir):
@@ -728,10 +738,9 @@ class VersionedParquetTable:
             self.apply_deletes(spark)
         pcol = self.partition_by
         old_dir = self._version_dir(self.current_version())
-        drop = {f"{pcol}={v}" for v in values}
-        new_version = self._next_version()
+        drop = self._entries_for_values(old_dir, pcol, values)
+        new_version = self.claim_version()
         target = self._version_dir(new_version)
-        os.makedirs(target, exist_ok=True)
         for entry in os.listdir(old_dir):
             if entry.startswith(f"{pcol}=") and entry not in drop:
                 self._link_tree(
@@ -742,6 +751,35 @@ class VersionedParquetTable:
         if os.path.isfile(src_layout):
             shutil.copy2(src_layout, self._layout_path(new_version))
         return self._commit(new_version)
+
+    @staticmethod
+    def _partition_value_of(entry: str) -> str | None:
+        """Decode the VALUE part of a hive partition dir name: Spark
+        percent-escapes special characters (``val=a b`` is written as
+        ``val=a%20b``) and spells NULL as the Hive default token.
+        Matching raw f-string names against dir entries silently
+        misses escaped values — a GDPR delete that re-links the
+        partition it just emptied."""
+        raw = entry.split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        from urllib.parse import unquote
+
+        return unquote(raw)
+
+    def _entries_for_values(
+        self, dirpath: str, pcol: str, values
+    ) -> set[str]:
+        """Hive partition dir entries under ``dirpath`` whose DECODED
+        value matches one of ``values`` (string-rendered; exact for
+        string/int/date partition columns — the supported kinds)."""
+        wanted = {None if v is None else str(v) for v in values}
+        return {
+            e
+            for e in os.listdir(dirpath)
+            if e.startswith(f"{pcol}=")
+            and self._partition_value_of(e) in wanted
+        }
 
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
@@ -772,13 +810,39 @@ class VersionedParquetTable:
         merged = self.read(spark).coalesce(files_per_partition)
         return self.overwrite(merged)
 
+    def _committed_versions(self) -> list[int]:
+        """Distinct versions the commit log has ever pointed at,
+        ordered by their LAST commit (so a rollback ranks the restored
+        version as the most recently live). Empty when no log exists —
+        pre-history tables."""
+        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
+        seen: list[int] = []
+        try:
+            with open(hist_path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    v = int(json.loads(line)["version"])
+                    if v in seen:
+                        seen.remove(v)
+                    seen.append(v)
+        except OSError:
+            return []
+        return seen
+
     def _vacuum(self, keep: int, retain: int | None = None) -> None:
-        """Drop version dirs older than ``keep - retain`` (readers of the
-        immediately previous version may still be in flight; ``retain``
-        defaults to the table's retention policy). Versions
-        referenced by a BRANCH pointer (head or base) are always
-        retained — a main-line commit must never vacuum an open
-        branch's snapshots out from under it."""
+        """Drop retired snapshots, keeping the newest ``retain``
+        COMMITTED versions at-or-below ``keep`` (by the commit log —
+        NOT a numeric ``keep - retain`` horizon: claimed-but-unused
+        slots from racing OCC writers leave gaps in the numbering, and
+        a numeric horizon would vacuum the predecessor snapshot a
+        concurrent merge is still reading the moment a competitor
+        commits past a gap). Never touched: versions NEWER than
+        ``keep`` (staged work), versions referenced by a BRANCH
+        pointer (head or base), and txn-pinned versions — a main-line
+        commit must never vacuum an open branch's snapshots out from
+        under it. Tables with no commit log fall back to the numeric
+        horizon."""
         if retain is None:
             retain = self.retain
         pinned: set[int] = set()
@@ -791,13 +855,26 @@ class VersionedParquetTable:
         # vacuum horizon — the _TXN pointer is the reader's source of
         # truth for those.
         pinned |= self._txn_pinned_versions()
+        committed = [v for v in self._committed_versions() if v <= keep]
+        if committed:
+            pinned |= set(committed[-retain:])
+            removable = set(committed[:-retain]) if len(committed) > retain else set()
+        else:
+            removable = None  # pre-history table: numeric fallback
         for entry in os.listdir(self.root):
             if entry.startswith("v="):
                 try:
                     v = int(entry.split("=", 1)[1])
                 except ValueError:
                     continue
-                if v <= keep - retain and v not in pinned:
+                if v > keep or v in pinned:
+                    continue
+                old_enough = (
+                    v in removable
+                    if removable is not None
+                    else v <= keep - retain
+                )
+                if old_enough:
                     shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
                     # A vacuumed version's merge-on-read tombstones go
                     # with it (they are side files OF that snapshot).
@@ -852,7 +929,7 @@ class VersionedParquetTable:
     def write_branch(self, name: str, df: DataFrame) -> int:
         """Commit ``df`` as the branch's new head. Main is untouched."""
         ref = self._branch_ref(name)
-        new_version = self._next_version()
+        new_version = self.claim_version()
         self._write(df, self._version_dir(new_version))
         tmp = self._branch_pointer(name) + ".tmp"
         with open(tmp, "w") as fh:
@@ -948,9 +1025,8 @@ class VersionedParquetTable:
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError("cannot delete from an empty table")
-        new_version = self._next_version()
+        new_version = self.claim_version()
         target = self._version_dir(new_version)
-        os.makedirs(target, exist_ok=True)
         self._link_tree(self._version_dir(cur), target)
         tomb = keys_df.select(*keys)
         if os.path.isdir(self._deletes_dir(cur)):
@@ -1061,12 +1137,23 @@ class VersionedParquetTable:
         O(changed + table) at worst and O(touched partitions) when
         snapshots share partition layout; the feed itself is
         change-sized, which is the entire point."""
-        vs = [v for v in self.versions() if from_version <= v <= to_version]
+        # Resolve against the COMMIT LOG, not raw on-disk dirs: staged
+        # WAP versions, branch heads, and crashed writers' claimed
+        # slots all occupy version dirs without ever having been
+        # committed — enumerating them would report phantom changes
+        # (or crash on an empty claimed dir). The log is what readers
+        # actually lived through.
+        committed = set(self._committed_versions())
+        vs = sorted(
+            v
+            for v in committed
+            if from_version <= v <= to_version and v in set(self.versions())
+        )
         if from_version not in vs or to_version not in vs:
             raise FileNotFoundError(
                 f"change feed window [{from_version}, {to_version}] not "
-                f"fully retained (on disk: {self.versions()}) — raise "
-                f"the retain policy to keep a deeper feed"
+                f"fully committed-and-retained (committed on disk: {vs}) "
+                f"— raise the retain policy to keep a deeper feed"
             )
         if len(vs) < 2:
             raise ValueError("change feed needs at least two versions")

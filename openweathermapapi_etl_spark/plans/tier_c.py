@@ -2128,13 +2128,20 @@ def c05_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def shard_writer(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         path = os.path.join(out, f"shard-{pid:05d}.tfr")
+        # Write to a per-ATTEMPT temp name and rename at the end: a
+        # retried or speculative task appending straight to the final
+        # path would duplicate (or tear) records — rename is the
+        # task-commit point, last attempt wins whole.
+        tmp = f"{path}.{tc.taskAttemptId()}.tmp"
         n = 0
         for pdf in batches:
             n += write_records(
-                path, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
+                tmp, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
             )
+        os.replace(tmp, path)
         yield _pd.DataFrame({"file": [path], "n": [n]})
 
     written = d.repartition(8).mapInPandas(

@@ -1364,3 +1364,66 @@ def test_drop_partitions_zero_rewrite_and_idempotent(spark, tmp_path):
     assert _rows(table.read(spark).select("k", "ord", "val")) == set()
     with _pytest.raises(ValueError):
         VersionedParquetTable(str(tmp_path / "u")).drop_partitions(spark, ["x"])
+
+
+def test_occ_commit_never_vacuums_competitors_base(spark, tmp_path):
+    import os as _os
+
+    root = str(tmp_path / "t")
+    a = VersionedParquetTable(root)
+    b = VersionedParquetTable(root)
+    a.overwrite(make_df(spark, [("k1", 1, "seed")]))
+    # Writer A claims a slot (creating a numeric gap) but stalls...
+    slot_a = a.claim_version()
+    # ...writer B commits past the gap: the vacuum horizon must count
+    # COMMITTED versions, not raw numbers — v1 (A's merge base, and
+    # the documented time-travel predecessor) must survive.
+    b.upsert(spark, make_df(spark, [("k2", 1, "x")]), keys=["k"])
+    assert _os.path.isdir(a._version_dir(1)), "predecessor vacuumed"
+    assert _rows(a.read_version(spark, 1)) == {("k1", 1, "seed")}
+    # A's CAS still fails cleanly and its slot is removable.
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import (
+        ConcurrentWriteError,
+    )
+
+    a._write(make_df(spark, [("k1", 2, "A")]), a._version_dir(slot_a))
+    with _pytest.raises(ConcurrentWriteError):
+        a.commit_if(slot_a, 1)
+
+
+def test_change_feed_ignores_staged_and_claimed_dirs(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=10)
+    table.overwrite(make_df(spark, [("a", 1, "x")]))
+    # A staged-but-never-published WAP version and a crashed writer's
+    # empty claimed slot both occupy dirs; neither was ever committed.
+    table.stage(make_df(spark, [("a", 9, "PHANTOM")]))
+    table.claim_version()
+    table.upsert(spark, make_df(spark, [("a", 2, "y")]), keys=["k"])
+    feed = table.change_feed(
+        spark, keys=["k"], tracked=["val"],
+        from_version=1, to_version=table.current_version(),
+    )
+    got = {
+        (r["change_type"], r["old_val"], r["new_val"])
+        for r in feed.collect()
+    }
+    # One real update; the phantom staged data never appears.
+    assert got == {("update", "x", "y")}
+
+
+def test_delete_matches_hive_escaped_partition_values(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"), partition_by="val")
+    # 'a b' is percent-escaped on disk (val=a%20b): the delete must
+    # still recognize the emptied partition and NOT re-link it.
+    table.overwrite(make_df(spark, [("a", 1, "a b"), ("c", 1, "p3")]))
+    table.delete(spark, spark.createDataFrame([("a",)], "k string"), keys=["k"])
+    assert _rows(table.read(spark).select("k", "ord", "val")) == {
+        ("c", 1, "p3")
+    }
+    # And partition expiry on the escaped value actually drops it.
+    t2 = VersionedParquetTable(str(tmp_path / "u"), partition_by="val")
+    t2.overwrite(make_df(spark, [("a", 1, "a b"), ("c", 1, "p3")]))
+    t2.drop_partitions(spark, ["a b"])
+    assert _rows(t2.read(spark).select("k", "ord", "val")) == {("c", 1, "p3")}
