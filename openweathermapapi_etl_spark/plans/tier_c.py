@@ -2150,3 +2150,154 @@ def c05_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     written.collect()  # materialize the shards (control-plane-sized)
     spark.dataSource.register(TFRecordLiteDataSource)
     return spark.read.format("tfrecord_lite").option("path", out).load()
+
+
+def _multiprobe_oracle(k: int = 5, dim: int = 64, qmod: int = 50) -> str:
+    planes = make_planes(dim, 4)
+
+    def dot_lit(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    dots = ",\n             ".join(
+        f"{dot_lit(p)} AS d{i}" for i, p in enumerate(planes)
+    )
+    cos = f"{_o_dot('qe', 'ce')} / (nq.nrm * nc.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    base AS (
+      SELECT vec_id, embedding,
+             {dots}
+      FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, embedding,
+        CAST(CASE WHEN d0 >= 0 THEN 1 ELSE 0 END
+           + CASE WHEN d1 >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN d2 >= 0 THEN 4 ELSE 0 END
+           + CASE WHEN d3 >= 0 THEN 8 ELSE 0 END AS INTEGER) AS bucket,
+        CAST(CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2)
+                   AND abs(d0) <= abs(d3) THEN 1
+                  WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2
+                  WHEN abs(d2) <= abs(d3) THEN 4
+                  ELSE 8 END AS INTEGER) AS flipbit
+      FROM base),
+    probes AS (
+      SELECT vec_id, embedding, bucket AS probe
+      FROM bucketed WHERE vec_id % {qmod} = 0
+      UNION
+      SELECT vec_id, embedding, xor(bucket, flipbit)
+      FROM bucketed WHERE vec_id % {qmod} = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM probes q JOIN bucketed c
+        ON c.bucket = q.probe AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {cos} DESC, neighbor_id) AS rank
+      FROM cand
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id) r
+    WHERE rank <= {k}
+    """
+
+
+@register("c03_multiprobe_lsh", oracle=_multiprobe_oracle())
+def c03_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3m: MULTI-PROBE LSH (Lv et al., VLDB'07 — public): each query
+    probes its own bucket AND the bucket reached by flipping its
+    LEAST-CONFIDENT hyperplane bit (the plane with the smallest
+    |margin| — precisely where a true neighbor most plausibly landed
+    on the other side). This buys the recall of extra hash tables
+    without building them: same planes, same corpus index, 2×
+    candidate probes per query — the standard fix for single-table
+    LSH's recall cliff, and the reason production LSH deployments are
+    multi-probe by default (memory for tables is the scarce resource;
+    probes are cheap).
+
+    Shape: the corpus buckets once (row-local margin arithmetic in the
+    same pass); probes are a queries×2 frame joining the bucketed
+    corpus on bucket id — the same single-shuffle candidate join as
+    c03_cosine_topk_lsh, with double the probe rows and zero extra
+    corpus passes. Ties in the argmin margin break to the lowest
+    plane index via the identical CASE chain both engines evaluate."""
+    e = t(spark, sf_dir, "embeddings")
+    planes = make_planes(64, 4)
+    from ..operators.similarity import dot_fold
+
+    dots = [
+        dot_fold(
+            F.col("embedding"),
+            F.array(*[F.lit(float(x)) for x in p]),
+        ).alias(f"d{i}")
+        for i, p in enumerate(planes)
+    ]
+    base = e.select("vec_id", "embedding", *dots)
+    bucket = sum(
+        [
+            F.when(F.col(f"d{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(4)
+        ],
+        F.lit(0),
+    ).cast("int")
+    a = [F.abs(F.col(f"d{i}")) for i in range(4)]
+    flipbit = (
+        F.when((a[0] <= a[1]) & (a[0] <= a[2]) & (a[0] <= a[3]), F.lit(1))
+        .when((a[1] <= a[2]) & (a[1] <= a[3]), F.lit(2))
+        .when(a[2] <= a[3], F.lit(4))
+        .otherwise(F.lit(8))
+        .cast("int")
+    )
+    bucketed = base.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        flipbit.alias("flipbit"),
+        norm_fold(F.col("embedding")).alias("nrm"),
+    )
+    q = bucketed.filter(F.col("vec_id") % 50 == 0)
+    probes = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("probe"),
+        )
+        .unionByName(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+                F.col("bucket").bitwiseXOR(F.col("flipbit")).alias("probe"),
+            )
+        )
+        .distinct()
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(probes), F.col("bucket") == F.col("probe")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
