@@ -1514,3 +1514,79 @@ def b44_txn_dualsink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(bronze_rows).cast("bigint").alias("bronze_rows"),
     )
+
+
+@register(
+    "b42_dynamic_gap_sessionize",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                            WHEN event_type = 'purchase'
+                              THEN INTERVAL 60 MINUTE
+                            ELSE INTERVAL 30 MINUTE END AS gap
+                FROM {_EV} e WHERE ts IS NOT NULL),
+    reach AS (SELECT user_id, ts, event_id, ts + gap AS r FROM ev),
+    marked AS (
+      SELECT user_id, ts, r,
+             CASE WHEN MAX(r) OVER w IS NULL OR ts >= MAX(r) OVER w
+                  THEN 1 ELSE 0 END AS new_s
+      FROM reach
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    sess AS (
+      SELECT user_id, ts, r,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, r
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '{_FMT_US}') AS session_start,
+           strftime(MAX(r), '{_FMT_US}')  AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def b42_dynamic_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42b: session windows with a DYNAMIC, per-event gap — the gap
+    is an expression of the row (clicks cool off in 10 minutes, a
+    purchase keeps the session alive for 60), which is how real
+    sessionization is specified: inactivity tolerance depends on what
+    the user just did. Spark's SessionWindow accepts the gap as a
+    COLUMN and merges the resulting variable-length intervals with
+    set semantics; a session's end is max(tsᵢ + gapᵢ) over its
+    members, NOT last-event + constant — the property the fixed-gap
+    formulation (B42) cannot express and naive lag-based islanding
+    gets wrong (a long-gap event can bridge rows a short-gap scan
+    would split).
+
+    The oracle is the interval-merge written as a RUNNING-MAX reach
+    window (new session iff ts ≥ max reach of ALL prior members, not
+    just the previous row), tie-broken by event_id so equal
+    timestamps order identically on both engines. Scale: one shuffle
+    on user_id; the running max rides the same sort the session
+    assignment needs."""
+    prep(spark)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    # session_window's dynamic form takes the gap as a STRING column
+    # (CalendarInterval is parsed per row); ANSI INTERVAL literals
+    # arrive as DayTimeIntervalType and are rejected.
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN '10 minutes' "
+        "WHEN event_type = 'purchase' THEN '60 minutes' "
+        "ELSE '30 minutes' END"
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _SPARK_FMT_US).alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", _SPARK_FMT_US).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
