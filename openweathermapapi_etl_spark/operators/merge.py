@@ -583,6 +583,45 @@ class VersionedParquetTable:
         merged = keyed_upsert(self.read(spark), updates, keys, order_col)
         return self.overwrite(merged)
 
+    def upsert_changed_only(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> int:
+        """M28: merge with NO-OP SUPPRESSION — updates identical to the
+        current row for their key are dropped BEFORE the merge, and a
+        batch of pure no-ops commits NOTHING (the current version
+        number returns unchanged). Idempotent re-ingestion (replayed
+        extracts, full-snapshot feeds where only a sliver actually
+        changed) otherwise rewrites partitions, churns versions
+        through the retention window, and floods the change feed
+        (M25) with phantom updates — suppression keeps the feed
+        exactly the real changes and the write I/O proportional to
+        them. Detection is one full-row null-safe anti-join of the
+        deduped batch against the current snapshot (batch-sized
+        broadcast, one scan)."""
+        if not self.exists():
+            return self.upsert(spark, updates, keys, order_col)
+        deduped = dedup_last_write_wins(updates, keys, order_col)
+        current = self.read(spark)
+        cur2 = current.select(
+            *[F.col(c).alias(f"__cur_{c}") for c in current.columns]
+        )
+        cond = None
+        for c in current.columns:
+            e = deduped[c].eqNullSafe(cur2[f"__cur_{c}"])
+            cond = e if cond is None else cond & e
+        changed = deduped.join(cur2, on=cond, how="left_anti")
+        # Pin before counting: the count and the merge must see the
+        # same rows (and the no-op fast path must not re-evaluate a
+        # possibly non-deterministic batch lineage later).
+        changed = changed.localCheckpoint(eager=True)
+        if changed.isEmpty():
+            return self.current_version()
+        return self.upsert(spark, changed, keys, order_col)
+
     def _upsert_partitioned(
         self,
         spark: SparkSession,

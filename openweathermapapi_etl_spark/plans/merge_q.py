@@ -1762,3 +1762,69 @@ def m27_partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(
         table.read(spark).select(*ORDER_COLS)
     )
+
+
+# ---------------------------------------------------------------------------
+# M28 — no-op-suppressed merge (change feed shows only real changes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m28_noop_suppressed_merge",
+    oracle="""
+    SELECT CAST(2 AS INT) AS version, o_orderkey,
+           'update' AS change_type,
+           o_orderpriority AS old_o_orderpriority,
+           'CHANGED' AS new_o_orderpriority
+    FROM orders WHERE o_custkey % 4 = 0
+    """,
+)
+def m28_noop_suppressed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M28: NO-OP-SUPPRESSED merge
+    (operators/merge.py::upsert_changed_only) — a replayed
+    full-snapshot batch where only the custkey%4 slice actually
+    changed (the %7 slice is byte-identical to what the table already
+    holds) merges with no-op suppression, and the CHANGE FEED (M25)
+    across the resulting commit is the proof: it contains EXACTLY the
+    real updates — no phantom 'update' rows for re-ingested identical
+    data, no inserts, no deletes. Without suppression every replayed
+    row rewrites its partition and lands in the feed as a change,
+    poisoning every downstream incremental consumer with 'changes'
+    that changed nothing. A pure-no-op batch commits NOTHING at all
+    (version pointer untouched — pytest pins it).
+
+    Scale: detection is ONE full-row null-safe anti-join of the
+    deduped batch against the current snapshot — batch-sized
+    broadcast, one table scan; write I/O then tracks REAL change
+    volume, not feed volume."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m28_noop_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = VersionedParquetTable(root, retain=10)
+    seed = orders.select(*ORDER_COLS)
+    table.overwrite(seed)
+    changed = seed.filter(F.col("o_custkey") % 4 == 0).withColumn(
+        "o_orderpriority", F.lit("CHANGED")
+    )
+    noops = seed.filter(
+        (F.col("o_custkey") % 7 == 0) & (F.col("o_custkey") % 4 != 0)
+    )
+    table.upsert_changed_only(
+        spark, changed.unionByName(noops), keys=["o_orderkey"]
+    )
+    feed = table.change_feed(
+        spark,
+        keys=["o_orderkey"],
+        tracked=["o_orderpriority"],
+        from_version=1,
+        to_version=2,
+    )
+    return feed.select(
+        "version",
+        "o_orderkey",
+        "change_type",
+        "old_o_orderpriority",
+        "new_o_orderpriority",
+    )

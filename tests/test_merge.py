@@ -1427,3 +1427,19 @@ def test_delete_matches_hive_escaped_partition_values(spark, tmp_path):
     t2.overwrite(make_df(spark, [("a", 1, "a b"), ("c", 1, "p3")]))
     t2.drop_partitions(spark, ["a b"])
     assert _rows(t2.read(spark).select("k", "ord", "val")) == {("c", 1, "p3")}
+
+
+def test_noop_batch_commits_nothing(spark, tmp_path):
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    v1 = table.overwrite(make_df(spark, [("a", 1, "x"), ("b", 1, "y")]))
+    # A byte-identical replay must not move the pointer at all.
+    v = table.upsert_changed_only(
+        spark, make_df(spark, [("a", 1, "x"), ("b", 1, "y")]), keys=["k"]
+    )
+    assert v == v1 and table.versions() == [v1]
+    # A mixed batch commits once and only the real change applies.
+    v2 = table.upsert_changed_only(
+        spark, make_df(spark, [("a", 1, "x"), ("b", 2, "y2")]), keys=["k"]
+    )
+    assert v2 == v1 + 1
+    assert _rows(table.read(spark)) == {("a", 1, "x"), ("b", 2, "y2")}
