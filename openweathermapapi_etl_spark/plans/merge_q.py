@@ -1828,3 +1828,96 @@ def m28_noop_suppressed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_o_orderpriority",
         "new_o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# M29 — replication via the change feed (CDF is sufficient to rebuild state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m29_cdf_replication",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           CASE WHEN o_custkey % 5 = 0 THEN 'CHANGED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    WHERE o_custkey % 9 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    FROM orders
+    WHERE o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+    """,
+)
+def m29_cdf_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M29: REPLICATION driven purely by the change feed — the
+    strongest correctness statement M25 can make: a replica that
+    never sees the primary's data files, only its
+    ``change_feed(...)``, must land byte-identical to the primary.
+    The primary takes a mixed upsert (updates + inserts) then a
+    targeted delete; the replica starts from the v1 snapshot and
+    applies each feed step in commit order — inserts/updates as one
+    keyed merge on the ``new_*`` images, deletes as a key delete. The
+    final replica content (this query's output) is hash-matched
+    against the primary's expected state recomputed straight from
+    orders: a phantom change, a missed change, or a wrong image
+    anywhere in the feed breaks the hash. This is exactly how a
+    cross-region follower or a downstream materialized copy tails a
+    100 TB table — change-sized transfers, never snapshot re-ships.
+
+    Scale: each applied step is the M1/M6 machinery (batch-sized
+    broadcast merges); the feed transfer is change-sized by
+    construction."""
+    orders = t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_m29_repl_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    primary = VersionedParquetTable(os.path.join(base, "primary"), retain=10)
+    seed = orders.select(*ORDER_COLS)
+    primary.overwrite(seed)
+    updates = seed.filter(F.col("o_custkey") % 5 == 0).withColumn(
+        "o_orderpriority", F.lit("CHANGED")
+    )
+    inserts = seed.filter(F.col("o_custkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    primary.upsert(spark, updates.unionByName(inserts), keys=["o_orderkey"])
+    primary.delete(
+        spark,
+        seed.filter(F.col("o_custkey") % 9 == 0).select("o_orderkey").unionByName(
+            inserts.filter(F.col("o_custkey") % 9 == 0).select("o_orderkey")
+        ),
+        keys=["o_orderkey"],
+    )
+    tracked = [c for c in ORDER_COLS if c != "o_orderkey"]
+    feed = primary.change_feed(
+        spark,
+        keys=["o_orderkey"],
+        tracked=tracked,
+        from_version=1,
+        to_version=primary.current_version(),
+    ).localCheckpoint(eager=True)
+    # The replica tails the feed, never the primary's files.
+    replica = VersionedParquetTable(os.path.join(base, "replica"), retain=10)
+    replica.overwrite(primary.read_version(spark, 1))
+    for v in sorted(
+        r["version"] for r in feed.select("version").distinct().collect()
+    ):
+        step = feed.filter(F.col("version") == v)
+        upserts = step.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select(
+            "o_orderkey",
+            *[F.col(f"new_{c}").alias(c) for c in tracked],
+        )
+        deletes = step.filter(F.col("change_type") == "delete").select(
+            "o_orderkey"
+        )
+        if not upserts.isEmpty():
+            replica.upsert(spark, upserts, keys=["o_orderkey"])
+        if not deletes.isEmpty():
+            replica.delete(spark, deletes, keys=["o_orderkey"])
+    return _present(replica.read(spark).select(*ORDER_COLS))
