@@ -4277,3 +4277,72 @@ def c02_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
+
+
+@register(
+    "c07_curation_ab_diff",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                  FROM documents),
+    flags AS (
+      SELECT doc_id, source,
+             len(tk) BETWEEN 20 AND 80 AS keep_a,
+             len(tk) BETWEEN 30 AND 70
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.5
+               AS keep_b
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE keep_a AND keep_b) AS BIGINT)
+             AS kept_both,
+           CAST(COUNT(*) FILTER (WHERE keep_a AND NOT keep_b) AS BIGINT)
+             AS only_a,
+           CAST(COUNT(*) FILTER (WHERE keep_b AND NOT keep_a) AS BIGINT)
+             AS only_b,
+           CAST(COUNT(*) FILTER (WHERE NOT keep_a AND NOT keep_b) AS BIGINT)
+             AS dropped_both
+    FROM flags GROUP BY source
+    """,
+)
+def c07_curation_ab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7z: curation-config A/B DIFF — two candidate filter configs
+    (A: the word-count band alone; B: a tighter band plus a lexical
+    diversity floor) evaluated in the SAME row-local pass, with every
+    document classified kept-by-both / only-A / only-B / dropped-by-
+    both, rolled up per source. This is the audit a curation change
+    ships with: not "config B keeps 12% less" (the useless global
+    number) but WHICH sources the delta concentrates in — a tightened
+    rule that silently guts one domain shows up as a fat only_A cell
+    in that source's row, before any training run pays for it.
+
+    Shape: both configs are row-local flag expressions computed in
+    one corpus scan (evaluating k candidate configs costs one pass,
+    not k); the rollup is a source-keyed map-side-combined count
+    matrix. The same pattern scales to a config GRID — flags are
+    columns, the diff is conditional counts."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    flags = d.select(
+        "source",
+        F.size(tk).alias("n"),
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias(
+            "div"
+        ),
+    ).select(
+        "source",
+        F.col("n").between(20, 80).alias("keep_a"),
+        (F.col("n").between(30, 70) & (F.col("div") >= 0.5)).alias("keep_b"),
+    )
+    return flags.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("keep_a") & F.col("keep_b"), 1).otherwise(0)
+        ).cast("bigint").alias("kept_both"),
+        F.sum(
+            F.when(F.col("keep_a") & ~F.col("keep_b"), 1).otherwise(0)
+        ).cast("bigint").alias("only_a"),
+        F.sum(
+            F.when(F.col("keep_b") & ~F.col("keep_a"), 1).otherwise(0)
+        ).cast("bigint").alias("only_b"),
+        F.sum(
+            F.when(~F.col("keep_a") & ~F.col("keep_b"), 1).otherwise(0)
+        ).cast("bigint").alias("dropped_both"),
+    )
