@@ -2301,3 +2301,81 @@ def c03_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "c05_indexed_shard_read",
+    oracle="""
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+    """,
+)
+def c05_indexed_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5x: INDEXED random-access shard reads — the training-dataloader
+    pattern the sequential container (C5t) can't serve: write the
+    corpus slice into checksummed shards WITH an index sidecar
+    (doc_id → shard file, byte offset), then fetch a SAMPLE of
+    documents by seeking directly to their records — O(record) per
+    fetch, independent of shard size, instead of scanning every shard
+    end-to-end for a 10% sample. The index is itself a DataFrame: the
+    sample resolves to (file, offset) pairs with one join, groups by
+    shard, and one mapInPandas pass seeks each shard once in offset
+    order (sequential within file — the disk-friendly access
+    pattern). Checksums verify on every seek, so a torn record fails
+    the fetch loudly. Hash match against the sampled slice proves
+    seek reads reproduce exactly the written records.
+
+    At 100 TB this is why packed training shards carry .idx sidecars:
+    epochs SAMPLE; only validation sweeps stream."""
+    import pandas as _pd
+
+    from ..sources.tfrecord import read_record_at, write_records_indexed
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_c05idx_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def shard_writer(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        path = os.path.join(out, f"shard-{tc.partitionId():05d}.tfr")
+        tmp = f"{path}.{tc.taskAttemptId()}.tmp"
+        idx: list[tuple[int, int]] = []
+        for pdf in batches:
+            idx += write_records_indexed(
+                tmp, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
+            )
+        os.replace(tmp, path)
+        yield _pd.DataFrame(
+            {"doc_id": [i for i, _ in idx],
+             "file": [path] * len(idx),
+             "offset": [o for _, o in idx]}
+        )
+
+    index = (
+        d.repartition(8)
+        .mapInPandas(shard_writer, "doc_id bigint, file string, offset long")
+        .localCheckpoint(eager=True)  # shards must exist before reads
+    )
+    sample = index.filter(F.col("doc_id") % 10 == 0)
+
+    def seek_reader(batches):
+        for pdf in batches:
+            rows = []
+            # offset order within each shard: sequential on disk.
+            for _, r in pdf.sort_values(["file", "offset"]).iterrows():
+                did, text = read_record_at(r["file"], int(r["offset"]))
+                rows.append((did, text))
+            yield _pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return sample.repartition("file").mapInPandas(
+        seek_reader, "doc_id bigint, text string"
+    )

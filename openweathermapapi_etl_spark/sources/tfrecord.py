@@ -132,3 +132,43 @@ class TFRecordLiteDataSource(DataSource):
 
     def reader(self, schema) -> TFRecordLiteReader:
         return TFRecordLiteReader(self.options)
+
+
+def write_records_indexed(
+    path: str, rows: Iterator[tuple[int, str]]
+) -> list[tuple[int, int]]:
+    """Like :func:`write_records`, returning the INDEX: one
+    ``(doc_id, byte_offset)`` per record. The index is what turns a
+    sequential container into a randomly addressable one — training
+    dataloaders sample documents, they don't stream shards end to
+    end, and without the sidecar a single sampled record costs a full
+    shard scan."""
+    index: list[tuple[int, int]] = []
+    with open(path, "ab") as fh:
+        for doc_id, text in rows:
+            index.append((int(doc_id), fh.tell()))
+            payload = json.dumps(
+                {"doc_id": int(doc_id), "text": text}
+            ).encode("utf-8")
+            fh.write(struct.pack("<I", len(payload)))
+            fh.write(payload)
+            fh.write(struct.pack("<I", xor_fold(payload)))
+    return index
+
+
+def read_record_at(path: str, offset: int) -> tuple[int, str]:
+    """Random-access read of ONE record by byte offset, checksum
+    verified — O(record), independent of shard size."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        (length,) = struct.unpack("<I", fh.read(4))
+        payload = fh.read(length)
+        (want,) = struct.unpack("<I", fh.read(4))
+        got = xor_fold(payload)
+        if got != want:
+            raise IOError(
+                f"{path}: checksum mismatch at offset {offset} "
+                f"(stored {want:#010x}, computed {got:#010x})"
+            )
+        rec = json.loads(payload)
+        return rec["doc_id"], rec["text"]
