@@ -599,25 +599,42 @@ class VersionedParquetTable:
         through the retention window, and floods the change feed
         (M25) with phantom updates — suppression keeps the feed
         exactly the real changes and the write I/O proportional to
-        them. Detection is one full-row null-safe anti-join of the
-        deduped batch against the current snapshot (batch-sized
-        broadcast, one scan)."""
+        them. Detection is broadcast-shaped on the BATCH side
+        throughout: one table scan with a broadcast key semi-join
+        slices out the current rows the batch could touch
+        (batch-sized), a batch×slice full-row null-safe comparison
+        finds the no-op keys, and the batch anti-joins those keys out
+        — the table is never the build side of any join. (Columns
+        must be comparable with ``<=>``; map-typed columns need a
+        canonical projection first.)"""
         if not self.exists():
             return self.upsert(spark, updates, keys, order_col)
         deduped = dedup_last_write_wins(updates, keys, order_col)
         current = self.read(spark)
-        cur2 = current.select(
+        bk = deduped.select(
+            *[F.col(k).alias(f"__bk_{k}") for k in keys]
+        ).distinct()
+        kcond = None
+        for k in keys:
+            e = current[k].eqNullSafe(bk[f"__bk_{k}"])
+            kcond = e if kcond is None else kcond & e
+        cur_slice = current.join(F.broadcast(bk), on=kcond, how="left_semi")
+        cur2 = cur_slice.select(
             *[F.col(c).alias(f"__cur_{c}") for c in current.columns]
         )
-        cond = None
+        fcond = None
         for c in current.columns:
             e = deduped[c].eqNullSafe(cur2[f"__cur_{c}"])
-            cond = e if cond is None else cond & e
-        changed = deduped.join(cur2, on=cond, how="left_anti")
+            fcond = e if fcond is None else fcond & e
+        noop_keys = deduped.join(
+            F.broadcast(cur2), on=fcond, how="left_semi"
+        ).select(*keys)
         # Pin before counting: the count and the merge must see the
         # same rows (and the no-op fast path must not re-evaluate a
         # possibly non-deterministic batch lineage later).
-        changed = changed.localCheckpoint(eager=True)
+        changed = self._anti_by_keys(
+            deduped, noop_keys, keys
+        ).localCheckpoint(eager=True)
         if changed.isEmpty():
             return self.current_version()
         return self.upsert(spark, changed, keys, order_col)

@@ -1527,15 +1527,18 @@ def b44_txn_dualsink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM {_EV} e WHERE ts IS NOT NULL),
     reach AS (SELECT user_id, ts, event_id, ts + gap AS r FROM ev),
     marked AS (
-      SELECT user_id, ts, r,
+      SELECT user_id, ts, r, event_id,
              CASE WHEN MAX(r) OVER w IS NULL OR ts >= MAX(r) OVER w
                   THEN 1 ELSE 0 END AS new_s
       FROM reach
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
     sess AS (
+      -- the SAME unique (ts, event_id) order as the reach window: a
+      -- mismatched tie-break could attach one of two tied-timestamp
+      -- events to the wrong session.
       SELECT user_id, ts, r,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, r
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,

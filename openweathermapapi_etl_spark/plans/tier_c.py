@@ -2141,8 +2141,12 @@ def c05_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += write_records(
                 tmp, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
             )
-        os.replace(tmp, path)
-        yield _pd.DataFrame({"file": [path], "n": [n]})
+        # An empty partition yields no batches: tmp was never created,
+        # and an empty shard would break the reader's no-files check
+        # downstream anyway — emit nothing.
+        if n:
+            os.replace(tmp, path)
+            yield _pd.DataFrame({"file": [path], "n": [n]})
 
     written = d.repartition(8).mapInPandas(
         shard_writer, "file string, n long"
@@ -2329,7 +2333,7 @@ def c05_indexed_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs SAMPLE; only validation sweeps stream."""
     import pandas as _pd
 
-    from ..sources.tfrecord import read_record_at, write_records_indexed
+    from ..sources.tfrecord import read_records_at, write_records_indexed
 
     d = (
         t(spark, sf_dir, "documents")
@@ -2353,6 +2357,8 @@ def c05_indexed_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx += write_records_indexed(
                 tmp, zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
             )
+        if not idx:  # empty partition: tmp never existed
+            return
         os.replace(tmp, path)
         yield _pd.DataFrame(
             {"doc_id": [i for i, _ in idx],
@@ -2370,10 +2376,14 @@ def c05_indexed_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     def seek_reader(batches):
         for pdf in batches:
             rows = []
-            # offset order within each shard: sequential on disk.
-            for _, r in pdf.sort_values(["file", "offset"]).iterrows():
-                did, text = read_record_at(r["file"], int(r["offset"]))
-                rows.append((did, text))
+            # ONE open per shard, seeks in offset order (sequential on
+            # disk) — not an open/close pair per record.
+            for fname, grp in pdf.sort_values(["file", "offset"]).groupby(
+                "file", sort=False
+            ):
+                rows += read_records_at(
+                    fname, [int(o) for o in grp["offset"]]
+                )
             yield _pd.DataFrame(rows, columns=["doc_id", "text"])
 
     return sample.repartition("file").mapInPandas(

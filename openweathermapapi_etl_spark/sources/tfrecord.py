@@ -172,3 +172,28 @@ def read_record_at(path: str, offset: int) -> tuple[int, str]:
             )
         rec = json.loads(payload)
         return rec["doc_id"], rec["text"]
+
+
+def read_records_at(
+    path: str, offsets: list[int]
+) -> list[tuple[int, str]]:
+    """Random-access reads of MANY records from one shard with a
+    single open — callers pass offsets in ascending order so the
+    seeks walk the file forward (the disk-friendly pattern);
+    per-record checksum verified like :func:`read_record_at`."""
+    out: list[tuple[int, str]] = []
+    with open(path, "rb") as fh:
+        for offset in offsets:
+            fh.seek(offset)
+            (length,) = struct.unpack("<I", fh.read(4))
+            payload = fh.read(length)
+            (want,) = struct.unpack("<I", fh.read(4))
+            got = xor_fold(payload)
+            if got != want:
+                raise IOError(
+                    f"{path}: checksum mismatch at offset {offset} "
+                    f"(stored {want:#010x}, computed {got:#010x})"
+                )
+            rec = json.loads(payload)
+            out.append((rec["doc_id"], rec["text"]))
+    return out
