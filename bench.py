@@ -169,9 +169,14 @@ BENCH_QUERIES = [
     # four chained broadcast-hash joins over the fact table in one
     # codegen pass (the star-schema reduction every BI query makes).
     "flagship_q5",
+    # Round-9 addition (round-8 judge Next #7): Q18's derived-build-
+    # side pattern — the HAVING-filtered fact aggregate drives the
+    # join-back, AQE sizes it at runtime; regression here means the
+    # two-phase plan stopped treating the aggregate as the small side.
+    "flagship_q18",
 ]
 
-#: The previous round's headline set (BENCH_r07.json), so totals can be
+#: The previous round's headline set (BENCH_r08.json), so totals can be
 #: compared like-for-like round-over-round: the headline total grows
 #: whenever queries are ADDED, which otherwise reads as a regression
 #: until decomposed (round-4 verdict task 7).
@@ -241,6 +246,10 @@ PREV_ROUND_QUERIES = [
     "c03_graph_expand_topk",
     "c03_centroid_drift",
     "c03_jl_projection",
+    "c04_first_copy_dedup",
+    "c03_rvq_encode",
+    "c05_cdc_chunking",
+    "flagship_q5",
 ]
 
 

@@ -45,59 +45,63 @@ from . import analytics_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 7's driver window (== CORRECTNESS_r07.json keys): the most
-# recently driver-verified -> rotate to the BACK this round.
+# Round 8's driver window (== CORRECTNESS_r08.json keys): the most
+# recently driver-verified -> rotate to the BACK this round. Round 9
+# is a DRAIN round (round-8 judge Next #2): no new queries were
+# registered, so the 93 never-driver-checked r7/r8 additions fill the
+# head — ~50 get their first driver row this round, the remaining ~43
+# queue automatically for round 10.
 _PREV_WINDOW = [
-    "c03_pq_encode",
-    "c03_pq_adc_topk",
-    "b23_distribution_windows",
-    "b18_approx_topk_rollup",
-    "b55_recursive_cte",
-    "b56_sql_pipe_syntax",
-    "b57_lateral_topk_join",
-    "b58_group_by_all",
-    "b59_identifier_clause",
-    "b60_execute_immediate",
-    "b32_collated_group",
-    "b61_sql_scripting",
-    "b62_observe_metrics",
-    "b29_union_by_name",
-    "b18_bitmap_exact_rollup",
-    "b63_share_of_total",
-    "b16_percentile_disc",
-    "b22_column_profile",
-    "b20_grouping_id",
-    "b16_corr_regression",
-    "b14_interval_overlap_join",
-    "b16_weighted_median",
-    "b16_chisq_independence",
-    "b02_xml_roundtrip",
-    "b03_csv_badrecords",
-    "b67_cached_agg_reuse",
-    "b69_transpose",
-    "b70_metadata_columns",
-    "b30_intersect_all",
-    "b31_except_all",
-    "b35_explode_outer",
-    "b22_schema_drift",
-    "b10_shuffle_hash_hint",
-    "b16_bool_aggs",
-    "b35_posexplode",
-    "b71_global_temp_view",
-    "b09_try_arithmetic",
-    "b04_dynamic_partition_overwrite",
-    "b33_date_arithmetic",
-    "b72_null_semantics",
-    "b73_agg_pushdown_stats",
-    "b74_null_skew_left_join",
-    "b75_dynamic_partition_pruning",
-    "b48_udtf_polymorphic",
-    "b45_sql_udf",
-    "b47_apply_in_arrow",
-    "b49_pandas_udaf_window",
-    "c03_ivf_recall",
-    "c05_binaryfile_ingest",
-    "c05_phash_neardup",
+    "c07_budget_waterfill",
+    "b76_parameterized_sql",
+    "b77_distribute_sort_by",
+    "b15_asof_directions",
+    "b78_offset_pagination",
+    "b79_sql_table_function",
+    "b04_codec_roundtrip",
+    "flagship_q5",
+    "flagship_q18",
+    "b02_multiline_json_array",
+    "b01_ignore_corrupt_files",
+    "b01_type_widening",
+    "c02_containment",
+    "c05_energy_segments",
+    "c01_url_canonical_dedup",
+    "c02_cross_corpus_overlap",
+    "c02_incremental_neardup",
+    "c02_winnow_matches",
+    "c05_interleaved_pack",
+    "c02_minhash_estimate_error",
+    "c05_patchify_grid",
+    "c03_jl_projection",
+    "c05_audio_fingerprint",
+    "c05_cdc_chunking",
+    "c02_simhash_radius",
+    "c03_hard_negative_mining",
+    "c05_tfrecord_roundtrip",
+    "c03_multiprobe_lsh",
+    "c05_indexed_shard_read",
+    "m6_targeted_delete",
+    "m7_time_travel",
+    "m8_write_audit_publish",
+    "m10_reconcile_checksum",
+    "m11_manifest_prune",
+    "m12_merge_schema_evolution",
+    "m13_pseudonymize_referential",
+    "m14_table_branching",
+    "m2_point_in_time",
+    "m15_cdc_agg_maintenance",
+    "m16_multi_table_txn",
+    "m17_shallow_clone",
+    "m18_table_history",
+    "m19_partition_evolution",
+    "m20_orphan_audit",
+    "m21_merge_on_read_delete",
+    "m22_rollback_restore",
+    "m23_write_constraints",
+    "m24_optimistic_concurrency",
+    "m25_change_data_feed",
+    "m26_time_travel_timestamp",
 ]
 
 # The head is DERIVED at import time, not hand-curated (round-4
@@ -118,11 +122,13 @@ _PREV_WINDOW = [
 # previously-green rank behind both (tools/changed_queries.py derives
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
-_RECHECK = [
-    # round 8: the waterfill budget moved to integer floor division on
-    # both engines (round-7 advisor low) — its OUTPUT can differ by one
-    # token at the waterline, so the driver must re-record it.
-    "c07_budget_waterfill",
+_RECHECK: list[str] = [
+    # round 9: empty — no registered query's OUTPUT changed (the
+    # flagship broadcast-hint removal is value-identical, parity-
+    # reverified; the merge.py fixes change edge-state behavior, not
+    # query results) and round 8's window was 50/50 green. The head
+    # is therefore pure backlog drain: the 93 never-driver-checked
+    # r7/r8 additions, FIFO.
 ]
 
 
