@@ -1443,3 +1443,133 @@ def test_noop_batch_commits_nothing(spark, tmp_path):
     )
     assert v2 == v1 + 1
     assert _rows(table.read(spark)) == {("a", 1, "x"), ("b", 2, "y2")}
+
+
+# -- round-9 advisor-fix regressions ------------------------------------
+
+
+def test_change_feed_refuses_vacuumed_interior_after_rollback(
+    spark, tmp_path
+):
+    """Round-8 advisor medium: a rollback reorders the retention
+    ranking (history 1,2,3, rollback-to-1, commit-4 with retain=2
+    pins {1,4} and vacuums 2,3), so an endpoints-only guard let
+    change_feed(1,4) silently collapse the vacuumed intermediate
+    commits into one mis-stamped diff. Now: ANY committed version
+    inside the window missing from disk fails loudly."""
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=3)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.upsert(spark, make_df(spark, [("a", 2, "v2")]), keys=["k"])
+    table.upsert(spark, make_df(spark, [("a", 3, "v3")]), keys=["k"])
+    table.rollback(1)
+    table.upsert(spark, make_df(spark, [("a", 4, "v4")]), keys=["k"])
+    # The rollback reorders the commit ranking to [2, 3, 1, 4], so
+    # retain=3 pins {3, 1, 4} and vacuums v2 — an INTERIOR gap whose
+    # endpoints both survive.
+    assert set(table.versions()) == {1, 3, 4}
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.change_feed(
+            spark, keys=["k"], tracked=["ord", "val"],
+            from_version=1, to_version=4,
+        )
+
+
+def test_as_of_timestamp_resolves_by_committed_at_not_line_order(
+    spark, tmp_path
+):
+    """Round-8 advisor low: plain last-write-wins commits don't hold
+    the commit lock, so two writers can interleave their pointer
+    swings and history appends OUT OF ORDER on disk. Resolution must
+    sort by committed_at, not trust line position."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        entries = [_json.loads(line) for line in fh if line.strip()]
+    assert [e["version"] for e in entries] == [1, 2]
+    # Simulate the interleaving: the LATER commit's history line lands
+    # FIRST in the file.
+    with open(hist, "w") as fh:
+        for e in reversed(entries):
+            fh.write(_json.dumps(e) + "\n")
+    ts_after_both = max(e["committed_at"] for e in entries) + 1
+    got = _rows(table.read_as_of_timestamp(spark, ts_after_both))
+    assert got == {("a", 2, "v2")}  # v2 committed last by TIMESTAMP
+
+
+def test_stale_txn_file_does_not_pin_unrelated_table(spark, tmp_path):
+    """Round-8 advisor low: a standalone table that merely shares a
+    parent directory with a stale/unrelated _TXN file must not have
+    versions misclassified as txn-committed (which blocked abandon()
+    and exempted them from vacuum forever). Only tables stamped with
+    the _TXN_MEMBER marker by MultiTableTxn.table() consult the
+    pointer."""
+    import json as _json
+
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    parent = tmp_path / "shared"
+    parent.mkdir()
+    # A stale _TXN left behind by some long-gone transaction, naming a
+    # table called "foo" at version 1.
+    with open(parent / "_TXN", "w") as fh:
+        _json.dump({"txn": 9, "tables": {"foo": 1}}, fh)
+    # A STANDALONE table that happens to live at shared/foo.
+    table = VersionedParquetTable(str(parent / "foo"))
+    table.overwrite(make_df(spark, [("a", 1, "x")]))
+    staged = table.stage(make_df(spark, [("a", 2, "staged")]))
+    # Without the marker gate, v=1 would classify txn-committed.
+    states = dict(version_states(table))
+    assert states[1] == "current"
+    assert states[staged] == "staged-uncommitted"
+    table.abandon(staged)  # must not raise "committed by txn"
+    assert staged not in table.versions()
+    # And the marker path still works: a REAL txn member stays pinned.
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    member = txn.table("foo")
+    txn.commit({"foo": member.stage(make_df(spark, [("m", 1, "t")]))})
+    assert dict(version_states(member))[1] == "txn-committed"
+
+
+def test_inflight_write_dirs_are_invisible_and_claim_never_reopens(
+    spark, tmp_path
+):
+    """Round-8 advisor medium: _write used mode('overwrite'), which
+    DELETED the claimed version dir before recreating it — reopening
+    the slot for a racing writer. Now snapshots land in a
+    writer-private .inflight temp dir renamed INTO the claim. This
+    pins the observable invariants: a leftover .inflight dir (crashed
+    writer) is invisible to versions()/vacuum/readers, successful
+    writes leave no .inflight residue, and a claimed slot stays
+    claimed (mkdir fails for a second writer) from claim to commit."""
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(make_df(spark, [("a", 1, "x")]))
+    # Crash residue: a fake in-flight dir beside the slots.
+    os.makedirs(os.path.join(table.root, "v=7.inflight-deadbeef"))
+    assert table.versions() == [1]
+    table.overwrite(make_df(spark, [("a", 2, "y")]))  # vacuum runs
+    assert os.path.isdir(os.path.join(table.root, "v=7.inflight-deadbeef"))
+    assert _rows(table.read(spark)) == {("a", 2, "y")}
+    # No residue from successful writes.
+    leftovers = [
+        e for e in os.listdir(table.root)
+        if ".inflight-" in e and e != "v=7.inflight-deadbeef"
+    ]
+    assert leftovers == []
+    # The claim survives the whole write: after claim+_write the dir
+    # exists (rename landed IN it), so a competitor's mkdir fails.
+    slot = table.claim_version()
+    table._write(make_df(spark, [("a", 3, "z")]), table._version_dir(slot))
+    assert os.path.isdir(table._version_dir(slot))
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        os.mkdir(table._version_dir(slot))
+    assert table.claim_version() == slot + 1  # next writer gets a new slot
