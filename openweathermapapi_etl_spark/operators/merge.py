@@ -297,13 +297,24 @@ class VersionedParquetTable:
 
     def _has_data_files(self, version: int) -> bool:
         """True when the version dir holds at least one parquet data
-        file. ``any()`` short-circuits the walk at the FIRST data file
-        (the root listing for flat tables, the first partition dir
-        otherwise) — the full-tree cost is only paid by genuinely
-        empty versions, where it is the point."""
+        file; raises ``FileNotFoundError`` when the dir itself is
+        missing — "empty version" (a normal state) must never be
+        conflated with "version gone from disk" (corruption or an
+        external delete), or a GDPR delete against an unreadable
+        table would report success as a no-op. ``any()``
+        short-circuits the walk at the FIRST data file (the root
+        listing for flat tables, the first partition dir otherwise) —
+        the full-tree cost is only paid by genuinely empty versions,
+        where it is the point."""
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {version} not on disk under {self.root} "
+                f"(retained: {self.versions()}) — vacuumed or never written"
+            )
         return any(
             fn.endswith(".parquet")
-            for _dp, _dn, fns in os.walk(self._version_dir(version))
+            for _dp, _dn, fns in os.walk(d)
             for fn in fns
         )
 
@@ -602,7 +613,11 @@ class VersionedParquetTable:
         removes the committed current version, and never a version an
         enclosing MultiTableTxn pointer references (txn commits don't
         swing the per-table pointer, so such versions LOOK staged from
-        the per-table view but are committed state)."""
+        the per-table view but are committed state). Also sweeps any
+        ``v=N.inflight-*`` temp dirs for the slot — a writer that died
+        between ``w.parquet(tmp)`` and the rename leaves its private
+        snapshot beside the (empty) claim, and this is the removal API
+        for that crash residue (see :meth:`inflight_dirs`)."""
         if staged_version == (self.current_version() or 0):
             raise ValueError(f"v{staged_version} is published; not removable")
         if staged_version in self._txn_pinned_versions():
@@ -611,6 +626,24 @@ class VersionedParquetTable:
                 f"multi-table transaction (_TXN); not removable"
             )
         shutil.rmtree(self._version_dir(staged_version), ignore_errors=True)
+        for entry in self.inflight_dirs():
+            if entry.startswith(f"v={staged_version}.inflight-"):
+                shutil.rmtree(
+                    os.path.join(self.root, entry), ignore_errors=True
+                )
+
+    def inflight_dirs(self) -> list[str]:
+        """``v=N.inflight-*`` temp dirs on disk — snapshots whose
+        writer died between the parquet write and the rename into its
+        claimed slot. Invisible to readers, :meth:`versions`, and
+        vacuum (their names fail the ``int()`` parse by design);
+        surfaced here so the M20 crash-forensics audit can find the
+        disk they hold and :meth:`abandon` can reclaim it."""
+        return sorted(
+            e
+            for e in os.listdir(self.root)
+            if e.startswith("v=") and ".inflight-" in e
+        )
 
     def upsert(
         self,
@@ -801,11 +834,10 @@ class VersionedParquetTable:
         pcol = self.partition_by
         old_version = self.current_version()
         old_dir = self._version_dir(old_version)
-        if not self._has_data_files(old_version):
-            # Defensive twin of delete()'s short-circuit for callers
-            # that reach the core directly (apply_deletes): an empty
-            # snapshot has nothing to remove.
-            return old_version
+        # Both callers guarantee the snapshot has data files (delete()
+        # and apply_deletes() short-circuit the empty case), and
+        # _read_raw_version is schema-aware regardless — no extra
+        # guard walk here.
         raw = self._read_raw_version(spark, old_version)
         dk2 = dk.select(
             *[F.col(k).alias(f"__dk_{k}") for k in keys]
@@ -831,8 +863,11 @@ class VersionedParquetTable:
         )
         new_version = self.claim_version()
         target = self._version_dir(new_version)
+        # _write's rename-into-claim guarantees target exists after it
+        # returns (even for an all-touched-all-empty result, where the
+        # partitioned write emits no data files — the dir still lands
+        # with its _LAYOUT.json).
         self._write(remaining, target)
-        os.makedirs(target, exist_ok=True)  # all-touched-all-empty edge
         skip = self._entries_for_values(old_dir, pcol, touched) | {
             e for e in os.listdir(target) if e.startswith(f"{pcol}=")
         }
@@ -939,21 +974,31 @@ class VersionedParquetTable:
     def _committed_versions(self) -> list[int]:
         """Distinct versions the commit log has ever pointed at,
         ordered by their LAST commit (so a rollback ranks the restored
-        version as the most recently live). Empty when no log exists —
-        pre-history tables."""
+        version as the most recently live). "Last" is by COMMITTED_AT,
+        not file position — plain last-write-wins commits don't hold
+        the commit lock, so concurrent writers can interleave their
+        pointer swings and history appends out of order on disk, and
+        line-order ranking would then let ``_vacuum`` delete the true
+        second-newest commit while keeping an older one (the same
+        interleaving ``read_as_of_timestamp`` guards against; a stable
+        sort tie-breaks equal timestamps on file order). Empty when no
+        log exists — pre-history tables."""
         hist_path = os.path.join(self.root, "_HISTORY.jsonl")
-        seen: list[int] = []
+        entries: list[dict] = []
         try:
             with open(hist_path) as fh:
                 for line in fh:
-                    if not line.strip():
-                        continue
-                    v = int(json.loads(line)["version"])
-                    if v in seen:
-                        seen.remove(v)
-                    seen.append(v)
+                    if line.strip():
+                        entries.append(json.loads(line))
         except OSError:
             return []
+        entries.sort(key=lambda e: e.get("committed_at", 0.0))
+        seen: list[int] = []
+        for e in entries:
+            v = int(e["version"])
+            if v in seen:
+                seen.remove(v)
+            seen.append(v)
         return seen
 
     def _vacuum(self, keep: int, retain: int | None = None) -> None:
@@ -1522,6 +1567,21 @@ class MultiTableTxn:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, VersionedParquetTable] = {}
+        # Migration: stores committed BEFORE the _TXN_MEMBER marker
+        # existed have a _TXN pointer but unmarked member tables,
+        # whose txn-committed versions would silently lose
+        # vacuum/abandon protection. Opening the store through its
+        # natural access path (this class) stamps every table the
+        # committed pointer references.
+        cur = self.current()
+        if cur:
+            for name in cur.get("tables", {}):
+                troot = os.path.join(self.root, name)
+                if os.path.isdir(troot):
+                    marker = os.path.join(troot, "_TXN_MEMBER")
+                    if not os.path.exists(marker):
+                        with open(marker, "w") as fh:
+                            fh.write("")
 
     def table(self, name: str) -> VersionedParquetTable:
         if not name.isidentifier():
@@ -1598,6 +1658,10 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
     Staged-uncommitted dirs are safe to abandon() after the writer is
     confirmed dead; they are invisible to readers either way, which is
     the crash-safety property this audit verifies from the OUTSIDE.
+    Writers that died MID-WRITE leave ``v=N.inflight-*`` temp dirs
+    instead (no version number in this listing) — enumerate those via
+    :meth:`VersionedParquetTable.inflight_dirs`; ``abandon(N)``
+    reclaims both the claim and its inflight residue.
     Control-plane-sized (one listdir), independent of data volume."""
     cur = table.current_version() or 0
     txn_pinned = table._txn_pinned_versions()

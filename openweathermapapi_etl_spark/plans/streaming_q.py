@@ -618,10 +618,12 @@ def b51_stream_stream_join_watermarked(spark: SparkSession, sf_dir: str) -> Data
 def b52_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52: stream-static join — the streaming side enriched against a
     batch dimension table (re-read per micro-batch, so dimension
-    updates are picked up between batches). The static side is
-    broadcast-joined into each batch — no state store involved, which
-    is what makes stream-static the *cheap* join at scale vs B51's
-    stateful stream-stream join."""
+    updates are picked up between batches). No state store involved,
+    which is what makes stream-static the *cheap* join at scale vs
+    B51's stateful stream-stream join. The static side carries NO
+    forced broadcast hint — customer scales 10× per SF decade, and a
+    hint would override the threshold AQE enforces per micro-batch
+    (broadcast while it fits, shuffle join past it)."""
     prep(spark)
     d = _replay_dir(spark, sf_dir, "b52")
     customer = load_table(spark, sf_dir, "customer").select(
@@ -629,7 +631,7 @@ def b52_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = replay_files_stream(spark, d, EVENTS)
     joined = stream.join(
-        F.broadcast(customer), stream.user_id == customer.c_custkey
+        customer, stream.user_id == customer.c_custkey
     )
     agg = joined.groupBy("c_nationkey", "event_type").agg(
         F.count("*").alias("n"), dsum("value", "total")
@@ -1313,8 +1315,10 @@ def b68_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         cur = dim.read(spark)
         (
+            # No forced broadcast: the dimension is customer-derived
+            # (scales with SF); AQE sizes it per batch.
             batch_df.join(
-                F.broadcast(cur), batch_df.user_id == cur.c_custkey
+                cur, batch_df.user_id == cur.c_custkey
             )
             .select(
                 "event_id",

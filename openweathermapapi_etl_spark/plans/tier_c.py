@@ -1426,7 +1426,10 @@ def c05_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "img_id",
             5 * F.pmod(F.col("doc_id") + 13 * F.col("chunk_no"), F.col("n")),
         )
-        .join(F.broadcast(img_meta), "img_id")
+        # img_meta is CORPUS-proportional (one row per image doc), so
+        # no forced broadcast — AQE broadcasts it at bench SFs and
+        # falls back to a keyed shuffle join at scale.
+        .join(img_meta, "img_id")
         .select(
             "doc_id",
             "chunk_no",

@@ -1573,3 +1573,97 @@ def test_inflight_write_dirs_are_invisible_and_claim_never_reopens(
     with _pytest.raises(FileExistsError):
         os.mkdir(table._version_dir(slot))
     assert table.claim_version() == slot + 1  # next writer gets a new slot
+
+
+def test_vacuum_retention_ranks_by_committed_at_not_line_order(
+    spark, tmp_path
+):
+    """Review finding (round 9): _committed_versions ranked retention
+    by _HISTORY.jsonl line order, so the same concurrent-writer
+    interleaving read_as_of_timestamp guards against could vacuum the
+    true second-newest commit while keeping an older one."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
+    for i in (1, 2, 3):
+        table.overwrite(make_df(spark, [("a", i, f"v{i}")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        entries = [_json.loads(line) for line in fh if line.strip()]
+    # Force distinct, ordered timestamps, then scramble LINE order:
+    # file says [1, 3, 2] while commit time says [1, 2, 3].
+    for i, e in enumerate(sorted(entries, key=lambda e: e["version"])):
+        e["committed_at"] = 100.0 + i
+    with open(hist, "w") as fh:
+        for v in (1, 3, 2):
+            e = next(x for x in entries if x["version"] == v)
+            fh.write(_json.dumps(e) + "\n")
+    assert table._committed_versions() == [1, 2, 3]
+    # And the consumer: a v4 commit with retain=2 must keep {3, 4} —
+    # line-order ranking would have kept {2, 4} and vacuumed v3.
+    table.overwrite(make_df(spark, [("a", 4, "v4")]))
+    assert set(table.versions()) == {3, 4}
+
+
+def test_txn_marker_migrates_on_store_open(spark, tmp_path):
+    """Review finding (round 9): stores committed before _TXN_MEMBER
+    existed have a _TXN pointer but unmarked members; opening the
+    store through MultiTableTxn must re-stamp them or their
+    txn-committed versions silently lose vacuum/abandon protection."""
+    from openweathermapapi_etl_spark.operators.merge import (
+        MultiTableTxn,
+        version_states,
+    )
+
+    root = str(tmp_path / "txn")
+    txn = MultiTableTxn(root)
+    member = txn.table("foo")
+    txn.commit({"foo": member.stage(make_df(spark, [("m", 1, "t")]))})
+    marker = os.path.join(member.root, "_TXN_MEMBER")
+    os.remove(marker)  # simulate a pre-marker store
+    fresh = VersionedParquetTable(member.root)
+    assert dict(version_states(fresh))[1] == "staged-uncommitted"  # unprotected
+    MultiTableTxn(root)  # reopening the store migrates the marker...
+    assert os.path.isfile(marker)
+    assert dict(version_states(fresh))[1] == "txn-committed"  # ...restored
+
+
+def test_inflight_residue_is_listed_and_abandon_reclaims_it(
+    spark, tmp_path
+):
+    """Review finding (round 9): crashed writers' .inflight-* dirs
+    were invisible to every audit and unremovable by any API."""
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(make_df(spark, [("a", 1, "x")]))
+    slot = table.claim_version()  # a claim whose writer "died"...
+    residue = os.path.join(table.root, f"v={slot}.inflight-deadbeef")
+    os.makedirs(residue)  # ...after the parquet write, before rename
+    assert table.inflight_dirs() == [f"v={slot}.inflight-deadbeef"]
+    table.abandon(slot)
+    assert table.inflight_dirs() == []
+    assert not os.path.isdir(residue)
+    assert not os.path.isdir(table._version_dir(slot))
+
+
+def test_delete_fails_loudly_when_current_version_dir_missing(
+    spark, tmp_path
+):
+    """Review finding (round 9): the empty-table no-op guard must not
+    conflate 'empty version' with 'version dir gone from disk' — a
+    GDPR delete against a corrupted table must raise, not report a
+    successful no-op."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    table = VersionedParquetTable(
+        str(tmp_path / "t"), partition_by="val"
+    )
+    table.overwrite(make_df(spark, [("a", 1, "p0")]))
+    _shutil.rmtree(table._version_dir(table.current_version()))
+    with _pytest.raises(FileNotFoundError, match="not on disk"):
+        table.delete(
+            spark,
+            spark.createDataFrame([("a",)], "k string"),
+            keys=["k"],
+        )

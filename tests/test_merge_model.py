@@ -33,26 +33,15 @@ from pyspark.sql import Row
 
 from openweathermapapi_etl_spark.operators.merge import VersionedParquetTable
 
+# Scoped to THIS test's @settings — no settings.load_profile(), which
+# would globally re-parent every other suite's hypothesis tests onto
+# this database and pollute the committed corpus with foreign blobs.
 _DB = DirectoryBasedExampleDatabase(
     os.path.join(os.path.dirname(__file__), ".hypothesis_examples")
 )
-settings.register_profile(
-    "default",
-    max_examples=8,
-    deadline=None,
-    print_blob=True,
-    database=_DB,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+_MAX_EXAMPLES = (
+    120 if os.environ.get("HYPOTHESIS_PROFILE") == "deep" else 8
 )
-settings.register_profile(
-    "deep",
-    max_examples=120,
-    deadline=None,
-    print_blob=True,
-    database=_DB,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "default"))
 
 KEYS = ["k1", "k2", "k3", "k4"]
 PARTS = ["p0", "p1", "p2"]
@@ -166,6 +155,7 @@ def _run_sequence(spark, root: str, partition_by, ops) -> None:
 @pytest.mark.parametrize("partition_by", [None, "val"])
 @given(ops=st.lists(_op, min_size=1, max_size=6))
 @settings(
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     print_blob=True,
     database=_DB,
