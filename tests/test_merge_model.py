@@ -86,6 +86,13 @@ _op = st.one_of(
         st.lists(st.sampled_from(PARTS), min_size=1, max_size=2, unique=True),
     ),
     st.tuples(st.just("overwrite_empty"), st.none()),
+    # M28 no-op suppression: content-identical to upsert, but commits
+    # NOTHING when every row is a replay — interacts with tombstone
+    # folds, empty snapshots, and the rollback history.
+    st.tuples(
+        st.just("upsert_noop_suppressed"),
+        st.dictionaries(st.sampled_from(KEYS), st.integers(0, 9), min_size=1),
+    ),
 )
 
 
@@ -96,8 +103,14 @@ def _run_sequence(spark, root: str, partition_by, ops) -> None:
     history = {table.current_version(): dict(model)}
 
     for op, arg in ops:
-        if op == "upsert":
-            table.upsert(spark, _df(spark, arg), keys=["k"], order_col="ord")
+        if op in ("upsert", "upsert_noop_suppressed"):
+            batch = _df(spark, arg)
+            if op == "upsert":
+                table.upsert(spark, batch, keys=["k"], order_col="ord")
+            else:
+                table.upsert_changed_only(
+                    spark, batch, keys=["k"], order_col="ord"
+                )
             for k, o in arg.items():
                 # last-write-wins on ord: the merge keeps the max ord
                 # within the batch per key; vs existing, batch wins.
