@@ -808,6 +808,11 @@ class VersionedParquetTable:
         # into the data first (itself partition-pruned), then prune.
         if os.path.isdir(self._deletes_dir(self.current_version())):
             self.apply_deletes(spark)
+            # The fold may have emptied the table (tombstones covered
+            # every remaining row): no-op here too, or the core would
+            # commit a second, content-identical empty version.
+            if not self._has_data_files(self.current_version()):
+                return self.current_version()
         return self._delete_partitioned_core(spark, dk, keys)
 
     @staticmethod
@@ -834,8 +839,9 @@ class VersionedParquetTable:
         pcol = self.partition_by
         old_version = self.current_version()
         old_dir = self._version_dir(old_version)
-        # Both callers guarantee the snapshot has data files (delete()
-        # and apply_deletes() short-circuit the empty case), and
+        # Both callers guarantee the snapshot has data files at call
+        # time (delete() re-checks AFTER its tombstone fold;
+        # apply_deletes() branches on _has_data_files), and
         # _read_raw_version is schema-aware regardless — no extra
         # guard walk here.
         raw = self._read_raw_version(spark, old_version)
@@ -971,18 +977,24 @@ class VersionedParquetTable:
         merged = self.read(spark).coalesce(files_per_partition)
         return self.overwrite(merged)
 
-    def _committed_versions(self) -> list[int]:
+    def _committed_versions(self, order: str = "committed_at") -> list[int]:
         """Distinct versions the commit log has ever pointed at,
         ordered by their LAST commit (so a rollback ranks the restored
-        version as the most recently live). "Last" is by COMMITTED_AT,
-        not file position — plain last-write-wins commits don't hold
-        the commit lock, so concurrent writers can interleave their
-        pointer swings and history appends out of order on disk, and
-        line-order ranking would then let ``_vacuum`` delete the true
-        second-newest commit while keeping an older one (the same
-        interleaving ``read_as_of_timestamp`` guards against; a stable
-        sort tie-breaks equal timestamps on file order). Empty when no
-        log exists — pre-history tables."""
+        version as the most recently live). Two orderings exist
+        because neither is authoritative alone:
+
+        - ``"committed_at"`` (default): wall-clock order — right when
+          concurrent lock-free writers interleave their pointer swings
+          and history appends out of order on disk (the interleaving
+          ``read_as_of_timestamp`` guards against); a stable sort
+          tie-breaks equal timestamps on file order.
+        - ``"file"``: append order — right when the wall clock steps
+          BACKWARDS (NTP correction, VM migration) under the
+          single-writer discipline this store documents as primary.
+
+        ``_vacuum`` pins the newest ``retain`` under BOTH orderings,
+        so a snapshot survives retention whenever either view calls
+        it recent. Empty when no log exists — pre-history tables."""
         hist_path = os.path.join(self.root, "_HISTORY.jsonl")
         entries: list[dict] = []
         try:
@@ -992,7 +1004,8 @@ class VersionedParquetTable:
                         entries.append(json.loads(line))
         except OSError:
             return []
-        entries.sort(key=lambda e: e.get("committed_at", 0.0))
+        if order == "committed_at":
+            entries.sort(key=lambda e: e.get("committed_at", 0.0))
         seen: list[int] = []
         for e in entries:
             v = int(e["version"])
@@ -1027,9 +1040,20 @@ class VersionedParquetTable:
         # truth for those.
         pinned |= self._txn_pinned_versions()
         committed = [v for v in self._committed_versions() if v <= keep]
+        by_file = [
+            v for v in self._committed_versions(order="file") if v <= keep
+        ]
         if committed:
-            pinned |= set(committed[-retain:])
-            removable = set(committed[:-retain]) if len(committed) > retain else set()
+            # Retention = newest ``retain`` under BOTH commit orderings
+            # (wall-clock AND append order): concurrent writers can
+            # interleave history appends out of order, and a backwards
+            # clock step can misrank a single writer's commits — a
+            # snapshot survives whenever either view calls it recent,
+            # at the cost of holding at most ``retain`` extra versions
+            # while the views disagree.
+            recent = set(committed[-retain:]) | set(by_file[-retain:])
+            pinned |= recent
+            removable = set(committed) - recent
         else:
             removable = None  # pre-history table: numeric fallback
         for entry in os.listdir(self.root):
@@ -1572,12 +1596,27 @@ class MultiTableTxn:
         # whose txn-committed versions would silently lose
         # vacuum/abandon protection. Opening the store through its
         # natural access path (this class) stamps every table the
-        # committed pointer references.
-        cur = self.current()
+        # committed pointer references — gated twice: the name must
+        # be a valid identifier (a corrupt/hand-edited pointer naming
+        # '..' or 'a/b' must not write outside member roots), and the
+        # referenced VERSION DIR must exist (a stale pointer naming a
+        # coincidental table at a version that was never staged there
+        # stamps nothing). A corrupt _TXN json skips migration and
+        # surfaces on current()/read(), not at open time.
+        try:
+            cur = self.current()
+        except ValueError:
+            cur = None
         if cur:
-            for name in cur.get("tables", {}):
+            for name, version in cur.get("tables", {}).items():
+                if not str(name).isidentifier():
+                    continue
                 troot = os.path.join(self.root, name)
-                if os.path.isdir(troot):
+                try:
+                    vdir = os.path.join(troot, f"v={int(version)}")
+                except (TypeError, ValueError):
+                    continue
+                if os.path.isdir(vdir):
                     marker = os.path.join(troot, "_TXN_MEMBER")
                     if not os.path.exists(marker):
                         with open(marker, "w") as fh:

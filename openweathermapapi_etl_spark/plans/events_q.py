@@ -545,10 +545,11 @@ def b24_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands, bit-exact cross-engine; the mean is the decimal-exact
     per-key davg.
 
-    Scale shape: one per-key mean agg (key-count-sized, broadcast back
-    — 1 corpus shuffle on user_id), then ONE ordered window pass per
-    key for the running sum — the same single-shuffle profile as
-    b24_ewma_smooth; no global sort, no iteration. Keys are
+    Scale shape: one per-key mean agg joined back on user_id (AQE
+    broadcasts the key-count-sized mean frame while it fits and
+    shuffles it past the threshold — no forced hint, since distinct
+    users scale with the corpus), then ONE ordered window pass per
+    key for the running sum; no global sort, no iteration. Keys are
     independent, so 1000 executors each own their key ranges."""
     e = t(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()

@@ -1599,10 +1599,15 @@ def test_vacuum_retention_ranks_by_committed_at_not_line_order(
             e = next(x for x in entries if x["version"] == v)
             fh.write(_json.dumps(e) + "\n")
     assert table._committed_versions() == [1, 2, 3]
-    # And the consumer: a v4 commit with retain=2 must keep {3, 4} —
-    # line-order ranking would have kept {2, 4} and vacuumed v3.
+    assert table._committed_versions(order="file") == [1, 3, 2]
+    # And the consumer: a v4 commit with retain=2 must KEEP v3 (the
+    # true second-newest — line-order-only ranking vacuumed it) while
+    # v1, recent under NEITHER ordering, goes. v2 may survive as the
+    # documented conservative cost of pinning the union of both
+    # orderings (it is file-order-recent).
     table.overwrite(make_df(spark, [("a", 4, "v4")]))
-    assert set(table.versions()) == {3, 4}
+    assert {3, 4} <= set(table.versions())
+    assert 1 not in table.versions()
 
 
 def test_txn_marker_migrates_on_store_open(spark, tmp_path):
@@ -1667,3 +1672,89 @@ def test_delete_fails_loudly_when_current_version_dir_missing(
             spark.createDataFrame([("a",)], "k string"),
             keys=["k"],
         )
+
+
+def test_vacuum_survives_backwards_clock_step(spark, tmp_path):
+    """Second-review finding (round 9): committed_at-only ranking made
+    a backwards clock step (NTP correction) vacuum the newest-but-one
+    snapshot. Retention now pins the union of both orderings."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
+    for i in (1, 2, 3):
+        table.overwrite(make_df(spark, [("a", i, f"v{i}")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        entries = [_json.loads(line) for line in fh if line.strip()]
+    # Clock stepped back after v1's commit: file order [1,2,3] is the
+    # true commit order, wall clock says [2,3,1].
+    ts = {1: 100.0, 2: 95.0, 3: 96.0}
+    with open(hist, "w") as fh:
+        for e in entries:
+            e["committed_at"] = ts[e["version"]]
+            fh.write(_json.dumps(e) + "\n")
+    table.overwrite(make_df(spark, [("a", 4, "v4")]))
+    # v3 (file-order newest-but-one — the snapshot in-flight readers
+    # hold) must survive even though wall-clock ranking calls it old.
+    assert {3, 4} <= set(table.versions())
+    assert 2 not in table.versions()  # recent under NEITHER ordering
+
+
+def test_txn_store_opens_despite_corrupt_pointer(tmp_path):
+    """Second-review finding (round 9): the migration in __init__ made
+    a corrupt _TXN file unopenable; it must skip migration and surface
+    on current()/read() instead."""
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    root = tmp_path / "txn"
+    root.mkdir()
+    (root / "_TXN").write_text("{not json")
+    txn = MultiTableTxn(str(root))  # must not raise
+    with _pytest.raises(ValueError):
+        txn.current()
+
+
+def test_txn_migration_skips_bogus_pointer_entries(spark, tmp_path):
+    """Second-review finding (round 9): the migration must not stamp
+    markers for non-identifier names (path traversal from a corrupt
+    pointer) or for versions that were never staged (stale pointer
+    naming a coincidental standalone table)."""
+    import json as _json
+
+    from openweathermapapi_etl_spark.operators.merge import MultiTableTxn
+
+    root = tmp_path / "shared"
+    root.mkdir()
+    # A standalone table at shared/foo currently at v=1 only.
+    standalone = VersionedParquetTable(str(root / "foo"))
+    standalone.overwrite(make_df(spark, [("a", 1, "x")]))
+    # Stale pointer: names foo at a version that DOESN'T exist, plus a
+    # traversal-shaped name.
+    with open(root / "_TXN", "w") as fh:
+        _json.dump({"txn": 1, "tables": {"foo": 99, "..": 1}}, fh)
+    MultiTableTxn(str(root))
+    assert not os.path.exists(root / "foo" / "_TXN_MEMBER")
+    assert not os.path.exists(root.parent / "_TXN_MEMBER")
+
+
+def test_delete_after_mor_emptied_all_commits_once(spark, tmp_path):
+    """Second-review finding (round 9): when the tombstone fold empties
+    the table, delete() must stop at the fold's version instead of
+    committing a second content-identical empty version."""
+    table = VersionedParquetTable(
+        str(tmp_path / "t"), partition_by="val", retain=10
+    )
+    table.overwrite(make_df(spark, [("k1", 0, "p0"), ("k2", 0, "p1")]))
+    table.delete_mor(
+        spark,
+        spark.createDataFrame([("k1",), ("k2",)], "k string"),
+        keys=["k"],
+    )  # v2: tombstones cover every row
+    v = table.delete(
+        spark, spark.createDataFrame([("k1",)], "k string"), keys=["k"]
+    )
+    assert v == 3  # the fold's commit — no phantom v4
+    assert table.current_version() == 3
+    assert table.read(spark).count() == 0
