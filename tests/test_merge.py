@@ -1758,3 +1758,30 @@ def test_delete_after_mor_emptied_all_commits_once(spark, tmp_path):
     assert v == 3  # the fold's commit — no phantom v4
     assert table.current_version() == 3
     assert table.read(spark).count() == 0
+
+
+def test_pointer_swung_but_history_unlogged_stays_healthy(spark, tmp_path):
+    """Crash-point audit: a writer dying between the pointer swing and
+    the history append leaves _VERSION at vN with no vN history line.
+    The table must stay fully usable: reads serve vN, the next commit
+    heals the log, and vacuum never touches the unlogged version (it
+    is outside the committed ranking — a bounded leak, never a lost
+    snapshot)."""
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    # Simulate the crash: drop v2's history line (pointer already at 2).
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        lines = fh.readlines()
+    with open(hist, "w") as fh:
+        fh.writelines(lines[:-1])
+    assert table.current_version() == 2
+    assert _rows(table.read(spark)) == {("a", 2, "v2")}
+    # Next commits proceed normally and never vacuum the unlogged v2.
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    table.overwrite(make_df(spark, [("a", 4, "v4")]))
+    table.overwrite(make_df(spark, [("a", 5, "v5")]))
+    assert _rows(table.read(spark)) == {("a", 5, "v5")}
+    assert 2 in table.versions()  # unlogged: exempt from vacuum, not lost
+    assert _rows(table.read_version(spark, 2)) == {("a", 2, "v2")}
