@@ -419,6 +419,7 @@ class VersionedParquetTable:
             raise
 
     def _commit(self, new_version: int) -> int:
+        self._heal_history()  # back-fill a crashed predecessor's line
         now = time.time()
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
@@ -427,6 +428,46 @@ class VersionedParquetTable:
         self._log_history(new_version, now)
         self._vacuum(keep=new_version)
         return new_version
+
+    def _pointer_record(self) -> dict | None:
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _heal_history(self) -> None:
+        """Self-heal the one gap ``_commit``'s ordering leaves open: a
+        writer that died between the ``os.replace`` pointer swing and
+        the ``_log_history`` append leaves ``_VERSION`` at vN with no
+        matching vN line — readable, but invisible to M26 timestamp
+        travel and exempt from vacuum (a bounded leak). The next
+        commit back-fills the missing line using the pointer's own
+        ``committed_at``, so as-of resolution sees the version at its
+        TRUE commit time and vacuum can eventually reclaim it. With
+        lock-free concurrent writers the heal can race a committer
+        whose swing landed but whose append hasn't — both then write
+        the same ``(version, committed_at)`` line; the duplicate is
+        harmless (``read_as_of_timestamp``'s stable sort and
+        ``_committed_versions``'s dedup both tolerate it)."""
+        rec = self._pointer_record()
+        if rec is None or "version" not in rec:
+            return
+        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
+        try:
+            with open(hist_path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    e = json.loads(line)
+                    if (
+                        e.get("version") == rec["version"]
+                        and e.get("committed_at") == rec.get("committed_at")
+                    ):
+                        return  # the pointer's swing is logged: healthy
+        except OSError:
+            pass  # no log yet: the pointer record becomes its first line
+        self._log_history(rec["version"], rec.get("committed_at", 0.0))
 
     def _log_history(self, version: int, committed_at: float) -> None:
         """Append-only commit log (M26): one JSON line per pointer
@@ -1180,16 +1221,21 @@ class VersionedParquetTable:
                 f"rollback target v{to_version} is not earlier than "
                 f"current v{cur}"
             )
+        self._heal_history()  # same swing→log gap as _commit
+        # ONE timestamp for pointer and log: the heal check matches a
+        # history line against the pointer record exactly, so stamping
+        # the two with separate time.time() calls would make every
+        # rollback look like a crashed (unlogged) swing to the next
+        # commit and back-fill a near-duplicate line.
+        now = time.time()
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {"version": to_version, "committed_at": time.time()}, fh
-            )
+            json.dump({"version": to_version, "committed_at": now}, fh)
         os.replace(tmp, self._pointer)
         # The restore is itself a pointer swing: log it so
         # AS-OF-TIMESTAMP reads after the restore resolve to the
         # restored version, not the rolled-back one.
-        self._log_history(to_version, time.time())
+        self._log_history(to_version, now)
         # A rollback may cross a partition-evolution boundary (M19):
         # re-resolve this handle's layout from the restored version so
         # subsequent partitioned writes match the restored dirs.

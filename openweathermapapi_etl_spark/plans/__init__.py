@@ -45,63 +45,63 @@ from . import analytics_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 8's driver window (== CORRECTNESS_r08.json keys): the most
-# recently driver-verified -> rotate to the BACK this round. Round 9
-# is a DRAIN round (round-8 judge Next #2): no new queries were
-# registered, so the 93 never-driver-checked r7/r8 additions fill the
-# head — ~50 get their first driver row this round, the remaining ~43
-# queue automatically for round 10.
+# Round 9's driver window (== CORRECTNESS_r09.json keys): the most
+# recently driver-verified -> rotate to the BACK this round. Round 10
+# finishes the drain (round-9 judge Next #1): no new queries are
+# registered, so the remaining 43 never-driver-checked queries fill
+# the head and every name in PARITY_r10.txt gains a driver row,
+# closing the "every operator has a green driver row" bar.
 _PREV_WINDOW = [
-    "c07_budget_waterfill",
-    "b76_parameterized_sql",
-    "b77_distribute_sort_by",
-    "b15_asof_directions",
-    "b78_offset_pagination",
-    "b79_sql_table_function",
-    "b04_codec_roundtrip",
-    "flagship_q5",
-    "flagship_q18",
-    "b02_multiline_json_array",
-    "b01_ignore_corrupt_files",
-    "b01_type_widening",
-    "c02_containment",
-    "c05_energy_segments",
-    "c01_url_canonical_dedup",
-    "c02_cross_corpus_overlap",
-    "c02_incremental_neardup",
-    "c02_winnow_matches",
-    "c05_interleaved_pack",
-    "c02_minhash_estimate_error",
-    "c05_patchify_grid",
-    "c03_jl_projection",
-    "c05_audio_fingerprint",
-    "c05_cdc_chunking",
-    "c02_simhash_radius",
-    "c03_hard_negative_mining",
-    "c05_tfrecord_roundtrip",
-    "c03_multiprobe_lsh",
-    "c05_indexed_shard_read",
-    "m6_targeted_delete",
-    "m7_time_travel",
-    "m8_write_audit_publish",
-    "m10_reconcile_checksum",
-    "m11_manifest_prune",
-    "m12_merge_schema_evolution",
-    "m13_pseudonymize_referential",
-    "m14_table_branching",
-    "m2_point_in_time",
-    "m15_cdc_agg_maintenance",
-    "m16_multi_table_txn",
-    "m17_shallow_clone",
-    "m18_table_history",
-    "m19_partition_evolution",
-    "m20_orphan_audit",
-    "m21_merge_on_read_delete",
-    "m22_rollback_restore",
-    "m23_write_constraints",
-    "m24_optimistic_concurrency",
-    "m25_change_data_feed",
-    "m26_time_travel_timestamp",
+    "m27_partition_ttl",
+    "m28_noop_suppressed_merge",
+    "m29_cdf_replication",
+    "a11_weather_daily_rollup",
+    "c02_semdedup",
+    "c04_bigram_interp_score",
+    "c07_domain_mix",
+    "c06_cc_alternating_star",
+    "c04_ppl_buckets",
+    "c07_temperature_mix",
+    "c09_decontaminate_fuzzy",
+    "c06_kcore",
+    "c04_pmi_lift",
+    "c07_shard_balance",
+    "c04_bpe_pair_counts",
+    "c07_dataset_fingerprint",
+    "c06_canonical_doc",
+    "c04_code_switch",
+    "c04_gopher_rules",
+    "c04_blocklist_hits",
+    "c04_dsir_importance",
+    "c04_boilerplate_strip",
+    "c06_label_spread",
+    "c09_decontaminate_semantic",
+    "c05_keyframe_select",
+    "c07_padding_waste",
+    "c03_kmeans_inertia",
+    "b16_pareto_cut",
+    "c06_incremental_cc",
+    "c07_interleave_stream",
+    "c04_langid_confusion",
+    "c07_dataset_card",
+    "c06_hits_scores",
+    "c09_decon_spans",
+    "c09_excise_apply",
+    "c04_first_copy_dedup",
+    "c06_bfs_distance",
+    "c06_label_conductance",
+    "c04_bpe_merge_rounds",
+    "c07_nested_subsets",
+    "c07_soft_dedup_weights",
+    "c06_maximal_independent_set",
+    "c09_decon_verify",
+    "c04_oov_rate",
+    "c02_source_overlap_matrix",
+    "c07_curation_ab_diff",
+    "b53_state_timeout_expiry_rocksdb",
+    "b54_statestore_read",
+    "b51_stream_stream_full_join",
+    "b68_stream_dim_refresh",
 ]
 
 # The head is DERIVED at import time, not hand-curated (round-4
@@ -123,12 +123,12 @@ _PREV_WINDOW = [
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
 _RECHECK: list[str] = [
-    # round 9: empty — no registered query's OUTPUT changed (the
-    # flagship broadcast-hint removal is value-identical, parity-
-    # reverified; the merge.py fixes change edge-state behavior, not
-    # query results) and round 8's window was 50/50 green. The head
-    # is therefore pure backlog drain: the 93 never-driver-checked
-    # r7/r8 additions, FIFO.
+    # round 10: empty — no registered query's OUTPUT changes this
+    # round (the merge.py history self-heal changes edge-state repair
+    # behavior, not query results) and round 9's window was 50/50
+    # green. The head is therefore the final backlog drain: the 43
+    # remaining never-driver-checked queries, FIFO — 43 < 50 slots,
+    # so the drain completes this round.
 ]
 
 

@@ -1760,16 +1760,21 @@ def test_delete_after_mor_emptied_all_commits_once(spark, tmp_path):
     assert table.read(spark).count() == 0
 
 
-def test_pointer_swung_but_history_unlogged_stays_healthy(spark, tmp_path):
+def test_pointer_swung_but_history_unlogged_self_heals(spark, tmp_path):
     """Crash-point audit: a writer dying between the pointer swing and
     the history append leaves _VERSION at vN with no vN history line.
-    The table must stay fully usable: reads serve vN, the next commit
-    heals the log, and vacuum never touches the unlogged version (it
-    is outside the committed ranking — a bounded leak, never a lost
-    snapshot)."""
+    The table must stay fully usable AND self-repair: reads serve vN
+    immediately, the NEXT commit back-fills the missing history line
+    with the pointer's own committed_at (so M26 timestamp travel
+    resolves vN at its true commit time), and vacuum then reclaims vN
+    on the normal retention schedule — no permanent leak."""
+    import json as _json
+
     table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
     table.overwrite(make_df(spark, [("a", 1, "v1")]))
     table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(os.path.join(table.root, "_VERSION")) as fh:
+        t2 = _json.load(fh)["committed_at"]  # v2's true commit time
     # Simulate the crash: drop v2's history line (pointer already at 2).
     hist = os.path.join(table.root, "_HISTORY.jsonl")
     with open(hist) as fh:
@@ -1778,10 +1783,16 @@ def test_pointer_swung_but_history_unlogged_stays_healthy(spark, tmp_path):
         fh.writelines(lines[:-1])
     assert table.current_version() == 2
     assert _rows(table.read(spark)) == {("a", 2, "v2")}
-    # Next commits proceed normally and never vacuum the unlogged v2.
+    # Unhealed, timestamp travel at t2 resolves the WRONG version (v1).
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 1, "v1")}
+    # The next commit heals: v2's line is back with its ORIGINAL time.
     table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    with open(hist) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert {"version": 2, "committed_at": t2} in entries
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 2, "v2")}
+    # And once healed, v2 ages out of retention like any other version.
     table.overwrite(make_df(spark, [("a", 4, "v4")]))
     table.overwrite(make_df(spark, [("a", 5, "v5")]))
     assert _rows(table.read(spark)) == {("a", 5, "v5")}
-    assert 2 in table.versions()  # unlogged: exempt from vacuum, not lost
-    assert _rows(table.read_version(spark, 2)) == {("a", 2, "v2")}
+    assert 2 not in table.versions()  # vacuumed normally, not leaked
