@@ -2860,6 +2860,8 @@ def c07_interleave_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("rk") - 1) * 2 / F.col("w")).cast("bigint"),
     )
     head = slotted.orderBy("slot", "source", "rk").limit(100)
+    # Partition-less window is BOUNDED here: it numbers the 100-row
+    # LIMIT head (TakeOrderedAndProject output), never the corpus.
     wpos = W.orderBy("slot", "source")
     return head.select(
         F.row_number().over(wpos).cast("bigint").alias("position"),
@@ -3374,6 +3376,8 @@ def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((sum(cap) * 49) DIV 50 AS BIGINT)").alias("budget"),
         F.count("*").alias("n"),
     )
+    # Partition-less window is BOUNDED here: `caps` has one row per
+    # SOURCE (an enum-sized planning table), never corpus-proportional.
     wo = W.orderBy("cap", "source")
     ordered = caps.select(
         "source",
@@ -4156,9 +4160,17 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join (bounded by |sizes| · |types|) with conditional sums —
     at web scale the ranked vocab is ~10⁵ rows, so the whole sweep
     after the corpus pass is sub-second. oov_rate is one IEEE
-    division of exact integers, bit-identical cross-engine."""
+    division of exact integers, bit-identical cross-engine.
+
+    The vocab rank is the DISTRIBUTED global_rank, not a
+    partition-less row_number window (r10 review catch — the last
+    such window in plans/): the type table is corpus-SUBLINEAR
+    (Heaps' law) but unbounded — noisy web tokenization can push it
+    to 10⁸ rows, past what one reducer should sort. (n DESC, word)
+    is a total order, so the range-partitioned construction is
+    value-identical to the window it replaces."""
     d = t(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    from ..operators.rank import global_rank
 
     wf = (
         d.select(F.explode(tokens("text")).alias("word"))
@@ -4166,9 +4178,7 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    ranked = wf.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "word"))
-    )
+    ranked = global_rank(wf, [F.col("n").desc(), "word"], rank_name="rk")
     tot = wf.agg(F.sum("n").cast("bigint").alias("total"))
     sizes = spark.createDataFrame(
         [(5,), (10,), (15,), (20,)], "vocab_size int"

@@ -1796,3 +1796,44 @@ def test_pointer_swung_but_history_unlogged_self_heals(spark, tmp_path):
     table.overwrite(make_df(spark, [("a", 5, "v5")]))
     assert _rows(table.read(spark)) == {("a", 5, "v5")}
     assert 2 not in table.versions()  # vacuumed normally, not leaked
+
+
+def test_first_commit_crash_before_any_history_heals(spark, tmp_path):
+    """Degenerate heal case: the FIRST writer dies between its pointer
+    swing and its history append, so no _HISTORY.jsonl exists at all.
+    The next commit must create the log with the crashed v1 back-filled
+    as its first line (pointer committed_at preserved), so timestamp
+    travel covers the table's whole life."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=3)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    os.remove(hist)  # simulate: pointer at v1, log never written
+    with open(os.path.join(table.root, "_VERSION")) as fh:
+        t1 = _json.load(fh)["committed_at"]
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(hist) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert entries[0] == {"version": 1, "committed_at": t1}
+    assert [e["version"] for e in entries] == [1, 2]
+    assert _rows(table.read_as_of_timestamp(spark, t1)) == {("a", 1, "v1")}
+
+
+def test_rollback_then_commit_adds_no_spurious_heal_line(spark, tmp_path):
+    """Rollback must stamp its pointer and its history line with ONE
+    timestamp: it used to call time.time() twice, so the heal check
+    (exact pointer-record match) would treat every rollback as a
+    crashed unlogged swing and back-fill a near-duplicate line on the
+    next commit. Pin: after overwrite/overwrite/rollback/overwrite the
+    log is exactly [1, 2, 1, 3] — one line per actual pointer swing."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=5)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    table.rollback(1)
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    with open(os.path.join(table.root, "_HISTORY.jsonl")) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert [e["version"] for e in entries] == [1, 2, 1, 3]

@@ -225,6 +225,22 @@ def test_decontaminate_broadcasts_eval_no_self_pair(spark, sf):
     assert tree.count("Exchange") <= bound
 
 
+def test_decontaminate_semantic_broadcasts_eval_single_corpus_pass(spark, sf):
+    """c09_decontaminate_semantic (newly bench-tracked r10): the eval
+    embedding slice rides a BroadcastNestedLoopJoin — bounded because
+    benchmarks are thousands of items while the corpus is billions
+    (the docstring's IVF funnel is the past-broadcast escape) — and
+    the corpus is scanned ONCE map-side: no SortMergeJoin, no
+    CartesianProduct (the crossJoin must stay broadcast-nested-loop,
+    never a shuffled cartesian), and only the per-vector argmax's
+    keyed exchange plus the broadcast/top-level exchanges."""
+    _, tree = plan_of(spark, "c09_decontaminate_semantic", sf)
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("Exchange") <= 4  # measured 3 at both SFs
+
+
 def test_jdbc_partitioned_read_is_parallel(spark):
     """B5b's point: partitionColumn bounds must split the JDBC scan
     into numPartitions range tasks (an unpartitioned JDBC read is one
@@ -676,3 +692,46 @@ def test_flagship_q18_derived_build_side(spark, sf):
     assert tree.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in tree
     assert "HashAggregate" in tree  # partial/final pair for the qty sum
+
+
+def test_partitionless_ordered_windows_are_justified():
+    """Source-scan guard for the 100 TB audit (r10 review catch: the
+    round-9 verdict's "no partition-less ordered window anywhere"
+    grep missed two `W.orderBy` alias sites, and c04_oov_rate really
+    did rank the unbounded vocab table on one reducer — since rewired
+    to the distributed global_rank). A `Window.orderBy(...)` with no
+    `partitionBy` funnels the whole frame through ONE reducer, so
+    every such site in plans/ and operators/ must either disappear
+    (use operators/rank.py::global_rank / prefix_sum) or carry the
+    literal marker comment 'Partition-less window is BOUNDED' within
+    the three lines above it, stating why its input cannot scale with
+    the corpus (LIMIT head, enum-sized planning table, ...). New
+    unjustified sites fail here, not at 100 TB."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "openweathermapapi_etl_spark",
+    )
+    pat = re.compile(r"(?:\bW\b|\bWindow\b)\s*\.orderBy\(")
+    offenders = []
+    for sub in ("plans", "operators"):
+        root = os.path.join(pkg, sub)
+        for fname in sorted(os.listdir(root)):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                lines = fh.readlines()
+            for i, line in enumerate(lines):
+                if not pat.search(line) or "partitionBy" in line:
+                    continue
+                ctx = "".join(lines[max(0, i - 3): i + 1])
+                if "Partition-less window is BOUNDED" not in ctx:
+                    offenders.append(f"{sub}/{fname}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "unjustified partition-less ordered windows (single-reducer at "
+        "scale) — use global_rank/prefix_sum or add the BOUNDED marker "
+        "comment with a reason:\n" + "\n".join(offenders)
+    )
