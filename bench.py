@@ -186,7 +186,7 @@ BENCH_QUERIES = [
     "c09_decontaminate_semantic",
 ]
 
-#: The previous round's headline set (BENCH_r08.json), so totals can be
+#: The previous round's headline set (BENCH_r09.json), so totals can be
 #: compared like-for-like round-over-round: the headline total grows
 #: whenever queries are ADDED, which otherwise reads as a regression
 #: until decomposed (round-4 verdict task 7).

@@ -453,31 +453,64 @@ class VersionedParquetTable:
         rec = self._pointer_record()
         if rec is None or "version" not in rec:
             return
-        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
+        for e in self._history_entries():
+            if (
+                e.get("version") == rec["version"]
+                and e.get("committed_at") == rec.get("committed_at")
+            ):
+                return  # the pointer's swing is logged: healthy
+        self._log_history(rec["version"], rec.get("committed_at", 0.0))
+
+    def _history_entries(self) -> list[dict]:
+        """Parsed ``_HISTORY.jsonl`` lines, SKIPPING unparseable ones:
+        a writer that dies mid-append leaves a torn trailing line (the
+        sibling crash point to the unlogged swing ``_heal_history``
+        repairs), and ``_log_history`` isolates that fragment to its
+        own line on the next append — so a bad line is exactly one
+        lost (crash-interrupted, hence never-acknowledged) record,
+        never a reason to wedge every future commit on a parse error.
+        Empty list when no log exists (pre-history tables)."""
+        entries: list[dict] = []
         try:
-            with open(hist_path) as fh:
+            with open(os.path.join(self.root, "_HISTORY.jsonl")) as fh:
                 for line in fh:
                     if not line.strip():
                         continue
-                    e = json.loads(line)
-                    if (
-                        e.get("version") == rec["version"]
-                        and e.get("committed_at") == rec.get("committed_at")
-                    ):
-                        return  # the pointer's swing is logged: healthy
+                    try:
+                        e = json.loads(line)
+                    except ValueError:
+                        continue  # torn tail of a writer killed mid-append
+                    if isinstance(e, dict):
+                        entries.append(e)
         except OSError:
-            pass  # no log yet: the pointer record becomes its first line
-        self._log_history(rec["version"], rec.get("committed_at", 0.0))
+            return []
+        return entries
 
     def _log_history(self, version: int, committed_at: float) -> None:
         """Append-only commit log (M26): one JSON line per pointer
         swing, the record AS-OF-TIMESTAMP time travel resolves
         against. The pointer file only remembers its latest state;
         the log remembers when each version BECAME current (including
-        a rollback making an old version current again)."""
-        with open(os.path.join(self.root, "_HISTORY.jsonl"), "a") as fh:
+        a rollback making an old version current again).
+
+        If the current tail is a TORN line (a writer died mid-append,
+        leaving no trailing newline), a newline is written first so
+        the fragment stays isolated on its own line — otherwise this
+        append would concatenate onto it and garble BOTH records.
+        Readers skip the isolated fragment (``_history_entries``)."""
+        path = os.path.join(self.root, "_HISTORY.jsonl")
+        prefix = ""
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(-1, os.SEEK_END)
+                if fh.read(1) != b"\n":
+                    prefix = "\n"
+        except (OSError, ValueError):
+            pass  # missing or empty file: nothing to isolate
+        with open(path, "a") as fh:
             fh.write(
-                json.dumps({"version": version, "committed_at": committed_at})
+                prefix
+                + json.dumps({"version": version, "committed_at": committed_at})
                 + "\n"
             )
 
@@ -491,11 +524,8 @@ class VersionedParquetTable:
         never a silently wrong snapshot. Resolution is control-plane
         work (one small file read); the read itself is
         :meth:`read_version`."""
-        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
-        try:
-            with open(hist_path) as fh:
-                entries = [json.loads(line) for line in fh if line.strip()]
-        except OSError:
+        entries = self._history_entries()
+        if not entries:
             raise FileNotFoundError(
                 f"no commit history under {self.root}"
             ) from None
@@ -1036,15 +1066,7 @@ class VersionedParquetTable:
         ``_vacuum`` pins the newest ``retain`` under BOTH orderings,
         so a snapshot survives retention whenever either view calls
         it recent. Empty when no log exists — pre-history tables."""
-        hist_path = os.path.join(self.root, "_HISTORY.jsonl")
-        entries: list[dict] = []
-        try:
-            with open(hist_path) as fh:
-                for line in fh:
-                    if line.strip():
-                        entries.append(json.loads(line))
-        except OSError:
-            return []
+        entries = self._history_entries()
         if order == "committed_at":
             entries.sort(key=lambda e: e.get("committed_at", 0.0))
         seen: list[int] = []

@@ -4178,6 +4178,12 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    # pin stays default-True: wf is a SHUFFLE output (groupBy), and a
+    # recompute after executor loss can reorder rows within its
+    # partitions — the exact two-job offsets hazard the pin exists
+    # for. pin=False is only for deterministic lineages (parquet
+    # scans, rank.py:94-101); the pinned frame here is the vocab
+    # table (corpus-sublinear), so the checkpoint is planning-sized.
     ranked = global_rank(wf, [F.col("n").desc(), "word"], rank_name="rk")
     tot = wf.agg(F.sum("n").cast("bigint").alias("total"))
     sizes = spark.createDataFrame(

@@ -1820,6 +1820,50 @@ def test_first_commit_crash_before_any_history_heals(spark, tmp_path):
     assert _rows(table.read_as_of_timestamp(spark, t1)) == {("a", 1, "v1")}
 
 
+def test_torn_history_tail_isolated_and_healed(spark, tmp_path):
+    """The sibling crash point to the unlogged swing: a writer dying
+    DURING the history append leaves a torn trailing line (no
+    newline). Commits must not wedge on the parse error (r10 review
+    catch — _heal_history used to raise JSONDecodeError at the top of
+    every _commit); the next append isolates the fragment on its own
+    line instead of concatenating onto it, readers skip exactly that
+    one record, and because the torn record was the CURRENT pointer's,
+    the heal back-fills it with its true commit time."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=5)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(os.path.join(table.root, "_VERSION")) as fh:
+        t2 = _json.load(fh)["committed_at"]
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        lines = fh.readlines()
+    # Tear v2's line mid-write: truncated JSON, no trailing newline.
+    with open(hist, "w") as fh:
+        fh.writelines(lines[:-1])
+        fh.write(lines[-1][: len(lines[-1]) // 2].rstrip("\n"))
+    # Reads and time travel survive the torn tail (v2 simply unlogged).
+    assert _rows(table.read(spark)) == {("a", 2, "v2")}
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 1, "v1")}
+    # The next commit neither crashes nor garbles: the fragment stays
+    # on its own line, v2 is back-filled at its true time, v3 logs.
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    with open(hist) as fh:
+        raw = fh.readlines()
+    parsed = []
+    for ln in raw:
+        try:
+            parsed.append(_json.loads(ln))
+        except ValueError:
+            parsed.append(None)  # exactly one isolated fragment
+    assert parsed.count(None) == 1
+    good = [e for e in parsed if e]
+    assert {"version": 2, "committed_at": t2} in good
+    assert [e["version"] for e in good] == [1, 2, 3]
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 2, "v2")}
+
+
 def test_rollback_then_commit_adds_no_spurious_heal_line(spark, tmp_path):
     """Rollback must stamp its pointer and its history line with ONE
     timestamp: it used to call time.time() twice, so the heal check

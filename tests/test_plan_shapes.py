@@ -714,7 +714,6 @@ def test_partitionless_ordered_windows_are_justified():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "openweathermapapi_etl_spark",
     )
-    pat = re.compile(r"(?:\bW\b|\bWindow\b)\s*\.orderBy\(")
     offenders = []
     for sub in ("plans", "operators"):
         root = os.path.join(pkg, sub)
@@ -723,13 +722,32 @@ def test_partitionless_ordered_windows_are_justified():
                 continue
             path = os.path.join(root, fname)
             with open(path) as fh:
-                lines = fh.readlines()
-            for i, line in enumerate(lines):
-                if not pat.search(line) or "partitionBy" in line:
+                src = fh.read()
+            # Window-class aliases per file (r10 review: a same-line-only
+            # W/Window match misses wrapped chains and renamed imports).
+            aliases = {"Window"} | set(
+                re.findall(
+                    r"from pyspark\.sql(?:\.window)? import .*?"
+                    r"Window(?:\s+as\s+(\w+))?",
+                    src,
+                )
+            ) - {""}
+            # Full-text match so `Window\n    .orderBy(` still hits.
+            pat = re.compile(
+                r"(?:%s)\s*\.\s*orderBy\s*\(" % "|".join(
+                    r"\b%s\b" % re.escape(a) for a in sorted(aliases)
+                )
+            )
+            lines = src.splitlines(keepends=True)
+            for m in pat.finditer(src):
+                i = src.count("\n", 0, m.start())  # 0-based line index
+                stmt = "".join(lines[max(0, i - 3): i + 2])
+                if "partitionBy" in stmt:
                     continue
-                ctx = "".join(lines[max(0, i - 3): i + 1])
-                if "Partition-less window is BOUNDED" not in ctx:
-                    offenders.append(f"{sub}/{fname}:{i + 1}: {line.strip()}")
+                if "Partition-less window is BOUNDED" not in stmt:
+                    offenders.append(
+                        f"{sub}/{fname}:{i + 1}: {lines[i].strip()}"
+                    )
     assert not offenders, (
         "unjustified partition-less ordered windows (single-reducer at "
         "scale) — use global_rank/prefix_sum or add the BOUNDED marker "

@@ -513,16 +513,28 @@ def test_transform_with_state_gate_self_registers_when_runtime_exists():
     if streaming_q.tws_available():
         pytest.skip("real protobuf present: covered by the full-parity test")
 
-    fakes = {}
-    for name in ("google", "google.protobuf", "google.protobuf.runtime_version"):
-        if name not in sys.modules:
-            fakes[name] = types.ModuleType(name)
-    fakes["google"].protobuf = fakes["google.protobuf"]
-    fakes["google.protobuf"].runtime_version = fakes[
-        "google.protobuf.runtime_version"
-    ]
+    # Build the google.protobuf.runtime_version chain REUSING any real
+    # parent modules already imported (e.g. protobuf < 5.27 present but
+    # missing runtime_version: tws_available() is False, yet "google"
+    # is in sys.modules — creating a blind fake would KeyError, and
+    # shadowing the real module would break later imports). Track what
+    # was created/patched so the finally restores exactly that.
+    chain = ("google", "google.protobuf", "google.protobuf.runtime_version")
+    mods = {
+        name: sys.modules.get(name) or types.ModuleType(name)
+        for name in chain
+    }
+    created = {n: m for n, m in mods.items() if n not in sys.modules}
+    patched = []  # (parent module, attr) pairs this test set
+    for child, (parent, attr) in {
+        "google.protobuf": ("google", "protobuf"),
+        "google.protobuf.runtime_version": ("google.protobuf", "runtime_version"),
+    }.items():
+        if not hasattr(mods[parent], attr):
+            setattr(mods[parent], attr, mods[child])
+            patched.append((mods[parent], attr))
     orig_q, orig_o = registry.QUERIES, registry.ORACLES
-    sys.modules.update(fakes)
+    sys.modules.update(created)
     try:
         registry.QUERIES, registry.ORACLES = {}, {}
         assert streaming_q.tws_available()
@@ -533,15 +545,22 @@ def test_transform_with_state_gate_self_registers_when_runtime_exists():
             "b64_transform_with_state"
         ]
     finally:
-        for name in fakes:
-            sys.modules.pop(name, None)
-        # Re-reload gate-closed into a FRESH scratch (reloading against
-        # the restored originals would trip the duplicate-name guard),
-        # then restore the untouched original registry dicts.
-        registry.QUERIES, registry.ORACLES = {}, {}
-        importlib.reload(streaming_q)
-        closed_ok = "b64_transform_with_state" not in registry.QUERIES
-        registry.QUERIES, registry.ORACLES = orig_q, orig_o
+        try:
+            for name in created:
+                sys.modules.pop(name, None)
+            for mod, attr in patched:
+                delattr(mod, attr)
+            # Re-reload gate-closed into a FRESH scratch (reloading
+            # against the restored originals would trip the duplicate-
+            # name guard).
+            registry.QUERIES, registry.ORACLES = {}, {}
+            importlib.reload(streaming_q)
+            closed_ok = "b64_transform_with_state" not in registry.QUERIES
+        finally:
+            # Restore the untouched originals even if the gate-closed
+            # reload raised — an empty registry would cascade-fail
+            # every later test and mask the real error.
+            registry.QUERIES, registry.ORACLES = orig_q, orig_o
     assert not streaming_q.tws_available()
     assert closed_ok
 
