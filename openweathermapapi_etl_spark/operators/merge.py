@@ -449,17 +449,68 @@ class VersionedParquetTable:
         whose swing landed but whose append hasn't — both then write
         the same ``(version, committed_at)`` line; the duplicate is
         harmless (``read_as_of_timestamp``'s stable sort and
-        ``_committed_versions``'s dedup both tolerate it)."""
+        ``_committed_versions``'s dedup both tolerate it). The heal
+        only sees the CURRENT pointer: a swing that a competitor
+        overwrote before any heal ran leaves an unlogged version dir
+        behind — surfaced by :func:`version_states` as
+        ``unlogged-orphan`` for operator-decided ``abandon()``, never
+        auto-reclaimed (indistinguishable on disk from a live OCC
+        claim).
+
+        Healthy-path cost is O(1): on an uncrashed table the log's
+        final line IS the pointer's swing, so a bounded tail read
+        settles it without parsing a log that grows with table age
+        (a foreachBatch upsert table commits per micro-batch)."""
         rec = self._pointer_record()
         if rec is None or "version" not in rec:
             return
+        # The back-fill and the healthy-check MUST share one default
+        # for a pointer record lacking committed_at (hand-repaired or
+        # foreign-writer pointer): comparing against None while
+        # back-filling 0.0 re-appended a duplicate line on EVERY
+        # subsequent commit, permanently ranking that version as the
+        # newest file-order commit and pinning it against vacuum.
+        rec_ts = rec.get("committed_at", 0.0)
+        tail = self._history_tail_entry()
+        if (
+            tail is not None
+            and tail.get("version") == rec["version"]
+            and tail.get("committed_at") == rec_ts
+        ):
+            return  # healthy: the last logged swing is the pointer's
         for e in self._history_entries():
             if (
                 e.get("version") == rec["version"]
-                and e.get("committed_at") == rec.get("committed_at")
+                and e.get("committed_at") == rec_ts
             ):
-                return  # the pointer's swing is logged: healthy
-        self._log_history(rec["version"], rec.get("committed_at", 0.0))
+                return  # logged earlier (e.g. rollback re-publish)
+        self._log_history(rec["version"], rec_ts)
+
+    def _history_tail_entry(self) -> dict | None:
+        """Last parseable ``_HISTORY.jsonl`` record via a bounded
+        (4 KiB) tail read — ``_heal_history``'s O(1) healthy-path
+        probe. A torn or truncated first line inside the tail window
+        simply fails the parse and is skipped, same as the full
+        reader; ``None`` when no log or no parseable line exists."""
+        try:
+            with open(
+                os.path.join(self.root, "_HISTORY.jsonl"), "rb"
+            ) as fh:
+                fh.seek(0, os.SEEK_END)
+                fh.seek(max(0, fh.tell() - 4096))
+                chunk = fh.read().decode("utf-8", "replace")
+        except OSError:
+            return None
+        for line in reversed(chunk.splitlines()):
+            if not line.strip():
+                continue
+            try:
+                e = json.loads(line)
+            except ValueError:
+                continue  # torn tail / partial first line of the window
+            if isinstance(e, dict):
+                return e
+        return None
 
     def _history_entries(self) -> list[dict]:
         """Parsed ``_HISTORY.jsonl`` lines, SKIPPING unparseable ones:
@@ -1762,6 +1813,20 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
     (NEWER than the pointer and unreferenced: a stage() whose commit
     never happened — crashed ingest, abandoned WAP audit, or an M16
     transaction that died between stage and publish).
+    Two further states close the multi-writer gaps r10 review found:
+    ``branch-pinned`` (a ``_BRANCH_*`` pointer's head or base — live
+    state that only LOOKS old from main's view) and
+    ``unlogged-orphan`` (BELOW the pointer yet absent from the commit
+    log: either a swing a competitor overwrote before the writer's
+    ``_log_history`` append ran — the one crash ``_heal_history``
+    cannot see, since the pointer no longer names it — or a racing
+    OCC writer's claimed-but-unpublished slot that a competitor
+    committed past). The two causes are indistinguishable on disk, so
+    the audit SURFACES them and never auto-reclaims: like
+    staged-uncommitted, an unlogged-orphan is ``abandon()``-able only
+    once the writer is confirmed dead. Pre-history tables (no commit
+    log) report no unlogged-orphans — every old version is
+    ``retained``, as before.
     Staged-uncommitted dirs are safe to abandon() after the writer is
     confirmed dead; they are invisible to readers either way, which is
     the crash-safety property this audit verifies from the OUTSIDE.
@@ -1769,18 +1834,29 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
     instead (no version number in this listing) — enumerate those via
     :meth:`VersionedParquetTable.inflight_dirs`; ``abandon(N)``
     reclaims both the claim and its inflight residue.
-    Control-plane-sized (one listdir), independent of data volume."""
+    Control-plane-sized (one listdir plus one commit-log read),
+    independent of data volume."""
     cur = table.current_version() or 0
     txn_pinned = table._txn_pinned_versions()
+    branch_pinned: set[int] = set()
+    for b in table.branches():
+        ref = table._branch_ref(b)
+        branch_pinned.add(ref["head"])
+        branch_pinned.add(ref["base"])
+    logged = set(table._committed_versions(order="file"))
     out: list[tuple[int, str]] = []
     for v in table.versions():
         if v == cur:
             state = "current"
         elif v in txn_pinned:
             state = "txn-committed"
-        elif v < cur:
-            state = "retained"
-        else:
+        elif v in branch_pinned:
+            state = "branch-pinned"
+        elif v > cur:
             state = "staged-uncommitted"
+        elif logged and v not in logged:
+            state = "unlogged-orphan"
+        else:
+            state = "retained"
         out.append((v, state))
     return sorted(out)

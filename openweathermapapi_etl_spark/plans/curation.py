@@ -4185,7 +4185,12 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans, rank.py:94-101); the pinned frame here is the vocab
     # table (corpus-sublinear), so the checkpoint is planning-sized.
     ranked = global_rank(wf, [F.col("n").desc(), "word"], rank_name="rk")
-    tot = wf.agg(F.sum("n").cast("bigint").alias("total"))
+    # Total from RANKED, not wf: ranked reads global_rank's pinned
+    # checkpoint, while wf is a separate un-checkpointed lineage whose
+    # aggregate would re-run the full corpus explode+groupBy a second
+    # time (r10 review catch — this was the only corpus-linear stage
+    # in the query, silently doubled).
+    tot = ranked.agg(F.sum("n").cast("bigint").alias("total"))
     sizes = spark.createDataFrame(
         [(5,), (10,), (15,), (20,)], "vocab_size int"
     )

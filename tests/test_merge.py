@@ -1767,7 +1767,11 @@ def test_pointer_swung_but_history_unlogged_self_heals(spark, tmp_path):
     immediately, the NEXT commit back-fills the missing history line
     with the pointer's own committed_at (so M26 timestamp travel
     resolves vN at its true commit time), and vacuum then reclaims vN
-    on the normal retention schedule — no permanent leak."""
+    on the normal retention schedule. Scope (r10 review): the heal
+    sees only the CURRENT pointer, so it closes the single-writer
+    crash; a swing a concurrent competitor overwrote before any heal
+    ran is NOT healable from the pointer and is instead surfaced as
+    an unlogged-orphan by version_states (pinned below)."""
     import json as _json
 
     table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
@@ -1796,6 +1800,86 @@ def test_pointer_swung_but_history_unlogged_self_heals(spark, tmp_path):
     table.overwrite(make_df(spark, [("a", 5, "v5")]))
     assert _rows(table.read(spark)) == {("a", 5, "v5")}
     assert 2 not in table.versions()  # vacuumed normally, not leaked
+
+
+def test_overwritten_unlogged_swing_surfaces_as_orphan(spark, tmp_path):
+    """The multi-writer gap the pointer-based heal CANNOT close (r10
+    review): writer B's swing to vN landed but its history append
+    never ran, then writer A committed vN+1 over it — the pointer no
+    longer names vN, so no future heal sees it. The table must not
+    pretend otherwise: vN stays out of timestamp travel, vacuum never
+    silently deletes it (on disk it is indistinguishable from a live
+    OCC claim), version_states surfaces it as unlogged-orphan, and
+    abandon() is the explicit reclamation path."""
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    # Simulate: v2's swing was never logged and v3 overwrote it.
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        lines = [ln for ln in fh if '"version": 2' not in ln]
+    with open(hist, "w") as fh:
+        fh.writelines(lines)
+    states = dict(version_states(table))
+    assert states[2] == "unlogged-orphan"
+    assert states[3] == "current"
+    # Subsequent commits neither heal it (pointer moved past) nor
+    # vacuum it (never logged => never in the removable set).
+    table.overwrite(make_df(spark, [("a", 4, "v4")]))
+    table.overwrite(make_df(spark, [("a", 5, "v5")]))
+    assert 2 in table.versions()
+    assert dict(version_states(table))[2] == "unlogged-orphan"
+    # Explicit reclamation once the writer is confirmed dead.
+    table.abandon(2)
+    assert 2 not in table.versions()
+
+
+def test_branch_pinned_version_classified_not_retained(spark, tmp_path):
+    """A branch's head/base must classify as branch-pinned, not
+    retained: 'retained' invites retention-based cleanup reasoning,
+    but a branch reference is live state vacuum already pins."""
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=1)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    table.create_branch("exp")  # head = base = v2
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    states = dict(version_states(table))
+    assert states[2] == "branch-pinned"
+    assert states[3] == "current"
+
+
+def test_pointer_without_committed_at_heals_exactly_once(spark, tmp_path):
+    """A pointer record lacking committed_at (hand-repaired or foreign
+    writer — every reader tolerates the shape) must back-fill ONCE
+    with the same 0.0 default the healthy-check compares against. The
+    r10 review caught the asymmetry: comparing against None while
+    back-filling 0.0 meant every later heal re-appended the line,
+    growing the log and permanently ranking that version newest in
+    file order (pinning it against vacuum)."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=3)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        _json.dump({"version": 2}, fh)  # committed_at lost
+    table._heal_history()
+    table._heal_history()  # idempotent: second heal is a no-op
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    backfills = [
+        e for e in entries
+        if e["version"] == 2 and e["committed_at"] == 0.0
+    ]
+    assert len(backfills) == 1
+    assert [e["version"] for e in entries] == [1, 2, 2, 3]
 
 
 def test_first_commit_crash_before_any_history_heals(spark, tmp_path):

@@ -725,13 +725,15 @@ def test_partitionless_ordered_windows_are_justified():
                 src = fh.read()
             # Window-class aliases per file (r10 review: a same-line-only
             # W/Window match misses wrapped chains and renamed imports).
+            # Matched ANYWHERE in the file, not just inside a one-line
+            # import: 'Window as X' in a parenthesized multiline import
+            # must still register (second r10 review catch), and a
+            # spurious alias candidate merely greps for a name that
+            # never appears — over-matching is safe, under-matching is
+            # the silent false negative this guard exists to prevent.
             aliases = {"Window"} | set(
-                re.findall(
-                    r"from pyspark\.sql(?:\.window)? import .*?"
-                    r"Window(?:\s+as\s+(\w+))?",
-                    src,
-                )
-            ) - {""}
+                re.findall(r"\bWindow\s+as\s+(\w+)", src)
+            )
             # Full-text match so `Window\n    .orderBy(` still hits.
             pat = re.compile(
                 r"(?:%s)\s*\.\s*orderBy\s*\(" % "|".join(
@@ -741,8 +743,13 @@ def test_partitionless_ordered_windows_are_justified():
             lines = src.splitlines(keepends=True)
             for m in pat.finditer(src):
                 i = src.count("\n", 0, m.start())  # 0-based line index
+                # partitionBy may legally trail the orderBy in the same
+                # chained spec, so its lookahead window is wider than
+                # the marker's (which stays tight: a justification
+                # comment belongs AT the site, not four lines below).
+                chain = "".join(lines[max(0, i - 3): i + 5])
                 stmt = "".join(lines[max(0, i - 3): i + 2])
-                if "partitionBy" in stmt:
+                if "partitionBy" in chain:
                     continue
                 if "Partition-less window is BOUNDED" not in stmt:
                     offenders.append(
