@@ -1099,7 +1099,9 @@ class VersionedParquetTable:
         merged = self.read(spark).coalesce(files_per_partition)
         return self.overwrite(merged)
 
-    def _committed_versions(self, order: str = "committed_at") -> list[int]:
+    def _committed_versions(
+        self, order: str = "committed_at", entries: list[dict] | None = None
+    ) -> list[int]:
         """Distinct versions the commit log has ever pointed at,
         ordered by their LAST commit (so a rollback ranks the restored
         version as the most recently live). Two orderings exist
@@ -1116,12 +1118,18 @@ class VersionedParquetTable:
 
         ``_vacuum`` pins the newest ``retain`` under BOTH orderings,
         so a snapshot survives retention whenever either view calls
-        it recent. Empty when no log exists — pre-history tables."""
-        entries = self._history_entries()
+        it recent. Empty when no log exists — pre-history tables.
+
+        ``entries`` lets a caller that needs both orderings (vacuum)
+        parse the log ONCE and share the list; never mutated here."""
+        if entries is None:
+            entries = self._history_entries()
         if order == "committed_at":
-            entries.sort(key=lambda e: e.get("committed_at", 0.0))
+            entries = sorted(entries, key=lambda e: e.get("committed_at", 0.0))
         seen: list[int] = []
         for e in entries:
+            if "version" not in e:
+                continue  # hand-edited / foreign line: not a commit
             v = int(e["version"])
             if v in seen:
                 seen.remove(v)
@@ -1153,9 +1161,18 @@ class VersionedParquetTable:
         # vacuum horizon — the _TXN pointer is the reader's source of
         # truth for those.
         pinned |= self._txn_pinned_versions()
-        committed = [v for v in self._committed_versions() if v <= keep]
+        # One log parse shared by both retention orderings (r10
+        # review: vacuum ran the full parse twice per commit).
+        log_entries = self._history_entries()
+        committed = [
+            v
+            for v in self._committed_versions(entries=log_entries)
+            if v <= keep
+        ]
         by_file = [
-            v for v in self._committed_versions(order="file") if v <= keep
+            v
+            for v in self._committed_versions(order="file", entries=log_entries)
+            if v <= keep
         ]
         if committed:
             # Retention = newest ``retain`` under BOTH commit orderings
