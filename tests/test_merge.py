@@ -1197,6 +1197,66 @@ def test_occ_commit_conflict_detected_and_retry_merges_all(spark, tmp_path):
     assert _rows(a.read(spark)) == {("k1", 2, "A"), ("k2", 2, "B")}
 
 
+def test_occ_real_threads_no_lost_update(spark, tmp_path):
+    """REAL concurrency, not a simulated interleaving: three threads
+    race upsert_occ against one table root through separate handles
+    (separate processes in production — same FS protocol). Whatever
+    order the OS schedules, OCC must lose NO writer's rows, leave the
+    commit log consistent with the pointer (heal is a no-op), and
+    clean every losing slot (no unlogged-orphan residue). The model
+    test proves the protocol over chosen interleavings; this proves
+    the FS primitives (mkdir claim, O_EXCL lock, O_APPEND log) under
+    scheduling the test does NOT choose. max_retries is generous:
+    transient lock-held conflicts legitimately burn attempts."""
+    import threading
+
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    root = str(tmp_path / "t")
+    seed = VersionedParquetTable(root, retain=50)
+    seed.overwrite(make_df(spark, [("seed", 1, "s")]))
+    results: dict[int, tuple[int, int]] = {}
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            handle = VersionedParquetTable(root, retain=50)
+            results[i] = handle.upsert_occ(
+                spark,
+                make_df(spark, [(f"w{i}", 1, f"val{i}")]),
+                keys=["k"],
+                max_retries=20,
+            )
+        except Exception as exc:  # surfaced below: threads hide raises
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 3
+    # No lost update: every writer's row landed, seed intact.
+    assert _rows(seed.read(spark)) == {
+        ("seed", 1, "s"),
+        ("w0", 1, "val0"),
+        ("w1", 1, "val1"),
+        ("w2", 1, "val2"),
+    }
+    # Log and pointer agree: the next heal finds nothing to repair.
+    hist = os.path.join(root, "_HISTORY.jsonl")
+    before = open(hist).read()
+    seed._heal_history()
+    assert open(hist).read() == before
+    # Losing attempts removed their claimed slots: nothing unlogged.
+    assert not [
+        v for v, s in version_states(seed) if s == "unlogged-orphan"
+    ]
+    # All three commits are time-travel reachable in commit order.
+    assert set(seed._committed_versions()) == set(seed.versions())
+
+
 def test_occ_claim_version_slots_are_exclusive(spark, tmp_path):
     import os as _os
 
