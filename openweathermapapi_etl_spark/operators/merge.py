@@ -470,12 +470,15 @@ class VersionedParquetTable:
         # back-filling 0.0 re-appended a duplicate line on EVERY
         # subsequent commit, permanently ranking that version as the
         # newest file-order commit and pinning it against vacuum.
-        rec_ts = rec.get("committed_at", 0.0)
+        # `or 0.0` (not a .get default) so an explicit null value
+        # normalizes the same as a missing key — matching what
+        # _history_entries does to logged lines.
+        rec_ts = rec.get("committed_at") or 0.0
         tail = self._history_tail_entry()
         if (
             tail is not None
             and tail.get("version") == rec["version"]
-            and tail.get("committed_at") == rec_ts
+            and (tail.get("committed_at") or 0.0) == rec_ts
         ):
             return  # healthy: the last logged swing is the pointer's
         for e in self._history_entries():
@@ -531,8 +534,16 @@ class VersionedParquetTable:
                         e = json.loads(line)
                     except ValueError:
                         continue  # torn tail of a writer killed mid-append
-                    if isinstance(e, dict):
-                        entries.append(e)
+                    if not isinstance(e, dict) or "version" not in e:
+                        continue  # hand-edited / foreign line
+                    if e.get("committed_at") is None:
+                        # Missing OR null (hand-repaired line): pin to
+                        # the epoch floor so wall-clock sorts and as-of
+                        # comparisons never meet None (r10 review — a
+                        # single null line made every later _vacuum
+                        # sort and read_as_of_timestamp TypeError).
+                        e["committed_at"] = 0.0
+                    entries.append(e)
         except OSError:
             return []
         return entries
@@ -746,6 +757,11 @@ class VersionedParquetTable:
             raise ValueError(
                 f"v{staged_version} is committed by the enclosing "
                 f"multi-table transaction (_TXN); not removable"
+            )
+        if staged_version in self._branch_pinned_versions():
+            raise ValueError(
+                f"v{staged_version} is a branch head or base; not "
+                f"removable while the branch exists"
             )
         shutil.rmtree(self._version_dir(staged_version), ignore_errors=True)
         for entry in self.inflight_dirs():
@@ -1151,11 +1167,7 @@ class VersionedParquetTable:
         horizon."""
         if retain is None:
             retain = self.retain
-        pinned: set[int] = set()
-        for b in self.branches():
-            ref = self._branch_ref(b)
-            pinned.add(ref["head"])
-            pinned.add(ref["base"])
+        pinned: set[int] = set(self._branch_pinned_versions())
         # Versions an enclosing multi-table transaction committed are
         # live state even when older than the per-table pointer's
         # vacuum horizon — the _TXN pointer is the reader's source of
@@ -1234,6 +1246,25 @@ class VersionedParquetTable:
             for e in os.listdir(self.root)
             if e.startswith("_BRANCH_") and not e.endswith(".tmp")
         )
+
+    def _branch_pinned_versions(self) -> set[int]:
+        """Versions any ``_BRANCH_*`` pointer references (head or
+        base) — the one place the branches()+_branch_ref() loop lives
+        (r10 review: vacuum and the M20 audit each had a copy, and
+        neither tolerated a branch DELETED between the listdir and
+        the ref read). A ref that vanished mid-scan
+        (merge_branch/delete_branch racing an audit), or that fails
+        to parse, pins nothing — the racing deleter owns its
+        cleanup."""
+        pinned: set[int] = set()
+        for b in self.branches():
+            try:
+                ref = self._branch_ref(b)
+                pinned.add(ref["head"])
+                pinned.add(ref["base"])
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # deleted mid-scan or unparseable ref
+        return pinned
 
     def create_branch(self, name: str) -> int:
         """Branch off the CURRENT version; returns the base version."""
@@ -1855,12 +1886,17 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
     independent of data volume."""
     cur = table.current_version() or 0
     txn_pinned = table._txn_pinned_versions()
-    branch_pinned: set[int] = set()
-    for b in table.branches():
-        ref = table._branch_ref(b)
-        branch_pinned.add(ref["head"])
-        branch_pinned.add(ref["base"])
+    branch_pinned = table._branch_pinned_versions()
     logged = set(table._committed_versions(order="file"))
+    # Orphan detection only applies WITHIN the log's coverage: dirs
+    # below the OLDEST logged version predate the log itself (lost /
+    # recreated _HISTORY.jsonl, or commits from before the log
+    # feature) and are legitimately committed snapshots — calling
+    # them orphans would direct an operator to abandon() time-travel-
+    # readable data (r10 review). An overwritten unlogged swing is
+    # always INSIDE coverage (its neighbors are logged), so the
+    # conservative bound loses nothing real.
+    log_floor = min(logged) if logged else 0
     out: list[tuple[int, str]] = []
     for v in table.versions():
         if v == cur:
@@ -1871,7 +1907,7 @@ def version_states(table: VersionedParquetTable) -> list[tuple[int, str]]:
             state = "branch-pinned"
         elif v > cur:
             state = "staged-uncommitted"
-        elif logged and v not in logged:
+        elif v > log_floor and v not in logged:
             state = "unlogged-orphan"
         else:
             state = "retained"

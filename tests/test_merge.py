@@ -1913,6 +1913,89 @@ def test_branch_pinned_version_classified_not_retained(spark, tmp_path):
     assert states[3] == "current"
 
 
+def test_abandon_refuses_branch_pinned_version(spark, tmp_path):
+    """abandon() must guard branch heads/bases like it guards current
+    and txn-pinned versions (r10 review): version_states now reports
+    branch-pinned as a first-class state, and the documented
+    'abandon once the writer is dead' reclamation path must not be
+    able to delete a live branch's only snapshot."""
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=5)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    table.create_branch("exp")  # head = base = v2
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    with _pytest.raises(ValueError, match="branch"):
+        table.abandon(2)
+    table.delete_branch("exp")
+    table.abandon(2)  # unpinned once the branch is gone
+    assert 2 not in table.versions()
+
+
+def test_null_committed_at_lines_never_poison_the_log(spark, tmp_path):
+    """A hand-repaired pointer or history line carrying an explicit
+    null committed_at (key present, value None) must normalize to the
+    same 0.0 floor as a MISSING key (r10 review): before, the heal
+    back-filled the null verbatim and every later vacuum sort and
+    as-of resolution raised TypeError comparing None to float."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=5)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(os.path.join(table.root, "_VERSION")) as fh:
+        t2 = _json.load(fh)["committed_at"]
+    # Null-valued pointer AND a null-valued history line.
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        _json.dump({"version": 2, "committed_at": None}, fh)
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist, "a") as fh:
+        fh.write('{"version": 1, "committed_at": null}\n')
+    table._heal_history()
+    table._heal_history()  # idempotent, same as the missing-key case
+    # Commits, vacuum sorts, and as-of resolution all survive.
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    assert _rows(table.read(spark)) == {("a", 3, "v3")}
+    assert _rows(table.read_as_of_timestamp(spark, t2)) == {("a", 2, "v2")}
+    with open(hist) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert [
+        e for e in entries if e["version"] == 2 and e["committed_at"] == 0.0
+    ], "null pointer ts must back-fill as the 0.0 floor"
+
+
+def test_versions_below_log_floor_stay_retained(spark, tmp_path):
+    """A lost-and-recreated commit log must not turn the table's
+    earlier life into 'orphans' (r10 review): dirs BELOW the oldest
+    logged version predate the log itself and are legitimately
+    committed, time-travel-readable snapshots — classifying them
+    unlogged-orphan would direct an operator to abandon() real data.
+    Orphan detection applies only INSIDE the log's coverage, where an
+    overwritten unlogged swing always sits between logged
+    neighbors."""
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=10)
+    for i in (1, 2, 3, 4):
+        table.overwrite(make_df(spark, [("a", i, f"v{i}")]))
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    with open(hist) as fh:
+        lines = fh.readlines()
+    # Log "lost" and recreated from v3 onward; v2's line also torn
+    # out WITHIN the remaining coverage (a real orphan-shaped gap
+    # would be between logged neighbors — here there is none below
+    # the floor, so everything below v3 must read as retained).
+    with open(hist, "w") as fh:
+        fh.writelines(ln for ln in lines if '"version": 1' not in ln
+                      and '"version": 2' not in ln)
+    states = dict(version_states(table))
+    assert states[1] == "retained"
+    assert states[2] == "retained"
+    assert states[3] == "retained"
+    assert states[4] == "current"
+
+
 def test_pointer_without_committed_at_heals_exactly_once(spark, tmp_path):
     """A pointer record lacking committed_at (hand-repaired or foreign
     writer — every reader tolerates the shape) must back-fill ONCE

@@ -694,6 +694,41 @@ def test_flagship_q18_derived_build_side(spark, sf):
     assert "HashAggregate" in tree  # partial/final pair for the qty sum
 
 
+def _chain_span(src: str, start: int) -> str:
+    """Source span of the method chain starting at ``start`` (a
+    ``Window...orderBy(`` match): follows balanced parentheses through
+    consecutive ``.name(...)`` segments, so a trailing
+    ``.partitionBy(...)`` on ANY later line is seen while an adjacent
+    unrelated statement is not. Parens inside string literals could in
+    principle confuse the balance — acceptable for a lint-style guard
+    over this repo's plan files (none of which put parens in window
+    column-name strings)."""
+    i = src.index("(", start)
+    depth, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                j = i + 1
+                while j < n and src[j] in " \t\r\n":
+                    j += 1
+                if j < n and src[j] == ".":
+                    k = j + 1
+                    while k < n and (src[k].isalnum() or src[k] == "_"):
+                        k += 1
+                    while k < n and src[k] in " \t\r\n":
+                        k += 1
+                    if k < n and src[k] == "(":
+                        i = k
+                        continue
+                return src[start: i + 1]
+        i += 1
+    return src[start:]
+
+
 def test_partitionless_ordered_windows_are_justified():
     """Source-scan guard for the 100 TB audit (r10 review catch: the
     round-9 verdict's "no partition-less ordered window anywhere"
@@ -743,14 +778,18 @@ def test_partitionless_ordered_windows_are_justified():
             lines = src.splitlines(keepends=True)
             for m in pat.finditer(src):
                 i = src.count("\n", 0, m.start())  # 0-based line index
-                # partitionBy may legally trail the orderBy in the same
-                # chained spec, so its lookahead window is wider than
-                # the marker's (which stays tight: a justification
-                # comment belongs AT the site, not four lines below).
-                chain = "".join(lines[max(0, i - 3): i + 5])
-                stmt = "".join(lines[max(0, i - 3): i + 2])
-                if "partitionBy" in chain:
+                # partitionBy may legally trail the orderBy in the SAME
+                # chained spec, so scan the actual chain expression —
+                # balanced parens through consecutive `.name(...)`
+                # segments — not a fixed line window, which an ADJACENT
+                # window spec's partitionBy could mask (r10 review's
+                # false-negative catch). A preceding .partitionBy can't
+                # exist in a match: the pattern requires the class name
+                # DIRECTLY before .orderBy. The marker window stays
+                # tight: a justification belongs AT the site.
+                if "partitionBy" in _chain_span(src, m.start()):
                     continue
+                stmt = "".join(lines[max(0, i - 3): i + 2])
                 if "Partition-less window is BOUNDED" not in stmt:
                     offenders.append(
                         f"{sub}/{fname}:{i + 1}: {lines[i].strip()}"
