@@ -1933,6 +1933,32 @@ def test_abandon_refuses_branch_pinned_version(spark, tmp_path):
     assert 2 not in table.versions()
 
 
+def test_corrupt_or_vanishing_branch_ref_never_crashes_audit_or_vacuum(
+    spark, tmp_path
+):
+    """_branch_pinned_versions tolerance pin (r10 review): a branch
+    ref that is unparseable (torn write) or missing expected keys —
+    the on-disk shapes a delete/rewrite race exposes — must pin
+    nothing rather than crash version_states or the vacuum inside
+    every commit. The intact branch alongside keeps pinning."""
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=1)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    table.create_branch("good")  # head = base = v2
+    with open(os.path.join(table.root, "_BRANCH_torn"), "w") as fh:
+        fh.write('{"head": 2, "ba')  # writer died mid-write
+    with open(os.path.join(table.root, "_BRANCH_nokeys"), "w") as fh:
+        fh.write('{"note": "not a ref"}')
+    # Audit survives and still reports the intact branch's pin.
+    states = dict(version_states(table))
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))  # commit + vacuum
+    assert dict(version_states(table))[2] == "branch-pinned"
+    assert 2 in table.versions()  # intact ref kept pinning through vacuum
+    assert states[2] in ("current", "branch-pinned")
+
+
 def test_null_committed_at_lines_never_poison_the_log(spark, tmp_path):
     """A hand-repaired pointer or history line carrying an explicit
     null committed_at (key present, value None) must normalize to the
