@@ -4194,8 +4194,15 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = spark.createDataFrame(
         [(5,), (10,), (15,), (20,)], "vocab_size int"
     )
+    # sizes is ENUM-sized (4 planning constants) — broadcast-hinted so
+    # the cross join plans as BroadcastNestedLoopJoin instead of
+    # CartesianProduct: the checkpointed rank frame carries no stats,
+    # and without the hint Spark cannot see that one side is bounded
+    # (caught by the full-book plan audit, tools/explain_report.py
+    # --all). Legitimate per the bounded-side broadcast rule: the hint
+    # is on the constant side, never the corpus-scaling one.
     return (
-        sizes.crossJoin(ranked)
+        ranked.crossJoin(F.broadcast(sizes))
         .crossJoin(F.broadcast(tot))
         .groupBy("vocab_size", "total")
         .agg(
