@@ -799,3 +799,45 @@ def test_partitionless_ordered_windows_are_justified():
         "scale) — use global_rank/prefix_sum or add the BOUNDED marker "
         "comment with a reason:\n" + "\n".join(offenders)
     )
+
+
+def test_crossjoins_are_broadcast_hinted_or_justified():
+    """Source-level guard for the full-book plan audit's one finding
+    (r10, c04_oov_rate): a crossJoin whose bounded side is NOT
+    broadcast-hinted plans as CartesianProduct whenever the other
+    side's stats are opaque (checkpoints, post-shuffle frames) — the
+    n×m partition-pair product instead of one broadcast. Every
+    crossJoin( site must either carry F.broadcast(...) inside the
+    chain or say 'broadcast' in the adjacent justification comment
+    (the two 1-row-aggregate sites do; aggregates carry size
+    estimates, and PLANS_FULL.md pins zero CartesianProducts across
+    all 357 queries)."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "openweathermapapi_etl_spark",
+    )
+    offenders = []
+    for sub in ("plans", "operators"):
+        root = os.path.join(pkg, sub)
+        for fname in sorted(os.listdir(root)):
+            if not fname.endswith(".py"):
+                continue
+            with open(os.path.join(root, fname)) as fh:
+                src = fh.read()
+            lines = src.splitlines(keepends=True)
+            for m in re.finditer(r"\.\s*crossJoin\s*\(", src):
+                i = src.count("\n", 0, m.start())
+                ctx = "".join(lines[max(0, i - 3): i + 2])
+                span = _chain_span(src, m.start())
+                if "broadcast" in span or "broadcast" in ctx.lower():
+                    continue
+                offenders.append(f"{sub}/{fname}:{i + 1}: {lines[i].strip()}")
+    assert not offenders, (
+        "crossJoin without a broadcast hint or 'broadcast' "
+        "justification in the adjacent comment — risks "
+        "CartesianProduct when the big side's stats are opaque:\n"
+        + "\n".join(offenders)
+    )
