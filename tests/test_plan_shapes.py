@@ -694,6 +694,43 @@ def test_flagship_q18_derived_build_side(spark, sf):
     assert "HashAggregate" in tree  # partial/final pair for the qty sum
 
 
+def _iter_plan_sources():
+    """Yield ``(subdir, filename, source)`` for every .py under
+    plans/ and operators/ — the shared walker for source-level scale
+    guards (r10 review: two copies were already diverging). Flat
+    listdir by design: if either package ever grows a subpackage,
+    extend HERE and both guards see it."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "openweathermapapi_etl_spark",
+    )
+    for sub in ("plans", "operators"):
+        root = os.path.join(pkg, sub)
+        for fname in sorted(os.listdir(root)):
+            if fname.endswith(".py"):
+                with open(os.path.join(root, fname)) as fh:
+                    yield sub, fname, fh.read()
+
+
+def _call_arg_span(src: str, start: int) -> str:
+    """The argument text of the single call whose name begins at
+    ``start``: from its opening paren to the MATCHING close — unlike
+    :func:`_chain_span`, later calls in the same chain are excluded,
+    so a hint on a downstream call cannot vouch for this one."""
+    i = src.index("(", start)
+    depth = 0
+    for j in range(i, len(src)):
+        if src[j] == "(":
+            depth += 1
+        elif src[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return src[i + 1: j]
+    return src[i + 1:]
+
+
 def _chain_span(src: str, start: int) -> str:
     """Source span of the method chain starting at ``start`` (a
     ``Window...orderBy(`` match): follows balanced parentheses through
@@ -742,58 +779,46 @@ def test_partitionless_ordered_windows_are_justified():
     the three lines above it, stating why its input cannot scale with
     the corpus (LIMIT head, enum-sized planning table, ...). New
     unjustified sites fail here, not at 100 TB."""
-    import os
     import re
 
-    pkg = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "openweathermapapi_etl_spark",
-    )
     offenders = []
-    for sub in ("plans", "operators"):
-        root = os.path.join(pkg, sub)
-        for fname in sorted(os.listdir(root)):
-            if not fname.endswith(".py"):
+    for sub, fname, src in _iter_plan_sources():
+        # Window-class aliases per file (r10 review: a same-line-only
+        # W/Window match misses wrapped chains and renamed imports).
+        # Matched ANYWHERE in the file, not just inside a one-line
+        # import: 'Window as X' in a parenthesized multiline import
+        # must still register (second r10 review catch), and a
+        # spurious alias candidate merely greps for a name that
+        # never appears — over-matching is safe, under-matching is
+        # the silent false negative this guard exists to prevent.
+        aliases = {"Window"} | set(
+            re.findall(r"\bWindow\s+as\s+(\w+)", src)
+        )
+        # Full-text match so `Window\n    .orderBy(` still hits.
+        pat = re.compile(
+            r"(?:%s)\s*\.\s*orderBy\s*\(" % "|".join(
+                r"\b%s\b" % re.escape(a) for a in sorted(aliases)
+            )
+        )
+        lines = src.splitlines(keepends=True)
+        for m in pat.finditer(src):
+            i = src.count("\n", 0, m.start())  # 0-based line index
+            # partitionBy may legally trail the orderBy in the SAME
+            # chained spec, so scan the actual chain expression —
+            # balanced parens through consecutive `.name(...)`
+            # segments — not a fixed line window, which an ADJACENT
+            # window spec's partitionBy could mask (r10 review's
+            # false-negative catch). A preceding .partitionBy can't
+            # exist in a match: the pattern requires the class name
+            # DIRECTLY before .orderBy. The marker window stays
+            # tight: a justification belongs AT the site.
+            if "partitionBy" in _chain_span(src, m.start()):
                 continue
-            path = os.path.join(root, fname)
-            with open(path) as fh:
-                src = fh.read()
-            # Window-class aliases per file (r10 review: a same-line-only
-            # W/Window match misses wrapped chains and renamed imports).
-            # Matched ANYWHERE in the file, not just inside a one-line
-            # import: 'Window as X' in a parenthesized multiline import
-            # must still register (second r10 review catch), and a
-            # spurious alias candidate merely greps for a name that
-            # never appears — over-matching is safe, under-matching is
-            # the silent false negative this guard exists to prevent.
-            aliases = {"Window"} | set(
-                re.findall(r"\bWindow\s+as\s+(\w+)", src)
-            )
-            # Full-text match so `Window\n    .orderBy(` still hits.
-            pat = re.compile(
-                r"(?:%s)\s*\.\s*orderBy\s*\(" % "|".join(
-                    r"\b%s\b" % re.escape(a) for a in sorted(aliases)
+            stmt = "".join(lines[max(0, i - 3): i + 2])
+            if "Partition-less window is BOUNDED" not in stmt:
+                offenders.append(
+                    f"{sub}/{fname}:{i + 1}: {lines[i].strip()}"
                 )
-            )
-            lines = src.splitlines(keepends=True)
-            for m in pat.finditer(src):
-                i = src.count("\n", 0, m.start())  # 0-based line index
-                # partitionBy may legally trail the orderBy in the SAME
-                # chained spec, so scan the actual chain expression —
-                # balanced parens through consecutive `.name(...)`
-                # segments — not a fixed line window, which an ADJACENT
-                # window spec's partitionBy could mask (r10 review's
-                # false-negative catch). A preceding .partitionBy can't
-                # exist in a match: the pattern requires the class name
-                # DIRECTLY before .orderBy. The marker window stays
-                # tight: a justification belongs AT the site.
-                if "partitionBy" in _chain_span(src, m.start()):
-                    continue
-                stmt = "".join(lines[max(0, i - 3): i + 2])
-                if "Partition-less window is BOUNDED" not in stmt:
-                    offenders.append(
-                        f"{sub}/{fname}:{i + 1}: {lines[i].strip()}"
-                    )
     assert not offenders, (
         "unjustified partition-less ordered windows (single-reducer at "
         "scale) — use global_rank/prefix_sum or add the BOUNDED marker "
@@ -806,38 +831,41 @@ def test_crossjoins_are_broadcast_hinted_or_justified():
     (r10, c04_oov_rate): a crossJoin whose bounded side is NOT
     broadcast-hinted plans as CartesianProduct whenever the other
     side's stats are opaque (checkpoints, post-shuffle frames) — the
-    n×m partition-pair product instead of one broadcast. Every
-    crossJoin( site must either carry F.broadcast(...) inside the
-    chain or say 'broadcast' in the adjacent justification comment
-    (the two 1-row-aggregate sites do; aggregates carry size
+    n×m partition-pair product instead of one broadcast.
+
+    Per-CALL check (r10 second-review catch: a chain-wide or
+    line-window scan let `big.crossJoin(big2).crossJoin(
+    F.broadcast(tiny))` sail through — the downstream hint vouched
+    for the unhinted call, which is exactly the pre-fix c04 shape):
+    EACH crossJoin's own argument must contain `broadcast`, or the
+    up-to-3 lines at/above the call must carry the literal marker
+    'broadcast by size' stating why Spark's own size estimate
+    suffices (the two 1-row-aggregate sites; aggregates carry
     estimates, and PLANS_FULL.md pins zero CartesianProducts across
     all 357 queries)."""
-    import os
     import re
 
-    pkg = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "openweathermapapi_etl_spark",
-    )
     offenders = []
-    for sub in ("plans", "operators"):
-        root = os.path.join(pkg, sub)
-        for fname in sorted(os.listdir(root)):
-            if not fname.endswith(".py"):
+    for sub, fname, src in _iter_plan_sources():
+        lines = src.splitlines(keepends=True)
+        for m in re.finditer(r"\.\s*crossJoin\s*\(", src):
+            if "broadcast" in _call_arg_span(src, m.start()):
                 continue
-            with open(os.path.join(root, fname)) as fh:
-                src = fh.read()
-            lines = src.splitlines(keepends=True)
-            for m in re.finditer(r"\.\s*crossJoin\s*\(", src):
-                i = src.count("\n", 0, m.start())
-                ctx = "".join(lines[max(0, i - 3): i + 2])
-                span = _chain_span(src, m.start())
-                if "broadcast" in span or "broadcast" in ctx.lower():
-                    continue
-                offenders.append(f"{sub}/{fname}:{i + 1}: {lines[i].strip()}")
+            i = src.count("\n", 0, m.start())
+            # The hint may equally sit on the RECEIVER
+            # (`F.broadcast(a).crossJoin(b)`): accept broadcast in
+            # the same-line prefix — the receiver expression of THIS
+            # statement, not an adjacent one.
+            col = m.start() - (src.rfind("\n", 0, m.start()) + 1)
+            if "broadcast" in lines[i][:col]:
+                continue
+            at_or_above = "".join(lines[max(0, i - 3): i + 1])
+            if "broadcast by size" in at_or_above:
+                continue
+            offenders.append(f"{sub}/{fname}:{i + 1}: {lines[i].strip()}")
     assert not offenders, (
-        "crossJoin without a broadcast hint or 'broadcast' "
-        "justification in the adjacent comment — risks "
+        "crossJoin whose own argument carries no broadcast hint and "
+        "whose site lacks the 'broadcast by size' marker — risks "
         "CartesianProduct when the big side's stats are opaque:\n"
         + "\n".join(offenders)
     )
