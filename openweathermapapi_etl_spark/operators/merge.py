@@ -269,9 +269,13 @@ class VersionedParquetTable:
             with open(txn_pointer) as fh:
                 ref = json.load(fh)
             v = ref.get("tables", {}).get(name)
-        except (OSError, ValueError, AttributeError):
+            # int() INSIDE the try: a corrupt value ("abc", a list)
+            # must degrade to "pins nothing" like every other damaged
+            # control file — not crash each vacuum and audit (same
+            # tolerance class as _branch_pinned_versions, r10).
+            return set() if v is None else {int(v)}
+        except (OSError, ValueError, TypeError, AttributeError):
             return set()
-        return {int(v)} if v is not None else set()
 
     def read(self, spark: SparkSession) -> DataFrame:
         version = self.current_version()

@@ -1933,6 +1933,29 @@ def test_abandon_refuses_branch_pinned_version(spark, tmp_path):
     assert 2 not in table.versions()
 
 
+def test_corrupt_txn_value_never_crashes_audit_or_vacuum(spark, tmp_path):
+    """_txn_pinned_versions tolerance for a CORRUPT version value
+    ('abc', a list) in the parent _TXN pointer — the int() used to
+    run outside the except and crash every vacuum and audit; a
+    damaged control file must degrade to 'pins nothing', same as a
+    torn branch ref."""
+    import json as _json
+
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    root = str(tmp_path / "t")
+    table = VersionedParquetTable(root, retain=2)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    open(os.path.join(root, "_TXN_MEMBER"), "w").close()
+    with open(os.path.join(str(tmp_path), "_TXN"), "w") as fh:
+        _json.dump({"tables": {"t": "not-a-version"}}, fh)
+    assert table._txn_pinned_versions() == set()
+    states = dict(version_states(table))  # audit survives
+    assert states[1] == "current"
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))  # commit + vacuum
+    assert _rows(table.read(spark)) == {("a", 2, "v2")}
+
+
 def test_corrupt_or_vanishing_branch_ref_never_crashes_audit_or_vacuum(
     spark, tmp_path
 ):
