@@ -214,7 +214,7 @@ class VersionedParquetTable:
         try:
             with open(self._layout_path(version)) as fh:
                 return json.load(fh)["partition_by"]
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             return self._NO_LAYOUT
 
     @property
@@ -225,7 +225,7 @@ class VersionedParquetTable:
         try:
             with open(self._pointer) as fh:
                 return int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             return None
 
     def exists(self) -> bool:
@@ -338,7 +338,7 @@ class VersionedParquetTable:
             try:
                 with open(self._layout_path(version)) as fh:
                     schema_json = json.load(fh)["schema"]
-            except (OSError, ValueError, KeyError):
+            except (OSError, ValueError, KeyError, TypeError):
                 raise FileNotFoundError(
                     f"version {version} under {self.root} has no data "
                     f"files and no schema sidecar — unreadable"

@@ -1933,6 +1933,22 @@ def test_abandon_refuses_branch_pinned_version(spark, tmp_path):
     assert 2 not in table.versions()
 
 
+def test_non_dict_control_files_degrade_not_crash(spark, tmp_path):
+    """A control file whose JSON parses to a NON-DICT (a bare list —
+    e.g. a foreign tool's output landing on the pointer path) must
+    degrade exactly like unparseable JSON: current_version -> None,
+    layout -> sentinel fallback. Subscripting a list with a string
+    key raises TypeError, which the except tuples now include."""
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=2)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        fh.write("[1, 2]")
+    assert table.current_version() is None  # same as unparseable
+    with open(table._layout_path(1), "w") as fh:
+        fh.write('["not", "a", "layout"]')
+    assert table._persisted_layout(1) is table._NO_LAYOUT
+
+
 def test_corrupt_txn_value_never_crashes_audit_or_vacuum(spark, tmp_path):
     """_txn_pinned_versions tolerance for a CORRUPT version value
     ('abc', a list) in the parent _TXN pointer — the int() used to
