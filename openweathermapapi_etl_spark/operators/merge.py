@@ -477,21 +477,32 @@ class VersionedParquetTable:
         # `or 0.0` (not a .get default) so an explicit null value
         # normalizes the same as a missing key — matching what
         # _history_entries does to logged lines.
-        rec_ts = rec.get("committed_at") or 0.0
+        # Coerce BEFORE logging: a corrupt pointer like
+        # {"version": "abc"} is a shape current_version() degrades on
+        # (returns None); copying it verbatim into the append-only log
+        # would poison every later _committed_versions/_vacuum/as-of
+        # parse — a persistent wedge surviving pointer repair. A
+        # pointer that fails coercion heals nothing, degrading the
+        # same way every other damaged control file does.
+        try:
+            rec_version = int(rec["version"])
+            rec_ts = float(rec.get("committed_at") or 0.0)
+        except (ValueError, TypeError):
+            return
         tail = self._history_tail_entry()
         if (
             tail is not None
-            and tail.get("version") == rec["version"]
+            and tail.get("version") == rec_version
             and (tail.get("committed_at") or 0.0) == rec_ts
         ):
             return  # healthy: the last logged swing is the pointer's
         for e in self._history_entries():
             if (
-                e.get("version") == rec["version"]
+                e.get("version") == rec_version
                 and e.get("committed_at") == rec_ts
             ):
                 return  # logged earlier (e.g. rollback re-publish)
-        self._log_history(rec["version"], rec_ts)
+        self._log_history(rec_version, rec_ts)
 
     def _history_tail_entry(self) -> dict | None:
         """Last parseable ``_HISTORY.jsonl`` record via a bounded
@@ -540,12 +551,23 @@ class VersionedParquetTable:
                         continue  # torn tail of a writer killed mid-append
                     if not isinstance(e, dict) or "version" not in e:
                         continue  # hand-edited / foreign line
-                    if e.get("committed_at") is None:
-                        # Missing OR null (hand-repaired line): pin to
-                        # the epoch floor so wall-clock sorts and as-of
-                        # comparisons never meet None (r10 review — a
+                    try:
+                        # Non-int-coercible version (hand-edited or
+                        # foreign): skip the line, same policy as a
+                        # torn tail — otherwise _committed_versions'
+                        # int() wedges every later vacuum and audit.
+                        e["version"] = int(e["version"])
+                    except (ValueError, TypeError):
+                        continue
+                    try:
+                        # Missing, null, OR non-float committed_at
+                        # (hand-repaired line): pin to the epoch floor
+                        # so wall-clock sorts and as-of comparisons
+                        # never meet None or a str (r10 review — a
                         # single null line made every later _vacuum
                         # sort and read_as_of_timestamp TypeError).
+                        e["committed_at"] = float(e.get("committed_at") or 0.0)
+                    except (ValueError, TypeError):
                         e["committed_at"] = 0.0
                     entries.append(e)
         except OSError:

@@ -2030,6 +2030,62 @@ def test_null_committed_at_lines_never_poison_the_log(spark, tmp_path):
     ], "null pointer ts must back-fill as the 0.0 floor"
 
 
+def test_uncoercible_version_or_ts_degrades_not_wedges(spark, tmp_path):
+    """A corrupt pointer value ({"version": "abc"} or a garbage
+    committed_at — shapes current_version() already degrades on) must
+    NOT be copied verbatim into the append-only log by _heal_history,
+    and a hand-edited history line with a non-int version or non-float
+    committed_at must cost exactly that one record, never wedge every
+    later vacuum / audit / as-of resolution (r10 advice: the unguarded
+    int('abc') / str<float sort was a persistent wedge surviving
+    pointer repair)."""
+    import json as _json
+
+    table = VersionedParquetTable(str(tmp_path / "t"), retain=5)
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    table.overwrite(make_df(spark, [("a", 2, "v2")]))
+    with open(os.path.join(table.root, "_VERSION")) as fh:
+        good_pointer = fh.read()
+    hist = os.path.join(table.root, "_HISTORY.jsonl")
+    # 1) Corrupt pointer version: heal must refuse to back-fill it.
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        _json.dump({"version": "abc", "committed_at": 123.0}, fh)
+    table._heal_history()
+    # 2) Corrupt pointer committed_at: same refusal.
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        _json.dump({"version": 2, "committed_at": "garbage"}, fh)
+    table._heal_history()
+    with open(hist) as fh:
+        entries = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert all(isinstance(e["version"], int) for e in entries)
+    assert all(
+        isinstance(e.get("committed_at"), float) for e in entries
+    ), "a corrupt pointer must never poison the log"
+    # 3) Hand-edited log lines with uncoercible values: one lost
+    # record each, everything downstream keeps working.
+    with open(hist, "a") as fh:
+        fh.write('{"version": "abc", "committed_at": 1.0}\n')
+        fh.write('{"version": 1, "committed_at": "x"}\n')
+    with open(os.path.join(table.root, "_VERSION"), "w") as fh:
+        fh.write(good_pointer)  # pointer repaired
+    # The wedge claim: post-repair commits, vacuum, audits, and as-of
+    # reads must all survive the damaged lines.
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    assert _rows(table.read(spark)) == {("a", 3, "v3")}
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    states = dict(version_states(table))
+    assert states[3] == "current"
+    assert 1 in table._committed_versions()
+    # The "x" timestamp floors to 0.0 (same policy as null), so the
+    # version stays visible to file-order retention; the "abc" line
+    # is skipped entirely.
+    assert all(
+        isinstance(e["committed_at"], float)
+        for e in table._history_entries()
+    )
+
+
 def test_versions_below_log_floor_stay_retained(spark, tmp_path):
     """A lost-and-recreated commit log must not turn the table's
     earlier life into 'orphans' (r10 review): dirs BELOW the oldest
