@@ -102,6 +102,59 @@ def pca_components(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return vals[order], comps
 
 
+def fold_dot(xs: list[float], ys: list[float]) -> float:
+    """Left-to-right dot-product fold — the ORDER-PINNED scalar
+    sequence ``((x0*y0 + x1*y1) + x2*y2) + ...`` that a left-assoc SQL
+    expression chain evaluates. Every consumer that must bit-match a
+    SQL oracle folds through this, never ``sum()``/numpy (whose
+    pairwise summation reassociates)."""
+    acc = xs[0] * ys[0]
+    for i in range(1, len(xs)):
+        acc = acc + xs[i] * ys[i]
+    return acc
+
+
+def power_iteration_pca(
+    cov: list[list[float]], k: int, iters: int
+) -> list[list[float]]:
+    """Top-k principal directions via FIXED-COUNT power iteration with
+    deflation — the oracle-expressible parity flavor of
+    :func:`pca_components` (r11: the verdict ordered the last no-oracle
+    driver rows closed; eigh is not SQL, but an unrolled power
+    iteration over the d×d covariance is). Pure scalar Python floats,
+    every reduction through :func:`fold_dot`, so a SQL twin that emits
+    the same left-assoc expressions is bit-identical (validated: 0
+    mismatches over 500 vectors × 4 components vs DuckDB).
+
+    Semantics: all-ones start, ``iters`` matvec+normalize rounds,
+    deflate ``A -= λ v vᵀ`` with the Rayleigh quotient λ. On a flat
+    spectrum a fixed count does not fully align with eigh's axes, but
+    the SPAN converges much faster than the axes: at 60 iterations the
+    4 components capture 99.99% of eigh's top-4 variance on this
+    corpus (pinned by test) — the quantity that matters for the
+    compaction/quantization use. Cost is O(d²·k·iters) driver scalars,
+    corpus-independent; production keeps :func:`pca_components`."""
+    import math
+
+    d = len(cov)
+    a = [row[:] for row in cov]
+    comps: list[list[float]] = []
+    for _ in range(k):
+        v = [1.0] * d
+        for _ in range(iters):
+            w = [fold_dot(a[i], v) for i in range(d)]
+            nrm = math.sqrt(fold_dot(w, w))
+            v = [w[i] / nrm for i in range(d)]
+        av = [fold_dot(a[i], v) for i in range(d)]
+        lam = fold_dot(v, av)
+        comps.append(v)
+        a = [
+            [a[i][j] - lam * v[i] * v[j] for j in range(d)]
+            for i in range(d)
+        ]
+    return comps
+
+
 def pca_project(
     df: DataFrame,
     id_col: str,

@@ -45,63 +45,62 @@ from . import analytics_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 9's driver window (== CORRECTNESS_r09.json keys): the most
-# recently driver-verified -> rotate to the BACK this round. Round 10
-# finishes the drain (round-9 judge Next #1): no new queries are
-# registered, so the remaining 43 never-driver-checked queries fill
-# the head and every name in PARITY_r10.txt gains a driver row,
-# closing the "every operator has a green driver row" bar.
+# Round 10's driver window (== CORRECTNESS_r10.json keys): the most
+# recently driver-verified -> rotate to the BACK this round. Round 11
+# registers no new queries; the head carries the two OUTPUT-CHANGED
+# queries (both gained oracles per the r10 verdict task 2), then the
+# stalest-checked names rotate forward as usual.
 _PREV_WINDOW = [
-    "m27_partition_ttl",
-    "m28_noop_suppressed_merge",
-    "m29_cdf_replication",
-    "a11_weather_daily_rollup",
-    "c02_semdedup",
-    "c04_bigram_interp_score",
-    "c07_domain_mix",
-    "c06_cc_alternating_star",
-    "c04_ppl_buckets",
-    "c07_temperature_mix",
-    "c09_decontaminate_fuzzy",
-    "c06_kcore",
-    "c04_pmi_lift",
-    "c07_shard_balance",
-    "c04_bpe_pair_counts",
-    "c07_dataset_fingerprint",
-    "c06_canonical_doc",
-    "c04_code_switch",
-    "c04_gopher_rules",
-    "c04_blocklist_hits",
-    "c04_dsir_importance",
-    "c04_boilerplate_strip",
-    "c06_label_spread",
-    "c09_decontaminate_semantic",
-    "c05_keyframe_select",
-    "c07_padding_waste",
-    "c03_kmeans_inertia",
-    "b16_pareto_cut",
-    "c06_incremental_cc",
-    "c07_interleave_stream",
-    "c04_langid_confusion",
-    "c07_dataset_card",
-    "c06_hits_scores",
-    "c09_decon_spans",
-    "c09_excise_apply",
-    "c04_first_copy_dedup",
-    "c06_bfs_distance",
-    "c06_label_conductance",
-    "c04_bpe_merge_rounds",
-    "c07_nested_subsets",
-    "c07_soft_dedup_weights",
-    "c06_maximal_independent_set",
-    "c09_decon_verify",
-    "c04_oov_rate",
-    "c02_source_overlap_matrix",
-    "c07_curation_ab_diff",
-    "b53_state_timeout_expiry_rocksdb",
-    "b54_statestore_read",
-    "b51_stream_stream_full_join",
-    "b68_stream_dim_refresh",
+    "b44_dualsink_fanout",
+    "b44_txn_dualsink",
+    "b42_dynamic_gap_sessionize",
+    "b24_event_transitions",
+    "b24_last_touch_attribution",
+    "b24_seasonal_decompose",
+    "b24_state_runs",
+    "b24_cusum_changepoint",
+    "c03_pq_encode_trained",
+    "c03_sq8_encode",
+    "c03_covariance_matrix",
+    "c03_pca_project",
+    "c03_mips_topk",
+    "c03_ivf_persist",
+    "c03_bq_hamming_topk",
+    "c03_bq_rerank_funnel",
+    "c03_mrl_rerank_funnel",
+    "c03_graph_expand_topk",
+    "c03_rrf_fusion",
+    "c03_filtered_topk",
+    "c03_centroid_drift",
+    "c03_ivf_rebalance",
+    "c03_rvq_encode",
+    "c03_kcenter_select",
+    "c04_bm25_topk",
+    "c07_length_buckets",
+    "b37_variant_extract",
+    "b10_bloom_runtime_filter",
+    "c07_epoch_shuffle",
+    "c07_epoch_decorrelation",
+    "c02_setsim_exact",
+    "b64_sequence_islands",
+    "b24_max_drawdown",
+    "b16_mad",
+    "b65_windowed_distinct",
+    "c07_quantile_normalize",
+    "c06_jaccard_neighbors",
+    "m9_cdc_apply",
+    "b66_spatial_grid_join",
+    "b22_drift_audit",
+    "c04_k_anonymity",
+    "c07_tokenizer_fertility",
+    "c02_dedup_pr_audit",
+    "flagship_q3",
+    "b01_parquet_scan",
+    "b04_parquet_sink_roundtrip",
+    "b04_orc_sink_roundtrip",
+    "b02_text_sink_roundtrip",
+    "b01_schema_evolution",
+    "b04_partitioned_sink_prune",
 ]
 
 # The head is DERIVED at import time, not hand-curated (round-4
@@ -123,12 +122,13 @@ _PREV_WINDOW = [
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
 _RECHECK: list[str] = [
-    # round 10: empty — no registered query's OUTPUT changes this
-    # round (the merge.py history self-heal changes edge-state repair
-    # behavior, not query results) and round 9's window was 50/50
-    # green. The head is therefore the final backlog drain: the 43
-    # remaining never-driver-checked queries, FIFO — 43 < 50 slots,
-    # so the drain completes this round.
+    # round 11: the two queries whose OUTPUT changed this round — both
+    # were the last rows-only-by-design entries and gained exact
+    # DuckDB oracles (r10 verdict task 2): trained-PQ now emits
+    # 1e-6-grid integer distortions under a quantized-Lloyd codebook;
+    # PCA projection moved to the unrolled power-iteration flavor.
+    "c03_pq_encode_trained",
+    "c03_pca_project",
 ]
 
 
