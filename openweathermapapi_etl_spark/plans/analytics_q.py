@@ -479,7 +479,7 @@ def b66_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b22_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B22d: distribution DRIFT audit — compare the value distribution
+    """B22d2: distribution DRIFT audit — compare the value distribution
     of a metric between two time slices (here order totalprice before
     vs after a cutoff date, 10 fixed-width bins) and flag bins whose
     population share moved more than a threshold. This is the
@@ -601,7 +601,7 @@ def c04_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c07_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7r: tokenizer FERTILITY audit — per language, the mean ratio of
+    """C7r2: tokenizer FERTILITY audit — per language, the mean ratio of
     BPE-style tokens to whitespace words (fertility) and of characters
     to tokens (compression): the standard multilingual-tokenizer
     health check. A language whose fertility runs 2-3x the corpus

@@ -2273,7 +2273,7 @@ def c04_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c06_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6h: one-round LABEL SPREADING over the k-NN graph — each vector
+    """C6h2: one-round LABEL SPREADING over the k-NN graph — each vector
     takes the majority label of its top-3 neighbors (ties → smallest
     label), compared against its own label: disagreements are the
     label-noise candidates (mislabeled rows sit in a neighborhood of
@@ -2533,7 +2533,7 @@ def c05_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c07_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7s: PADDING-WASTE audit — the concrete cost of batching
+    """C7s2: PADDING-WASTE audit — the concrete cost of batching
     strategy: sequences batched 32 at a time pad every row to the
     batch max, so arrival-order batching (length-mixed batches) burns
     FLOPs on pad tokens that length-grouped batching (sort by length
@@ -2713,7 +2713,7 @@ def c03_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b16_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16g: PARETO CUT — per group, the smallest number of top rows
+    """B16g2: PARETO CUT — per group, the smallest number of top rows
     whose cumulative mass reaches half the group total (the "how
     concentrated is this source" 80/20 audit: a source where 2% of
     documents hold 50% of the characters is a few-huge-files source
@@ -3440,7 +3440,7 @@ def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4w: FIRST-COPY exact dedup at chunk granularity — every chunk
+    """C4w2: FIRST-COPY exact dedup at chunk granularity — every chunk
     survives exactly ONCE corpus-wide, in its earliest position by
     (doc_id, chunk_no); all later copies are excised and each doc is
     reassembled from its surviving chunks in original order. This is
@@ -3517,7 +3517,7 @@ def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6b: multi-source BFS hop distance over the k-NN graph — every
+    """C6b2: multi-source BFS hop distance over the k-NN graph — every
     node's MINIMUM hop count from the seed set (vec_id % 50 == 0)
     within 3 hops; unreached nodes are absent. The graph primitive
     the c06 family was missing: connected components answers
@@ -3592,7 +3592,7 @@ def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c06_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6c: label CONDUCTANCE over the k-NN graph — per label class:
+    """C6c2: label CONDUCTANCE over the k-NN graph — per label class:
     its edge-endpoint volume, the out-cut (edges leaving the class),
     and conductance cut/min(vol, vol_total − vol), the standard
     cluster-quality score (low = the class is a tight neighborhood;

@@ -1420,7 +1420,7 @@ def b10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16d: equi-width histogram — fixed-width price buckets with a
+    """B16d2: equi-width histogram — fixed-width price buckets with a
     capped overflow bucket (the profiling pass behind every data-skew /
     distribution report, SURVEY.md §2.4). Bucketing is a row-local
     expression, so the plan is ONE partial+final hash agg on ~11 keys:
@@ -3811,8 +3811,12 @@ def b15_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-ts right rows before left rows, so the backward fill owns
     ``rt <= lt`` and the forward fill owns ``rt > lt``; forward
     reclaims exact-ts matches row-locally and nearest picks the
-    closer side. One exchange on user_id for all three directions —
-    never a per-direction re-sort.
+    closer side. The asof union+window STAGE itself costs one
+    exchange on user_id shared by all three directions — never a
+    per-direction re-sort; the QUERY's full plan adds three more
+    (the clicks pre-dedup groupBy and the fwd/near join-backs on
+    event_id — PLANS_FULL.md counts 4 total), which are this query's
+    composition, not the operator's.
 
     The oracle builds backward and forward with DuckDB's native ASOF
     (>= and strict <) and composes the same row-local choices."""
@@ -3928,7 +3932,7 @@ def b79_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b04_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4e: COMPRESSION-CODEC round-trips — the same slice written as
+    """B4e2: COMPRESSION-CODEC round-trips — the same slice written as
     zstd parquet and as gzip-compressed JSON lines, read back and
     unioned; both must reproduce the source exactly (the oracle is
     the slice twice). Codec choice is a first-order 100 TB decision,
@@ -4100,7 +4104,7 @@ def flagship_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b02_multiline_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2d: multiLine JSON — one file holding a single JSON ARRAY of
+    """B2d2: multiLine JSON — one file holding a single JSON ARRAY of
     objects (the shape REST APIs and exports actually produce),
     versus JSONL's record-per-line. The reader mode matters at scale:
     JSONL splits by line so one big file still parallelizes;

@@ -1563,7 +1563,7 @@ def b44_txn_dualsink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b42_dynamic_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B42b: session windows with a DYNAMIC, per-event gap — the gap
+    """B42b2: session windows with a DYNAMIC, per-event gap — the gap
     is an expression of the row (clicks cool off in 10 minutes, a
     purchase keeps the session alive for 60), which is how real
     sessionization is specified: inactivity tolerance depends on what

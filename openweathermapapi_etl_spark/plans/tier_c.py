@@ -748,7 +748,7 @@ def _knn_graph_oracle(k: int = 3, n_planes: int = 6) -> str:
 
 @register("c03_knn_graph", oracle=_knn_graph_oracle())
 def c03_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3d: LSH-bucketed k-NN GRAPH over the whole embedding corpus
+    """C3d2: LSH-bucketed k-NN GRAPH over the whole embedding corpus
     (operators/similarity.py::knn_graph) — every vector's top-3
     in-bucket neighbors with a mutual-edge flag; the structure
     SemDeDup-style embedding dedup and graph clustering consume.
@@ -2026,7 +2026,7 @@ def _hard_negative_oracle(k: int = 3, dim: int = 64, n_planes: int = 4) -> str:
 
 @register("c03_hard_negative_mining", oracle=_hard_negative_oracle())
 def c03_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3h: HARD NEGATIVE MINING for retrieval/embedding training
+    """C3h2: HARD NEGATIVE MINING for retrieval/embedding training
     (ANCE/DPR-style, public recipe): for each query vector, the
     most-similar candidates whose LABEL DIFFERS — maximally confusing
     negatives, the examples contrastive training actually learns
@@ -2216,7 +2216,7 @@ def _multiprobe_oracle(k: int = 5, dim: int = 64, qmod: int = 50) -> str:
 
 @register("c03_multiprobe_lsh", oracle=_multiprobe_oracle())
 def c03_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3m: MULTI-PROBE LSH (Lv et al., VLDB'07 — public): each query
+    """C3m2: MULTI-PROBE LSH (Lv et al., VLDB'07 — public): each query
     probes its own bucket AND the bucket reached by flipping its
     LEAST-CONFIDENT hyperplane bit (the plane with the smallest
     |margin| — precisely where a true neighbor most plausibly landed

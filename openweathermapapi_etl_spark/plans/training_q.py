@@ -2519,7 +2519,7 @@ _RVQ_L2 = (
     """,
 )
 def c03_rvq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3r: RESIDUAL vector quantization
+    """C3r2: RESIDUAL vector quantization
     (operators/similarity.py::rvq_encode) — the additive quantizer
     tier between SQ8 (C3i) and PQ (C3f): stage 1 snaps each vector to
     its nearest coarse centroid, stage 2 quantizes the residual
@@ -2592,7 +2592,7 @@ def _kcenter_oracle(rounds: int = 4) -> str:
 
 @register("c03_kcenter_select", oracle=_kcenter_oracle())
 def c03_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3k: K-CENTER GREEDY diverse subset selection (Gonzalez 1985
+    """C3k2: K-CENTER GREEDY diverse subset selection (Gonzalez 1985
     farthest-point traversal — the 2-approximation for k-center):
     seed with the smallest vec_id, then k times pick the point whose
     distance TO THE CHOSEN SET (min over centers) is LARGEST, ties to
