@@ -1257,6 +1257,106 @@ def test_occ_real_threads_no_lost_update(spark, tmp_path):
     assert set(seed._committed_versions()) == set(seed.versions())
 
 
+_OCC_WRITER_SCRIPT = r"""
+import json, os, shutil, sys, time
+
+sys.path.insert(0, sys.argv[4])
+from openweathermapapi_etl_spark.operators.merge import (
+    ConcurrentWriteError,
+    VersionedParquetTable,
+)
+
+root, wid, n_commits = sys.argv[1], sys.argv[2], int(sys.argv[3])
+table = VersionedParquetTable(root, retain=50)
+# Start barrier: maximize the real race window across processes.
+go = os.path.join(root, "_GO")
+while not os.path.exists(go):
+    time.sleep(0.001)
+done = 0
+while done < n_commits:
+    for attempt in range(200):
+        base = table.current_version()
+        counts = {}
+        if base is not None:
+            with open(os.path.join(table._version_dir(base), "data.json")) as fh:
+                counts = json.load(fh)
+        counts[wid] = counts.get(wid, 0) + 1
+        slot = table.claim_version()
+        with open(os.path.join(table._version_dir(slot), "data.json"), "w") as fh:
+            json.dump(counts, fh)
+        try:
+            table.commit_if(slot, base)
+            done += 1
+            break
+        except ConcurrentWriteError:
+            # Mirror upsert_occ's loser cleanup: the claimed slot is
+            # removed so no unlogged-orphan residue accumulates.
+            shutil.rmtree(table._version_dir(slot), ignore_errors=True)
+            time.sleep(0.001)
+    else:
+        sys.exit(3)  # starved: never won a CAS in 200 attempts
+print(done)
+"""
+
+
+def test_occ_cross_process_no_lost_update(tmp_path):
+    """The claim the thread test (below) cannot make: upsert_occ's
+    safety rests on FS primitives — atomic mkdir claim, O_EXCL commit
+    lock, O_APPEND history log — whose CROSS-PROCESS behavior is the
+    actual multi-writer story (three threads share one Python runtime
+    and one open-file table; production writers are separate JVMs on
+    separate hosts over a shared FS). Three real subprocesses race the
+    same claim→stage→CAS→retry loop upsert_occ runs (payloads are
+    plain JSON so the children need no Spark; the protocol under test
+    is exactly the control plane). Each writer increments its own
+    counter on top of whatever the current version holds, so ANY lost
+    update shows as a final count below commits-made. Also pinned:
+    the log needs no heal afterwards, losers left no unlogged-orphan
+    residue, and every committed version is time-travel reachable."""
+    import subprocess
+    import sys as _sys
+
+    from openweathermapapi_etl_spark.operators.merge import version_states
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_writers, n_commits = 3, 5
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _OCC_WRITER_SCRIPT, root, f"w{i}",
+             str(n_commits), repo],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(n_writers)
+    ]
+    open(os.path.join(root, "_GO"), "w").close()
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert [o.strip() for o, _ in outs] == [str(n_commits)] * n_writers
+    table = VersionedParquetTable(root, retain=50)
+    cur = table.current_version()
+    import json as _json
+
+    with open(os.path.join(table._version_dir(cur), "data.json")) as fh:
+        counts = _json.load(fh)
+    # No lost update: the final chained state holds every commit.
+    assert counts == {f"w{i}": n_commits for i in range(n_writers)}
+    # Log and pointer agree: the next heal finds nothing to repair.
+    hist = os.path.join(root, "_HISTORY.jsonl")
+    before = open(hist).read()
+    table._heal_history()
+    assert open(hist).read() == before
+    # Losing attempts removed their claimed slots: nothing unlogged.
+    assert not [
+        v for v, s in version_states(table) if s == "unlogged-orphan"
+    ]
+    assert set(table._committed_versions()) == set(table.versions())
+    assert len(table._committed_versions()) == n_writers * n_commits
+
+
 def test_occ_claim_version_slots_are_exclusive(spark, tmp_path):
     import os as _os
 
