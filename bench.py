@@ -265,6 +265,13 @@ PREV_ROUND_QUERIES = [
 
 
 def main() -> None:
+    # --all (r10 verdict Next #1): time EVERY registered query, not
+    # just the 74-query headline set — the standing per-query wall-time
+    # baseline (committed once per round as BENCH_FULL_r{N}.json) that
+    # makes a time regression in the other ~280 queries visible without
+    # waiting for their driver-window rotation. Same noop-sink
+    # discipline; the headline mode stays the round-over-round gauge.
+    run_all = "--all" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
@@ -276,8 +283,9 @@ def main() -> None:
     # Warmup: JIT + codegen + file listing, not measured.
     force(QUERIES["b01_parquet_scan"](spark, sf_dir))
 
+    names = list(QUERIES) if run_all else BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
@@ -287,7 +295,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
+                "metric": (
+                    "full_book_runtime" if run_all
+                    else "headline_queries_total_runtime"
+                ),
                 "value": round(sum(timings.values()), 3),
                 "value_prev_set": round(
                     sum(timings.get(n, 0.0) for n in PREV_ROUND_QUERIES), 3
