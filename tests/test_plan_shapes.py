@@ -869,3 +869,43 @@ def test_crossjoins_are_broadcast_hinted_or_justified():
         "CartesianProduct when the big side's stats are opaque:\n"
         + "\n".join(offenders)
     )
+
+
+def test_full_book_plan_inventory_matches_committed(spark):
+    """The full-book structural gate (r10 verdict Next #3): regenerate
+    PLANS_FULL.md's inventory — joins / pushed-filter scans / exchange
+    counts for EVERY registered query at sf0.001 — and diff it against
+    the committed file, so plan-shape drift anywhere in the 357-query
+    book FAILS the suite instead of waiting for a human to read a
+    round-over-round file diff. Intentional changes have an explicit
+    update path: `python tools/explain_report.py --all > PLANS_FULL.md`
+    and commit the diff with the reason."""
+    import difflib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from explain_report import report_lines
+
+    with open(os.path.join(root, "PLANS_FULL.md")) as fh:
+        committed = fh.read().rstrip("\n")
+    got = "\n".join(
+        report_lines(spark, "/root/testdata/sf0.001", audit_all=True)
+    ).rstrip("\n")
+    if got != committed:
+        diff = "\n".join(
+            difflib.unified_diff(
+                committed.splitlines(),
+                got.splitlines(),
+                "PLANS_FULL.md (committed)",
+                "regenerated at sf0.001",
+                lineterm="",
+            )
+        )
+        pytest.fail(
+            "full-book plan inventory drifted from the committed "
+            "PLANS_FULL.md. If intentional, update it:\n"
+            "  python tools/explain_report.py --all > PLANS_FULL.md\n"
+            "and commit with the reason. Diff:\n" + diff[:8000]
+        )
