@@ -123,6 +123,23 @@ def salted_join(
     return joined if keep_salt else joined.drop("_salt")
 
 
+def bounded_partition_key(col: str | Column) -> Column:
+    """Constant-zero, NON-FOLDABLE window partition key for BOUNDED
+    frames — the house convention for windows whose input is small by
+    construction (a LIMIT head, an enum-sized aggregate): single-
+    partition is the INTENDED plan, and the key states that intent so
+    ``WindowExec`` doesn't warn "No Partition Defined" in every bench
+    and driver log. A literal ``lit(0)`` no longer works: Spark 4's
+    optimizer strips foldable expressions from window partition specs,
+    un-suppressing the warning (r11 catch — all five convention sites
+    had silently regressed to warning). ``pmod(coalesce(col, 0), 1)``
+    is 0 for every row INCLUDING nulls, but depends on a real column,
+    so it survives optimization. Pass any numeric column of the frame.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.coalesce(c, F.lit(0)), F.lit(1))
+
+
 def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     """The measurement half of skew handling: per-key row counts, each
     key's share of the table, and its rank — top ``top_k`` keys only.
@@ -141,9 +158,11 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     from pyspark.sql import Window as W
 
     # Constant partition key: the frame is distinct-key-sized (post
-    # map-side combine), single-partition by design — stated explicitly
-    # so WindowExec doesn't warn "No Partition Defined" in logs.
-    w = W.partitionBy(F.lit(0)).orderBy(
+    # map-side combine), single-partition by design — stated via the
+    # non-foldable house key so WindowExec doesn't warn (see
+    # bounded_partition_key: a literal no longer survives Spark 4's
+    # optimizer).
+    w = W.partitionBy(bounded_partition_key("n")).orderBy(
         F.col("n").desc(), F.col(key).asc_nulls_first()
     )
     return (

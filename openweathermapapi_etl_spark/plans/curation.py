@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.skew import bounded_partition_key
 from ..operators.cluster import dedup_clusters, kcore_peel
 from ..operators.dedup import (
     delta_lsh_candidates,
@@ -1438,7 +1439,7 @@ def c07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sqrt(F.col("n_tokens").cast("double")).alias("temp_weight"),
     )
-    win = W.partitionBy(F.lit(0))
+    win = W.partitionBy(bounded_partition_key("n_tokens"))
     total = F.sum(F.col("temp_weight").cast(DEC)).over(win).cast("double")
     return w.select(
         "lang",

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.skew import salted_sum_count
+from ..operators.skew import bounded_partition_key, salted_sum_count
 from ..sources import read_parquet, write_parquet
 from .registry import register
 from .util import DEC, davg, dsum, o_davg, o_dsum, t, views
@@ -990,9 +990,11 @@ def b26_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name"),
     ]
     # Constant partition key: the frame is nation-sized (25 rows) by
-    # construction; single-partition is the intended plan, stated so
+    # construction; single-partition is the intended plan, stated via
+    # the non-foldable house key (operators/skew.py::
+    # bounded_partition_key — Spark 4 strips a foldable lit(0)) so
     # WindowExec doesn't warn "No Partition Defined".
-    w = W.partitionBy(F.lit(0)).orderBy(*order)
+    w = W.partitionBy(bounded_partition_key("n_cust")).orderBy(*order)
     return agg.select(
         "n_name", "n_cust", "total_bal", F.row_number().over(w).alias("sort_pos")
     ).orderBy(*order)
@@ -2312,7 +2314,7 @@ def b63_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
     )
-    w = W.partitionBy(F.lit(0))
+    w = W.partitionBy(bounded_partition_key("n"))
     return agg.select(
         "l_returnflag",
         "n",
