@@ -35,7 +35,9 @@ from ..session import prep
 from ..streaming.jobs import (
     replay_files_stream,
     run_checkpointed_append,
+    run_foreachbatch,
     run_to_memory,
+    stream_conf_window,
     split_events_files,
     write_events_file,
     run_until_state_drained_query,
@@ -381,12 +383,7 @@ def b44_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = replay_files_stream(spark, d, EVENTS)
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreachbatch(stream, merge_batch)
     return table.read(spark).select(
         "user_id",
         "event_type",
@@ -1000,15 +997,16 @@ def b54_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = replay_files_stream(spark, d, EVENTS)
     agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("b54_out")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf_window(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("b54_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
@@ -1345,12 +1343,7 @@ def b68_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = replay_files_stream(spark, d, EVENTS)
-    q = (
-        stream.writeStream.foreachBatch(enrich)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreachbatch(stream, enrich)
     return spark.read.parquet(out_root)
 
 
@@ -1415,12 +1408,7 @@ def b44_dualsink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = replay_files_stream(spark, d, EVENTS)
-    q = (
-        stream.writeStream.foreachBatch(fan_out)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreachbatch(stream, fan_out)
     bronze_rows = spark.read.parquet(bronze).count()
     return table.read(spark).select(
         "user_id",
@@ -1513,12 +1501,7 @@ def b44_txn_dualsink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = replay_files_stream(spark, d, EVENTS)
-    q = (
-        stream.writeStream.foreachBatch(txn_sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_foreachbatch(stream, txn_sink)
     bronze_rows = txn.read(spark, "bronze").count()
     return txn.read(spark, "gold").select(
         "user_id",

@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import conf_window
+
+#: State-partition count for replay streams. ``spark.sql.shuffle.
+#: partitions`` at query START is what a stateful streaming query
+#: locks into its checkpoint as the state-store partition count — it
+#: is a per-job DEPLOYMENT knob (sized to peak key throughput;
+#: re-sizing needs a new checkpoint), not an inherited batch default.
+#: The replay fixtures carry ~10^5 rows over 2-4 micro-batches, where
+#: the session's 32 batch partitions mean 32 near-empty state stores
+#: (x4 stores per partition for a stream-stream join) each writing
+#: delta + commit files EVERY batch — measured at sf0.1: the full-
+#: outer join drops 16.0s -> 6.1s going 32 -> 8. Production sizes UP
+#: from throughput for the same reason the harness sizes down.
+_STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+
+def stream_partitions() -> int:
+    """The state-partition count replay streams lock into their
+    checkpoints (see ``_STREAM_PARTITIONS``) — exposed so layout
+    audits (state-metadata numPartitions) pin the same number the
+    stream actually started with, not the session's batch default."""
+    return int(_STREAM_PARTITIONS)
+
+
+def stream_conf_window(spark: SparkSession):
+    """``conf_window`` pinning the replay-stream state-partition count
+    around a stream start (see ``_STREAM_PARTITIONS``). Every helper
+    below opens one; queries that ``.start()`` directly should too.
+    Wrapping only the start+drain span is sufficient AND required:
+    sufficient because the partition count is read once at query
+    start, required so the surrounding batch plans (oracle compares,
+    replay-file splits) keep the session's full parallelism."""
+    return conf_window(
+        spark, {"spark.sql.shuffle.partitions": _STREAM_PARTITIONS}
+    )
 
 
 def write_events_file(part: DataFrame, out_dir: str, idx: int) -> str:
@@ -164,15 +199,31 @@ def run_checkpointed_append(stream_df: DataFrame, ckpt: str, collected: list):
     def sink(df: DataFrame, _bid: int) -> None:
         collected.extend(df.collect())
 
-    q = (
-        stream_df.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf_window(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
+
+
+def run_foreachbatch(stream_df: DataFrame, sink) -> None:
+    """Drive a foreachBatch stream to completion (availableNow) under
+    the replay-stream partition window. These streams are stateless —
+    the window here sizes the SINK-side batch plans (tiny per-batch
+    upserts/writes) rather than state stores; the driving loop itself
+    is the shared start/await idiom of every foreachBatch query."""
+    with stream_conf_window(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_to_memory_query(
@@ -183,14 +234,15 @@ def run_to_memory_query(
     (``stateOperators`` in the progress log) — the eviction proof for
     watermarked operators."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf_window(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name), q
 
 
@@ -223,23 +275,24 @@ def run_until_state_drained_query(
     import time
 
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    deadline = time.monotonic() + timeout_s
-    try:
-        while time.monotonic() < deadline:
-            time.sleep(0.1)
-            lp = q.lastProgress
-            ops = (lp or {}).get("stateOperators") or []
-            if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):
-                return spark.table(name), q
-        raise TimeoutError(
-            f"state store did not drain within {timeout_s}s (query {name})"
+    with stream_conf_window(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
         )
-    finally:
-        q.stop()
+        deadline = time.monotonic() + timeout_s
+        try:
+            while time.monotonic() < deadline:
+                time.sleep(0.1)
+                lp = q.lastProgress
+                ops = (lp or {}).get("stateOperators") or []
+                if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):
+                    return spark.table(name), q
+            raise TimeoutError(
+                f"state store did not drain within {timeout_s}s (query {name})"
+            )
+        finally:
+            q.stop()
 

@@ -424,6 +424,7 @@ def test_statestore_reader_matches_batch_and_metadata_layout(spark):
     from openweathermapapi_etl_spark.plans import QUERIES
 
     sf_dir = "/root/testdata/sf0.001"
+    batch_parallelism = spark.conf.get("spark.sql.shuffle.partitions")
     got = {
         r["user_id"]: r["n_events"]
         for r in QUERIES["b54_statestore_read"](spark, sf_dir).collect()
@@ -440,12 +441,20 @@ def test_statestore_reader_matches_batch_and_metadata_layout(spark):
     ckpt = os.path.join(
         tempfile.gettempdir(), f"spark_graft_b54_ckpt_{os.getpid()}"
     )
+    from openweathermapapi_etl_spark.streaming.jobs import stream_partitions
+
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert len(meta) == 1
     assert meta[0]["operatorName"] == "stateStoreSave"
-    assert meta[0]["numPartitions"] == int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    # The layout the checkpoint locked is the replay-stream partition
+    # window's count (stream_conf_window), NOT the session's batch
+    # default — the same per-job sizing a production deployment pins.
+    assert meta[0]["numPartitions"] == stream_partitions()
+    # ...and the window RESTORED the session default afterwards, so
+    # co-resident batch plans keep their full parallelism.
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions") == batch_parallelism
+    ), "stream window leaked its partition count into the session"
 
 
 def test_transform_with_state_gate_or_full_parity(spark, sf_dir):
