@@ -871,6 +871,42 @@ def test_crossjoins_are_broadcast_hinted_or_justified():
     )
 
 
+def test_stream_starts_are_partition_windowed():
+    """Source-level guard for the round-11 streaming fix: a stateful
+    streaming query locks ``spark.sql.shuffle.partitions`` at START
+    into its checkpoint as the state-store partition count, so a
+    stream started OUTSIDE ``stream_conf_window`` silently inherits
+    the session's 32 batch partitions — 32 near-empty state stores
+    per micro-batch, the exact fixed cost that made the stream-stream
+    join family 2.5-3x slower (SCALE.md round-11 section). Every
+    ``.writeStream`` in plans/ must either route through a jobs.py
+    helper (run_to_memory / run_checkpointed_append / run_foreachbatch
+    / run_until_state_drained_query — each opens the window itself) or
+    sit inside a ``with stream_conf_window(...)`` block within the 10
+    lines above the call. Same policy shape as the crossJoin guard:
+    the justification lives AT the site."""
+    import re
+
+    offenders = []
+    for sub, fname, src in _iter_plan_sources():
+        if sub != "plans":
+            continue  # operators/ has no stream starts; jobs.py owns them
+        lines = src.splitlines(keepends=True)
+        for m in re.finditer(r"\.\s*writeStream\b", src):
+            i = src.count("\n", 0, m.start())
+            above = "".join(lines[max(0, i - 10): i + 1])
+            if "with stream_conf_window(" in above:
+                continue
+            offenders.append(f"{sub}/{fname}:{i + 1}: {lines[i].strip()}")
+    assert not offenders, (
+        "direct .writeStream outside a stream_conf_window block — the "
+        "stream locks the session's batch shuffle partitions into its "
+        "checkpoint as state partitions; use a jobs.py run helper or "
+        "open stream_conf_window around the start:\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_full_book_plan_inventory_matches_committed(spark):
     """The full-book structural gate (r10 verdict Next #3): regenerate
     PLANS_FULL.md's inventory — joins / pushed-filter scans / exchange
