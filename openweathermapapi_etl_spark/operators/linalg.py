@@ -144,6 +144,18 @@ def power_iteration_pca(
         for _ in range(iters):
             w = [fold_dot(a[i], v) for i in range(d)]
             nrm = math.sqrt(fold_dot(w, w))
+            if nrm == 0.0:
+                # Matvec collapsed: the deflated matrix has no
+                # remaining spectrum (rank < k, e.g. constant
+                # coordinates). Degrade to the zero component — zero
+                # projections, λ = 0, deflation a no-op — instead of
+                # ZeroDivisionError (r11 review catch). A SQL oracle
+                # unrolling the same iteration sees IEEE inf/NaN here
+                # instead, so parity holds only on data with rank ≥ k
+                # — true of every registered corpus, and the batch
+                # path (:func:`pca_components`/eigh) stays total.
+                v = [0.0] * d
+                break
             v = [w[i] / nrm for i in range(d)]
         av = [fold_dot(a[i], v) for i in range(d)]
         lam = fold_dot(v, av)

@@ -132,12 +132,17 @@ def bounded_partition_key(col: str | Column) -> Column:
     and driver log. A literal ``lit(0)`` no longer works: Spark 4's
     optimizer strips foldable expressions from window partition specs,
     un-suppressing the warning (r11 catch — all five convention sites
-    had silently regressed to warning). ``pmod(coalesce(col, 0), 1)``
-    is 0 for every row INCLUDING nulls, but depends on a real column,
-    so it survives optimization. Pass any numeric column of the frame.
+    had silently regressed to warning). ``pmod(xxhash64(col), 1)`` is
+    0 for EVERY row — xxhash64 is total (any type, nulls hash to the
+    seed, never raises under ANSI) and always a long, so the mod-1 is
+    exactly 0 — but depends on a real column, so it survives
+    optimization. Pass any column of the frame. (The first spelling,
+    ``pmod(coalesce(col, 0), 1)``, was only constant for INTEGRAL
+    columns: a double's fractional part survives mod-1 and would have
+    silently split the single-partition window — r11 review catch.)
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.coalesce(c, F.lit(0)), F.lit(1))
+    return F.pmod(F.xxhash64(c), F.lit(1))
 
 
 def key_skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:

@@ -1214,7 +1214,6 @@ def c03_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCA_DIM = 64
 _PCA_K = 4
 _PI_ITERS = 60  # power-iteration rounds — span captures 99.99% of
 # eigh's top-4 variance on this corpus at 60 (pinned by test)

@@ -882,20 +882,42 @@ def test_stream_starts_are_partition_windowed():
     ``.writeStream`` in plans/ must either route through a jobs.py
     helper (run_to_memory / run_checkpointed_append / run_foreachbatch
     / run_until_state_drained_query — each opens the window itself) or
-    sit inside a ``with stream_conf_window(...)`` block within the 10
-    lines above the call. Same policy shape as the crossJoin guard:
-    the justification lives AT the site."""
+    sit INSIDE a ``with stream_conf_window(...)`` block — checked by
+    indentation, not a fixed lookback: a window block that CLOSED
+    above the call must not vouch for it (r11 review catch — a
+    text-in-last-10-lines scan accepted exactly that shape)."""
     import re
+
+    def _in_window_block(lines: list[str], i: int) -> bool:
+        """True iff line i is inside a `with stream_conf_window(`
+        suite: some preceding with-line exists whose indent is
+        STRICTLY shallower than every non-blank line between it and
+        line i (Python's block rule — any dedent to the with's level
+        or beyond has exited the suite)."""
+        def indent(s: str) -> int:
+            return len(s) - len(s.lstrip())
+
+        floor = indent(lines[i])
+        for j in range(i - 1, -1, -1):
+            s = lines[j]
+            if not s.strip():
+                continue
+            ind = indent(s)
+            if "with stream_conf_window(" in s and ind < indent(lines[i]):
+                return ind < floor
+            floor = min(floor, ind)
+            if floor == 0:
+                return False
+        return False
 
     offenders = []
     for sub, fname, src in _iter_plan_sources():
         if sub != "plans":
             continue  # operators/ has no stream starts; jobs.py owns them
-        lines = src.splitlines(keepends=True)
+        lines = src.splitlines()
         for m in re.finditer(r"\.\s*writeStream\b", src):
             i = src.count("\n", 0, m.start())
-            above = "".join(lines[max(0, i - 10): i + 1])
-            if "with stream_conf_window(" in above:
+            if _in_window_block(lines, i):
                 continue
             offenders.append(f"{sub}/{fname}:{i + 1}: {lines[i].strip()}")
     assert not offenders, (

@@ -45,7 +45,7 @@ def load_queries(path: str) -> dict[str, float]:
     tail = doc.get("tail")
     if isinstance(tail, str):
         pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)
-        skip = {"sf", "value", "n", "rc", "cpus"}
+        skip = {"sf", "value", "value_prev_set", "n", "rc", "cpus"}
         return {k: float(v) for k, v in pairs if k not in skip}
     return {k: float(v) for k, v in doc.items()
             if isinstance(v, (int, float))}
@@ -76,6 +76,13 @@ def diff(
         "shared": len(shared),
         "only_old": sorted(set(old) - set(new)),
         "only_new": sorted(set(new) - set(old)),
+        # A query that VANISHED from the new run (crashed/hung out of
+        # the sweep) is the worst regression, not a footnote — gate on
+        # it too, noise-floored like everything else. Renames/removals
+        # are deliberate acts; re-baseline when they happen.
+        "missing": sorted(
+            q for q in set(old) - set(new) if old[q] >= min_sec
+        ),
         "sum_old_s": round(sum(old[q] for q in shared), 1),
         "sum_new_s": round(sum(new[q] for q in shared), 1),
         "regressed": regressed,
@@ -99,13 +106,23 @@ def main() -> int:
     if args.as_json:
         print(json.dumps(d, indent=2))
     else:
-        print(f"shared queries: {d['shared']}  "
-              f"total {d['sum_old_s']}s -> {d['sum_new_s']}s "
-              f"({d['sum_new_s'] / d['sum_old_s']:.2f}x)"
-              if d["shared"] else "no shared queries")
+        if d["shared"] and d["sum_old_s"] > 0:
+            print(f"shared queries: {d['shared']}  "
+                  f"total {d['sum_old_s']}s -> {d['sum_new_s']}s "
+                  f"({d['sum_new_s'] / d['sum_old_s']:.2f}x)")
+        elif d["shared"]:
+            print(f"shared queries: {d['shared']}  "
+                  f"total {d['sum_old_s']}s -> {d['sum_new_s']}s")
+        else:
+            print("no shared queries")
         for tag in ("only_old", "only_new"):
             if d[tag]:
                 print(f"{tag}: {', '.join(d[tag])}")
+        if d["missing"]:
+            print(f"\nMISSING from new run (>= {args.min_sec}s in old — "
+                  f"crashed or dropped out of the sweep?):")
+            for q in d["missing"]:
+                print(f"  {q}")
         for label, rows in (("REGRESSED", d["regressed"]),
                             ("improved", d["improved"])):
             if rows:
@@ -114,7 +131,7 @@ def main() -> int:
                 for r in rows:
                     print(f"  {r['ratio']:6.2f}x  {r['old_s']:7.3f}s -> "
                           f"{r['new_s']:7.3f}s  {r['query']}")
-    return 1 if d["regressed"] else 0
+    return 1 if d["regressed"] or d["missing"] else 0
 
 
 if __name__ == "__main__":
