@@ -107,7 +107,19 @@ def band_rows(
     components ("too short to shingle") NULL the whole band — a bare
     concat_ws would silently DROP the null and lump every short doc
     into one giant '' bucket.
+
+    ``k`` must divide evenly into bands: a remainder would silently
+    DROP the trailing ``k % band_size`` signature components from
+    banding — the caller asked for a (k, band_size) recall curve and
+    would get a narrower signature's with no warning (r11 review).
     """
+    if k % band_size != 0:
+        raise ValueError(
+            f"k={k} not divisible by band_size={band_size}: the "
+            f"trailing {k % band_size} minhash components would be "
+            "silently excluded from banding (recall differs from the "
+            "requested curve); choose k a multiple of band_size"
+        )
     n_bands = k // band_size
 
     def band_key(b: int):
@@ -248,21 +260,24 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
-    )
+    # Upper-triangle expansion as TWO generators, never one array: the
+    # previous flatten(transform × transform) spelling evaluated the
+    # full B² struct array AS ONE VALUE before the triangle filter —
+    # at the max_bucket=10_000 boundary that is a ~10^8-struct
+    # allocation in a single row (the exact single-key blowup the cap
+    # exists to prevent; r11 review catch). posexplode streams one row
+    # per member, and slice() from the member's successor emits only
+    # the triangle — per-ROW memory is O(B), GenerateExec streams and
+    # spills, and ids are bucket-distinct + sorted so id_a < id_b
+    # holds by construction.
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select("ids", F.posexplode("ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -395,26 +410,26 @@ def hamming_band_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x: F.transform(
-                    F.col("ms"),
-                    lambda y: F.struct(
-                        x[id_col].alias("id_a"),
-                        y[id_col].alias("id_b"),
-                        x[hash_col].alias("ha"),
-                        y[hash_col].alias("hb"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
-    )
+    # Two-generator upper triangle, same rationale as
+    # lsh_candidate_pairs: the flatten(transform × transform) spelling
+    # built the full B² 4-field-struct array in ONE row before the
+    # triangle filter (r11 review catch — the cap bounds B, not B² in
+    # a single allocation). ms is sorted on (id, hash) and ids are
+    # bucket-distinct, so slicing past the member keeps id_a < id_b.
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        buckets.select("ms", F.posexplode("ms").alias("_i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ms"), F.col("_i") + F.lit(2), F.size("ms"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a")[id_col].alias("id_a"),
+            F.col("b")[id_col].alias("id_b"),
+            F.col("a")[hash_col].alias("ha"),
+            F.col("b")[hash_col].alias("hb"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -463,7 +478,17 @@ def winnow_fingerprints(
     return (
         rows.withColumn("_wmin", F.min("h").over(win))
         .withColumn("_n", F.count("*").over(n_sh))
-        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        # Full windows only — EXCEPT documents with fewer than w
+        # shingles, which have no full window at all: they emit their
+        # whole-sequence minimum (the pos-0 window min covers every
+        # shingle) instead of ZERO fingerprints, which made short
+        # documents — including byte-identical ones — invisible to
+        # the match stage (r11 review catch; MOSS likewise always
+        # selects at least one fingerprint per non-empty document).
+        .filter(
+            (F.col("pos") <= F.col("_n") - w)
+            | ((F.col("_n") < w) & (F.col("pos") == 0))
+        )
         .select(F.col(id_col), F.col("_wmin").alias("fp"))
         .distinct()
     )
@@ -479,12 +504,22 @@ def winnow_match_pairs(
     corpus before they go quadratic)."""
     from pyspark.sql import Window as W
 
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    # Filter ONCE, before the side split, with >= 2 alongside the cap:
+    # unique fingerprints — the vast majority at real densities — can
+    # only self-join and be dropped by id_a < id_b, and over-cap
+    # boilerplate fps go quadratic; neither deserves a shuffle on
+    # EITHER join side (the old shape filtered side a only, so
+    # singletons and boilerplate still shuffled in full on side b —
+    # r11 review catch; same singleton prefilter as
+    # lsh_candidate_pairs, same window pass).
     wb = W.partitionBy("fp")
-    a = a.withColumn("_n", F.count("*").over(wb)).filter(
-        F.col("_n") <= max_bucket
-    ).drop("_n")
+    kept = (
+        fps.withColumn("_n", F.count("*").over(wb))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))

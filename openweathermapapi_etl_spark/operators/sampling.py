@@ -59,10 +59,28 @@ def hash_split(
 ) -> DataFrame:
     """Add (split_bucket, split) columns: 'train' / 'val' / 'test' by
     hash bucket of the salted key — row-local, shuffle-free, stable
-    across runs and cluster layouts."""
+    across runs and cluster layouts.
+
+    NULL keys FAIL the job rather than route anywhere: a NULL bucket
+    satisfies neither ``when`` branch, so the old ``otherwise`` path
+    silently concentrated every malformed row (bad upstream join,
+    optional key) in the held-out TEST split — contamination invisible
+    until eval time (r11 review catch). A corpus with legitimately
+    NULL keys must pre-filter or pre-coalesce them explicitly.
+    """
     b = split_bucket(F.col(key_col), salt)
     split = (
-        F.when(b < train_pct, F.lit("train"))
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"hash_split: NULL {key_col} — a NULL key cannot be "
+                    "deterministically split and would silently land in "
+                    "'test'; filter or coalesce NULL keys explicitly"
+                )
+            ),
+        )
+        .when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
@@ -136,10 +154,14 @@ def sequence_pack(
     """
     from pyspark.sql import Window as W
 
-    shard = F.pmod(
-        char_fold_hash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
-        F.lit(n_shards),
-    )
+    # split_bucket, NOT the raw fold hash: hash_scramble is
+    # load-bearing for shard INDEPENDENCE — the polynomial fold of
+    # same-length keys is order-preserving and salt-shifts every
+    # same-length key by the same constant, so raw-hash sharding puts
+    # consecutive ids in consecutive shards and a salt change only
+    # ROTATES the assignment (r11 review catch; split_bucket's own
+    # docstring states exactly this hazard).
+    shard = split_bucket(F.col(key_col), salt, n_buckets=n_shards)
     order = split_bucket(F.col(key_col), salt + "-order", n_buckets=1_000_000_007)
     out = df.withColumn("shard", shard)
     w = (
@@ -309,7 +331,18 @@ def epoch_shuffle(
         rank_name="_grnk",
         pin=pin,
     )
-    total = df.select(F.count("*").alias("_n"))
+    # N for the per-epoch rebase comes from the RANKED frame itself —
+    # ranked rows / n_epochs — not from a separate df.count() branch:
+    # a second pass over df re-executes its lineage, and when that
+    # lineage is nondeterministic (the stated reason pin defaults
+    # True) the count can disagree with the rows actually ranked,
+    # shifting every epoch's positions by e·(N−N') — silent
+    # permutation corruption (r11 review catch). Reading ranked is
+    # consistent by construction (pinned via localCheckpoint when
+    # pin=True) and skips the extra full scan of df.
+    total = ranked.agg(
+        (F.count("*") / F.lit(n_epochs)).cast("long").alias("_n")
+    )
     return (
         ranked.crossJoin(F.broadcast(total))  # 1-row count frame
         .select(

@@ -511,7 +511,7 @@ def c07_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-             {_O_HASH.format(s="'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+             {_O_SCRAMBLE.format(h=_O_HASH.format(s="'pack:' || CAST(doc_id AS VARCHAR)"))} % 8
                AS shard,
              {_O_SCRAMBLE.format(h=_O_HASH.format(s="'pack-order:' || CAST(doc_id AS VARCHAR)"))}
                AS ord

@@ -1314,7 +1314,7 @@ def c02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS wmin
            FROM r),
     fps AS (SELECT DISTINCT doc_id, wmin AS fp
-            FROM wm WHERE pos <= n_sh - 4)
+            FROM wm WHERE pos <= n_sh - 4 OR (n_sh < 4 AND pos = 0))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_fps
     FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

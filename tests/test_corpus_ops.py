@@ -186,3 +186,37 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_short_docs_emit_their_minimum(spark):
+    """Documents with fewer than w shingles have no full window; they
+    must emit their whole-sequence minimum, not ZERO fingerprints —
+    the old full-windows-only filter made short documents (including
+    byte-identical ones) invisible to the match stage (r11 review
+    catch). Two identical 5-token docs must match; a 2-token doc
+    (too short to shingle at n=3) stays fingerprint-free."""
+    from pyspark.sql import Row
+
+    from openweathermapapi_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="tiny quoted phrase appears here"),  # 5 toks
+            Row(doc_id=2, text="tiny quoted phrase appears here"),
+            Row(doc_id=3, text="unrelated little snippet of words"),
+            Row(doc_id=4, text="too short"),  # < n tokens: no shingles
+        ]
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", n=3, w=4)
+    by_doc = {r.doc_id for r in fps.collect()}
+    assert {1, 2, 3} <= by_doc, "short docs must emit >= 1 fingerprint"
+    assert 4 not in by_doc, "shingle-free docs stay fingerprint-free"
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_match_pairs(fps, "doc_id", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)

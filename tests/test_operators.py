@@ -178,6 +178,38 @@ def test_lsh_max_bucket_filters_before_collect(spark):
     assert "Filter" in tree[agg_at:win_at]
 
 
+def test_band_rows_rejects_indivisible_k(spark):
+    """k % band_size != 0 must raise at plan-build time: the remainder
+    components would be silently excluded from banding, so the caller
+    gets a narrower signature's recall curve than the (k, band_size)
+    they asked for (r11 review catch)."""
+    from openweathermapapi_etl_spark.operators.dedup import (
+        band_rows,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    sigs = minhash_signature(df, "text", "doc_id", k=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        band_rows(sigs, "doc_id", k=8, band_size=3)
+
+
+def test_hash_split_null_key_fails_loudly(spark):
+    """A NULL split key must FAIL the job, not silently land in 'test':
+    the NULL bucket satisfies neither when() branch, so the otherwise
+    path concentrated every malformed row in the held-out split —
+    contamination invisible until eval time (r11 review catch)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from openweathermapapi_etl_spark.operators.sampling import hash_split
+
+    ok = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    assert hash_split(ok, "doc_id").count() == 2
+    bad = spark.createDataFrame([(1,), (None,)], "doc_id int")
+    with pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        hash_split(bad, "doc_id").collect()
+
+
 def test_salted_join_default_salt_spreads_hot_key(spark):
     """The default salt (hash of all big-side columns) must spread a hot
     key's rows across MANY salts — salting on the join key itself would
