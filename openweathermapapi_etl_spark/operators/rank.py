@@ -156,54 +156,91 @@ def prefix_sum(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    dtypes = dict(df.dtypes)
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    integral = dtypes[value_col] in int_types
     ranged = (
         df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
         .withColumn("_pid", F.spark_partition_id())
         .sortWithinPartitions(*cols)
     )
+    # EVERY integral column rides the Arrow lane as a NULL-FREE
+    # widened copy plus a null marker, never raw: Arrow→pandas
+    # promotes a nullable int64 to float64, which silently loses low
+    # bits above 2^53 — and that corrupts not just the value column's
+    # accumulation (the old fillna(0).astype round-trip) but ANY
+    # integral payload column merely PASSING THROUGH a partition that
+    # happens to contain a null (r11 review catch, extended: the
+    # review flagged the value lane; the repro showed the passthrough
+    # lane too). Non-integral columns are safe: floats are already
+    # float64, strings/arrays/structs ride as objects, decimals as
+    # Decimal objects. Widened to long Spark-side for the same reason
+    # the old code widened in pandas: a narrow cumsum wraps.
+    enc = ranged
+    protected: dict[str, tuple[str, str]] = {}
+    for i, (name, t) in enumerate(df.dtypes):
+        if t in int_types:
+            z, m = f"_z{i}", f"_m{i}"
+            protected[name] = (z, m)
+            enc = (
+                enc.withColumn(z, F.coalesce(F.col(name).cast("long"), F.lit(0).cast("long")))
+                .withColumn(m, F.col(name).isNull())
+                .drop(name)
+            )
+    if integral:
+        vz, vm = protected[value_col]
+    else:
+        vz, vm = "_vz", "_vm"
+        enc = enc.withColumn(
+            vz, F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+        ).withColumn(vm, F.col(value_col).isNull())
 
-    integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
     cum_type = LongType() if integral else DoubleType()
-    out_schema = StructType(list(ranged.schema.fields) + [StructField("_local_cum", cum_type)])
+    out_schema = StructType(list(enc.schema.fields) + [StructField("_local_cum", cum_type)])
 
     def _cumsum(batches):
         # One call per partition; batches arrive in sortWithinPartitions
         # order, so carrying the accumulator across batches yields the
         # partition-local running total in a single streaming pass.
-        # SQL SUM-over-frame null rule: the running value at a row is
-        # null only while every value so far in the partition is null.
+        # Partition-LOCAL null masking only — the global SQL null rule
+        # (null until the first non-null anywhere before) is finished
+        # by the _seen flag in the offset join below.
         acc = 0
         seen_nonnull = 0
         for pdf in batches:
-            v = pdf[value_col]
-            # Widen BEFORE accumulating: cumsum over an int32/16/8
-            # column keeps the narrow dtype and silently wraps once the
-            # partition's running total exceeds its range (the operator
-            # advertises exactness for any integral input).
-            acc_dtype = "int64" if integral else "float64"
-            nonnull = v.notna().astype("int64").cumsum() + seen_nonnull
-            c = v.fillna(0).astype(acc_dtype).cumsum() + acc
-            pdf = pdf.assign(_local_cum=c.where(nonnull > 0))
-            if len(v):
+            nonnull = (~pdf[vm]).astype("int64").cumsum() + seen_nonnull
+            c = pdf[vz].cumsum() + acc
+            # Mask through the NULLABLE Int64 dtype, not .where() on
+            # the numpy int64 series: numpy has no int-NA, so where()
+            # promotes to float64 and the masked column would lose
+            # >2^53 bits on the way back out — the same lane the
+            # coalesce/marker encoding protects everywhere else.
+            masked = (c.astype("Int64") if integral else c).where(nonnull > 0)
+            pdf = pdf.assign(_local_cum=masked)
+            if len(c):
                 acc = c.iloc[-1]
                 seen_nonnull = int(nonnull.iloc[-1])
             yield pdf
 
-    local = ranged.mapInPandas(_cumsum, out_schema)
+    local = enc.mapInPandas(_cumsum, out_schema)
     # Pin before the two-job split, same rationale (and same lazy
     # spelling — the totals collect materializes it) as global_rank.
     if pin:
         local = local.localCheckpoint(eager=False)
     totals = sorted(
-        (r["_pid"], r["s"])
+        (r["_pid"], r["s"], r["c"])
         for r in local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("s"))
+        .agg(
+            F.sum(F.when(~F.col(vm), F.col(vz))).alias("s"),
+            F.sum((~F.col(vm)).cast("long")).alias("c"),
+        )
         .collect()
     )
-    offsets, acc = {}, 0 if integral else 0.0
-    for pid, s in totals:
-        offsets[pid] = acc
+    offsets, acc, nonnull_before = {}, 0 if integral else 0.0, 0
+    for pid, s, c in totals:
+        offsets[pid] = (acc, nonnull_before > 0)
         acc += s or 0
+        nonnull_before += c or 0
     # Offsets carry the value type: casting a double running total to
     # long would silently truncate. (For doubles the offset is a sum of
     # per-partition totals, a different addition order than the strict
@@ -211,12 +248,24 @@ def prefix_sum(
     # tail otherwise; the oracle-checked queries use integral values.)
     off_type = "long" if integral else "double"
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], f"_pid int, _offset {off_type}"
+        [(pid, off, seen) for pid, (off, seen) in offsets.items()],
+        f"_pid int, _offset {off_type}, _seen boolean",
     )
-    return (
-        local.join(F.broadcast(off_df), on="_pid")
-        .withColumn(
-            out_col, (F.col("_offset") + F.col("_local_cum")).cast(off_type)
+    # SQL SUM-over-frame null rule is GLOBAL: a row whose partition
+    # prefix is all-null still shows the running total of the earlier
+    # partitions (the _seen branch) — the old `_offset + _local_cum`
+    # returned null for such rows whenever a range partition happened
+    # to start with nulls (r11 review catch); null survives only
+    # before the first non-null value of the whole frame.
+    restored = local.join(F.broadcast(off_df), on="_pid").withColumn(
+        out_col,
+        F.when(
+            F.col("_local_cum").isNotNull(),
+            (F.col("_offset") + F.col("_local_cum")).cast(off_type),
+        ).when(F.col("_seen"), F.col("_offset").cast(off_type)),
+    )
+    for name, (z, m) in protected.items():
+        restored = restored.withColumn(
+            name, F.when(~F.col(m), F.col(z).cast(dtypes[name]))
         )
-        .drop("_pid", "_local_cum", "_offset")
-    )
+    return restored.select(*df.columns, out_col)

@@ -43,6 +43,43 @@ def norm_fold(a: Column) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p))
 
 
+def _seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, centroid_mod: int
+) -> DataFrame:
+    """The deterministic seed-centroid frame every IVF-family operator
+    shares — (centroid_id, cv, cvn) for ids with ``id % centroid_mod
+    == 0`` — factored so the selector, the aliasing, and the
+    empty-selector guard live in ONE place (r11 review: four
+    hand-inlined copies could silently diverge on a tie-break or
+    scoring fix)."""
+    return _require_rows(
+        corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cv"),
+            norm_fold(F.col(vec_col)).alias("cvn"),
+        ),
+        f"seed centroids (id % {centroid_mod} == 0)",
+    )
+
+
+def _require_rows(df: DataFrame, what: str) -> DataFrame:
+    """Fail LOUDLY when a deterministic selector (``id % mod == 0``
+    seed centroids, residual codebooks) matches nothing: the empty
+    frame broadcasts into the assignment join and the whole corpus
+    silently vanishes from the output — a pipeline keeping only
+    ``is_kept`` rows would then delete 100% of its data with no error
+    (r11 review catch). ``isEmpty`` is a limit-1 probe with the
+    selector pushed into the scan — it stops at the first match."""
+    if df.isEmpty():
+        raise ValueError(
+            f"{what} selected zero rows — the deterministic id-mod "
+            "stand-in found no matching ids in this corpus; pass "
+            "trained centroids or pick a selector that hits the "
+            "corpus's id space"
+        )
+    return df
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
 
@@ -208,11 +245,7 @@ def semdedup(
 
     Returns every corpus row: (id, centroid_id, is_kept).
     """
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-        norm_fold(F.col(vec_col)).alias("cvn"),
-    )
+    cent = _seed_centroids(corpus, id_col, vec_col, centroid_mod)
     normed = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -337,11 +370,7 @@ def ivf_build(
     lifecycle — write them as parquet next to the corpus, reload, and
     :func:`ivf_query` serves searches without touching the raw corpus
     again (c03_ivf_persist pins write→reload→query == in-memory)."""
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-        norm_fold(F.col(vec_col)).alias("cvn"),
-    )
+    cent = _seed_centroids(corpus, id_col, vec_col, centroid_mod)
     normed = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -539,11 +568,7 @@ def kmeans_update(
     carrying partial sums (#centroids × dim rows). Two shuffles per
     iteration total, both independent of corpus width.
     """
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-        norm_fold(F.col(vec_col)).alias("cvn"),
-    )
+    cent = _seed_centroids(corpus, id_col, vec_col, centroid_mod)
     normed = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -629,6 +654,13 @@ def knn_graph(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos_sim", "rank")
+        # Pinned before the self-reference below: the mutual-flag join
+        # reads knn on BOTH sides, and without materialization the
+        # bucketed candidate self-join + top-k window — the dominant
+        # cost — replays for the reversed side (the house pin policy,
+        # same trap semdedup documents; r11 review catch). Lazy like
+        # every other pin: the first action materializes it.
+        .localCheckpoint(eager=False)
     )
     rev = knn.select(
         F.col("dst").alias("src"),
@@ -734,13 +766,11 @@ def pq_codebook_train(
         F.col(id_col),
         F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "subvec"),
     )
-    sqdiffs = F.zip_with(
-        F.col("subvec"),
-        F.col("cent"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dist = F.aggregate(sqdiffs, F.lit(0.0), lambda acc, t: acc + t)
+    # The house order-pinned squared-L2 fold — one definition,
+    # l2sq_fold, instead of a per-site inline copy (r11 review: the
+    # cast/fold discipline is the bit-parity contract; five copies
+    # could silently diverge).
+    dist = l2sq_fold(F.col("subvec"), F.col("cent"))
     for _ in range(iters):
         assigned = (
             corpus.join(F.broadcast(cb), on="j")
@@ -820,13 +850,11 @@ def pq_encode(
         F.col(id_col),
         F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "subvec"),
     )
-    sqdiffs = F.zip_with(
-        F.col("subvec"),
-        F.col("cent"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dist = F.aggregate(sqdiffs, F.lit(0.0), lambda acc, t: acc + t)
+    # The house order-pinned squared-L2 fold — one definition,
+    # l2sq_fold, instead of a per-site inline copy (r11 review: the
+    # cast/fold discipline is the bit-parity contract; five copies
+    # could silently diverge).
+    dist = l2sq_fold(F.col("subvec"), F.col("cent"))
     scored = corpus.join(F.broadcast(codebook), on="j").withColumn("dist", dist)
     best = scored.groupBy(id_col, "j").agg(
         F.min(F.struct("dist", "code")).alias("best")
@@ -891,7 +919,14 @@ def adc_topk(
     """
     from pyspark.sql import Window as W
 
-    codes = pq_encode(df, id_col, vec_col, dim, m, k_codes).select(
+    # ONE codebook, shared by encode and distance table: pq_encode
+    # with codebook=None builds its own, so the old spelling paid the
+    # orderBy(id).limit(k) TakeOrdered corpus pass twice per call
+    # (r11 review catch).
+    codebook = pq_codebook(df, id_col, vec_col, dim, m, k_codes)
+    codes = pq_encode(
+        df, id_col, vec_col, dim, m, k_codes, codebook=codebook
+    ).select(
         F.col(id_col).alias("cid"), F.posexplode("pq_codes").alias("j", "code")
     )
     if isinstance(queries, DataFrame):
@@ -902,16 +937,9 @@ def adc_topk(
         F.col(id_col).alias("qid"),
         F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "qsub"),
     )
-    codebook = pq_codebook(df, id_col, vec_col, dim, m, k_codes)
-    sqdiffs = F.zip_with(
-        F.col("qsub"),
-        F.col("cent"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
     dtable = (
         queries.join(F.broadcast(codebook), on="j")
-        .withColumn("d", F.aggregate(sqdiffs, F.lit(0.0), lambda a, t: a + t))
+        .withColumn("d", l2sq_fold(F.col("qsub"), F.col("cent")))
         .select("qid", "j", "code", "d")
     )
     scored = (
@@ -967,11 +995,7 @@ def ivf_pq_topk(
     """
     from pyspark.sql import Window as W
 
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-        norm_fold(F.col(vec_col)).alias("cvn"),
-    )
+    cent = _seed_centroids(corpus, id_col, vec_col, centroid_mod)
     normed = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -999,23 +1023,21 @@ def ivf_pq_topk(
         .select(F.col("vid").alias("query_id"), "centroid_id")
     )
 
-    codes = pq_encode(corpus, id_col, vec_col, dim, m, k_codes).select(
+    # ONE codebook shared by encode and distance table (same double
+    # TakeOrdered pass adc_topk had; r11 review catch).
+    codebook = pq_codebook(corpus, id_col, vec_col, dim, m, k_codes)
+    codes = pq_encode(
+        corpus, id_col, vec_col, dim, m, k_codes, codebook=codebook
+    ).select(
         F.col(id_col).alias("vid"), F.posexplode("pq_codes").alias("j", "code")
     )
     queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("query_id"),
         F.posexplode(_pq_subvecs(F.col(vec_col), dim, m)).alias("j", "qsub"),
     )
-    codebook = pq_codebook(corpus, id_col, vec_col, dim, m, k_codes)
-    sqdiffs = F.zip_with(
-        F.col("qsub"),
-        F.col("cent"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
     dtable = (
         queries.join(F.broadcast(codebook), on="j")
-        .withColumn("d", F.aggregate(sqdiffs, F.lit(0.0), lambda a, t: a + t))
+        .withColumn("d", l2sq_fold(F.col("qsub"), F.col("cent")))
         .select("query_id", "j", "code", "d")
     )
 
@@ -1279,8 +1301,17 @@ def rvq_encode(
             ).alias("resid"),
         )
     )
-    c2 = asg.filter(F.col("vid") % resid_mod == 0).select(
-        F.col("vid").alias("rid"), F.col("resid").alias("rv")
+    # Pinned: asg feeds BOTH the residual-codebook slice (c2) and the
+    # stage-2 scoring join below — without materialization the stage-1
+    # corpus-by-codebook argmin (the dominant cost) replays for the c2
+    # branch (the replay trap semdedup's comment documents from the
+    # round-7 plan audit; r11 review catch).
+    asg = asg.localCheckpoint(eager=False)
+    c2 = _require_rows(
+        asg.filter(F.col("vid") % resid_mod == 0).select(
+            F.col("vid").alias("rid"), F.col("resid").alias("rv")
+        ),
+        f"residual codebook (vid % {resid_mod} == 0)",
     )
     return (
         asg.join(F.broadcast(c2))

@@ -37,9 +37,17 @@ STOPWORDS = {
 def tokens(col: Column | str, sep: str = " ") -> Column:
     """Whitespace tokenization. The oracle twin is string_split, so the
     checked queries use a literal separator; regex splitting
-    (``F.split(col, r"\\s+")``) is the production spelling."""
+    (``F.split(col, r"\\s+")``) is the production spelling.
+
+    ``sep`` is a LITERAL, quoted via ``\\Q...\\E`` before reaching
+    ``F.split`` (whose pattern argument is a Java regex): a bare
+    metacharacter separator like ``'.'`` or ``'|'`` would otherwise
+    match zero-width everywhere and silently split per character (r11
+    review catch — every current call site uses the default space, so
+    this was latent). Callers who WANT regex splitting call F.split
+    directly."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(c, sep)
+    return F.split(c, "\\Q" + sep + "\\E")
 
 
 def hash_scramble(h: Column) -> Column:
@@ -214,6 +222,16 @@ def ngram_repetition_stats(
     (skew-free: a document's gram multiset is bounded by its length).
     Documents with fewer than ``n`` tokens have no n-grams and are
     absent from the output (nothing to score).
+
+    ``top_gram_token_frac`` is ``count × n / n_tokens`` — the standard
+    Gopher-rule arithmetic (count times gram length over document
+    length, as the public reimplementations compute it), which counts
+    each occurrence's span WITHOUT de-overlapping: on degenerate
+    looping text ('a a a a a', n=2) overlapping repeats push it above
+    1.0. That matches how published thresholds were tuned (they sit
+    far below 1, so the tail behavior is shared, not divergent); a
+    union-of-covered-positions variant would understate exactly the
+    pathological repeats the rule exists to catch.
     """
     grams = df.select(
         F.col(id_col),

@@ -435,6 +435,56 @@ def test_prefix_sum_matches_single_reducer_window(spark):
     assert got == want
 
 
+def test_prefix_sum_null_rule_is_global_not_partition_local(spark):
+    """SQL's SUM-over-frame null rule is GLOBAL: a row is null only
+    before the first non-null value of the WHOLE frame. With many
+    range partitions, a partition whose prefix is all-null must show
+    the carried offset from earlier partitions, not null (r11 review
+    catch — the old `_offset + _local_cum` nulled such rows). Also:
+    leading nulls before any value anywhere stay null."""
+    from pyspark.sql import Window
+
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    rows = [(0, None), (1, 5), (2, None), (3, None), (4, 7), (5, None)]
+    df = spark.createDataFrame(rows, "key long, v long").repartition(4)
+    # More partitions than rows: some range partitions start with (or
+    # are entirely) nulls, exercising every carry path.
+    got = {
+        r["key"]: r["cum"]
+        for r in prefix_sum(
+            df, ["key"], "v", out_col="cum", num_partitions=6
+        ).collect()
+    }
+    w = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["key"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want  # {0: None, 1: 5, 2: 5, 3: 5, 4: 12, 5: 12}
+
+
+def test_prefix_sum_nulls_do_not_degrade_big_ints_to_float(spark):
+    """A null anywhere in an integral column makes Arrow→pandas
+    deliver float64, and the old fillna(0).astype('int64') round-trip
+    silently lost low bits above 2^53 (r11 review catch). Values near
+    2^60 with interleaved nulls must come back bit-exact."""
+    from openweathermapapi_etl_spark.operators.rank import prefix_sum
+
+    big = (1 << 60) + 1
+    rows = [(0, big), (1, None), (2, 1), (3, big)]
+    df = spark.createDataFrame(rows, "key long, v long")
+    out = prefix_sum(df, ["key"], "v", out_col="cum", num_partitions=3).collect()
+    got = {r["key"]: r["cum"] for r in out}
+    assert got == {0: big, 1: big, 2: big + 1, 3: 2 * big + 1}
+    # The PASSTHROUGH lane too: v itself (and any other integral
+    # payload column) crosses the Arrow boundary and must come back
+    # bit-exact even in the partition that contains the null.
+    assert {r["key"]: r["v"] for r in out} == {0: big, 1: None, 2: 1, 3: big}
+
+
 def test_events_ts_loads_as_timestamp_regardless_of_parquet_flavor(spark, sf_dir):
     """The driver regenerates testdata between rounds and has shipped
     events.ts as TIMESTAMP(NANOS) (round ≤4) and as micros
