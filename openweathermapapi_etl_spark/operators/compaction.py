@@ -85,7 +85,22 @@ def compaction_plan(
     while tmp in taken:
         tmp = "_" + tmp
     with_cum = prefix_sum(files, order_by, bytes_col, out_col=tmp, pin=pin)
-    excl = (F.col(tmp) - F.col(bytes_col)).cast("long")
+    # A NULL size (failed stat) FAILS the plan: prefix_sum coalesces
+    # it to 0 inside the running total, but the exclusive offset
+    # (cum − bytes) would be NULL and the file silently lands in no
+    # bin — the small-file problem the planner exists to fix persists
+    # invisibly (r11 review catch). Unknown sizes cannot be
+    # bin-packed; re-stat or drop them explicitly upstream.
+    excl = F.when(
+        F.col(bytes_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"compaction_plan: NULL {bytes_col} — a file of unknown "
+                "size cannot be assigned a bin; re-stat or filter it "
+                "explicitly"
+            )
+        ).cast("long"),
+    ).otherwise((F.col(tmp) - F.col(bytes_col)).cast("long"))
     return (
         with_cum.withColumn(offset_name, excl)
         .withColumn(

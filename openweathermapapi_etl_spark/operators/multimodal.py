@@ -73,14 +73,20 @@ def fake_decode_metadata(df: DataFrame, id_col: str = "id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len).astype("int64")
+            # NULL payload (missing blob, failed fetch) degrades to
+            # null metadata via pandas NULLABLE ints — .map(len) raised
+            # TypeError and killed the whole task before (r11 review
+            # catch; same policy in the other pandas stages).
+            n = pdf["payload"].map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "n_bytes": n,
-                    "width": (n % 640).astype("int32"),
-                    "height": ((n * 7) % 480).astype("int32"),
-                    "n_frames": (n % 30 + 1).astype("int32"),
+                    "width": (n % 640).astype("Int32"),
+                    "height": ((n * 7) % 480).astype("Int32"),
+                    "n_frames": (n % 30 + 1).astype("Int32"),
                 }
             )
 
@@ -170,6 +176,9 @@ def fake_feature_extract(df: DataFrame, n_bins: int = 8, id_col: str = "id") -> 
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)  # degrade, don't TypeError
+                    continue
                 hist = [0] * n_bins
                 for b in payload:
                     hist[b % n_bins] += 1
@@ -208,6 +217,8 @@ def energy_frames(
             idxs: list[int] = []
             energies: list[int] = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue  # no payload -> no frames (like len < frame_bytes)
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 n = len(arr) // frame_bytes
                 if n == 0:

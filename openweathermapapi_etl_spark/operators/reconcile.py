@@ -34,9 +34,9 @@ between files still checks equal, only content changes surface.
 Fingerprint portability contract: callers pass the columns ALREADY
 rendered engine-neutral (cast doubles through DECIMAL so '17.0' vs
 '17.000000' formatting cannot differ, dates/strings/integers are
-naturally stable); this operator null-sentinels and concatenates
-them with an unprintable separator so (``'a', NULL``) and
-(``'aNULL'``,) cannot collide.
+naturally stable); this operator flag-renders each column (chr(0)
+for NULL, chr(1)+text for a value — NULL collides with NO literal)
+and concatenates with an unprintable separator.
 
 Reference basis: the reference lands every batch into Postgres with
 no post-load verification at all (dags/weather-etl.py:134-143 —
@@ -49,24 +49,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Unit separator — cannot appear in rendered column text.
+#: Unit separator between rendered columns.
 _SEP = "\x1f"
-#: Null sentinel distinguishable from any rendered value.
-_NULL = "\x00\x00"
+#: Per-column null flag bytes: a NULL renders as chr(0) alone, a
+#: present value as chr(1) + text — so NULL can never collide with
+#: ANY literal string (the old chr(0)chr(0) SENTINEL was itself a
+#: representable string value, exactly the binary-junk class a
+#: corruption audit exists to catch; r11 review catch).
+_NULL_FLAG = "\x00"
+_VAL_FLAG = "\x01"
 
 
 def row_fingerprint(cols: list[Column | str]) -> Column:
     """Portable 60-bit row fingerprint as BIGINT.
 
-    ``conv(substr(md5(concat_ws(sep, coalesce(cast(c as string),
-    sentinel)...)), 1, 15), 16, 10)`` — bit-identical to DuckDB's
-    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)`` (verified in
-    tests), so either engine can checksum its own side.
+    ``conv(substr(md5(concat_ws(sep, flag-rendered...)), 1, 15), 16,
+    10)`` — bit-identical to DuckDB's ``CAST('0x' || substr(md5(...),
+    1, 15) AS BIGINT)`` (verified in tests), so either engine can
+    checksum its own side. Each column renders as ``chr(0)`` when
+    NULL else ``chr(1) || text``, making the NULL class collision-
+    free. Remaining theoretical collision: a STRING value embedding
+    ``chr(31) || chr(1)`` can shift bytes across a column boundary —
+    callers with adversarial binary-in-string data should use the
+    typed :func:`fast_fingerprint` (immune: no rendering) on the
+    Spark side and pre-sanitize for the cross-engine path.
     """
-    rendered = [
-        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(_NULL))
-        for c in cols
-    ]
+    def render(c: Column | str) -> Column:
+        col = F.col(c) if isinstance(c, str) else c
+        return F.when(col.isNull(), F.lit(_NULL_FLAG)).otherwise(
+            F.concat(F.lit(_VAL_FLAG), col.cast("string"))
+        )
+
+    rendered = [render(c) for c in cols]
     return (
         F.conv(F.substring(F.md5(F.concat_ws(_SEP, *rendered)), 1, 15), 16, 10)
         .cast("long")
@@ -110,10 +124,16 @@ def bucket_checksums(
     rows; the shuffle is metadata-sized no matter the table size.
     """
     fp = _FP[fingerprint]
+    # The row fingerprint covers KEYS + values, not values alone: the
+    # bucket XOR is a multiset equality over fingerprints, so a
+    # value-only fingerprint cannot see two keys in the same bucket
+    # SWAPPING values — identical multiset, corrupted table, bucket
+    # "proven equal" (r11 review catch). With keys inside, the swap
+    # changes both fingerprints.
     return (
         df.select(
             bucket_of(key_cols, n_buckets, fingerprint).alias("bucket"),
-            fp(fingerprint_cols).alias("_fp"),
+            fp([*key_cols, *fingerprint_cols]).alias("_fp"),
         )
         .groupBy("bucket")
         .agg(
@@ -156,13 +176,23 @@ def reconcile(
     def rows(df: DataFrame) -> DataFrame:
         # Broadcast the (corruption-sized) bad-bucket set; survivors
         # carry key + fingerprint only — row payloads never shuffle.
+        # Then fold PER KEY (count + XOR): the old row-vs-row
+        # full-outer join many-to-many-matched duplicate keys, so
+        # "src has the row twice, dst once" matched every copy to the
+        # single dst row, fingerprints agreed, and the divergence the
+        # bucket phase detected was silently dropped on the way to
+        # the report — a false-clean (r11 review catch). Per-key
+        # (n, checksum) makes duplicate-count drift a first-class
+        # 'changed' and keeps the drill-down join key-unique.
         return (
             df.select(
                 *key_cols,
                 bucket_of(key_cols, n_buckets, fingerprint).alias("bucket"),
-                _FP[fingerprint](fingerprint_cols).alias("fp"),
+                _FP[fingerprint]([*key_cols, *fingerprint_cols]).alias("fp"),
             )
             .join(F.broadcast(bad), "bucket", "left_semi")
+            .groupBy(*key_cols)
+            .agg(F.count("*").alias("n"), F.bit_xor("fp").alias("fp"))
         )
 
     s_rows = rows(src).alias("sr")
@@ -180,7 +210,11 @@ def reconcile(
             ],
             F.when(F.col("dr.fp").isNull(), F.lit("missing"))
             .when(F.col("sr.fp").isNull(), F.lit("extra"))
-            .when(F.col("sr.fp") != F.col("dr.fp"), F.lit("changed"))
+            .when(
+                (F.col("sr.fp") != F.col("dr.fp"))
+                | (F.col("sr.n") != F.col("dr.n")),
+                F.lit("changed"),
+            )
             .alias("status"),
         )
         .filter(F.col("status").isNotNull())

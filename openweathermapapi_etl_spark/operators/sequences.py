@@ -37,8 +37,19 @@ def sequence_islands(
     offsets), so no stage ever sees the whole sequence on one task.
 
     Columns: island_start, island_end, n_ids (all bigint).
+
+    NULL ids — including values the long cast NULLS (ANSI off:
+    non-numeric strings) — are EXCLUDED: the old distinct kept one
+    NULL row whose ``_id - _rn`` delta grouped into a spurious
+    (NULL, NULL, 1) island that corrupted downstream gap accounting
+    (r11 review catch). An id that is null has no position on the
+    number line; it cannot belong to a run.
     """
-    ids = df.select(F.col(id_col).cast("long").alias("_id")).distinct()
+    ids = (
+        df.select(F.col(id_col).cast("long").alias("_id"))
+        .filter(F.col("_id").isNotNull())
+        .distinct()
+    )
     ranked = global_rank(ids, ["_id"], rank_name="_rn", num_partitions=num_partitions)
     return (
         ranked.groupBy((F.col("_id") - F.col("_rn")).alias("_delta"))
@@ -107,6 +118,13 @@ def cdc_latest_state(
 
     Returns all input columns except the window rank, restricted to
     surviving keys, plus ``n_versions``.
+
+    A NULL ``op_col`` on a key's latest change FAILS the job: under
+    three-valued logic ``op != 'D'`` is NULL for a NULL op, so the
+    old ``where`` silently dropped the key EXACTLY as if it were
+    deleted — a malformed CDC record converted into an invisible row
+    deletion (r11 review catch). Pre-filter or repair malformed ops
+    explicitly upstream.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(key_col).orderBy(*[c.desc() for c in cols])
@@ -117,4 +135,15 @@ def cdc_latest_state(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return latest.where(F.col(op_col) != delete_op)
+    return latest.where(
+        F.when(
+            F.col(op_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cdc_latest_state: NULL {op_col} on a key's latest "
+                    "change — a malformed record would silently delete "
+                    "the key; repair or filter malformed ops upstream"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col(op_col) != delete_op)
+    )

@@ -75,7 +75,22 @@ def grid_radius_join(
     there. Both inputs keep all their columns; ``dist2`` is the exact
     squared distance (callers avoid the sqrt until display time — the
     compare against r² is exact in IEEE doubles).
+
+    The two sides must not share column names: the coordinates are
+    resolved by bare name after the join (two point tables both named
+    x/y would hit AMBIGUOUS_REFERENCE at analysis time — r11 review
+    catch), and any shared payload name would make the output frame's
+    duplicate columns unusable to the caller anyway. Rename one side
+    first; the guard raises up front with that instruction.
     """
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(
+            f"grid_radius_join: column name(s) {overlap} exist on BOTH "
+            "sides — coordinates resolve by bare name after the join "
+            "and duplicate output columns are unusable; rename one "
+            "side (withColumnRenamed) before joining"
+        )
     lx, ly = F.col(left_xy[0]), F.col(left_xy[1])
     rx, ry = F.col(right_xy[0]), F.col(right_xy[1])
     lcx, lcy = cell_of(lx, ly, radius)

@@ -63,11 +63,17 @@ def gap_fill_ffill(
 
     Returns one row per (key, day) with:
 
-    - ``observed`` — the day's aggregated value, null on gap days;
+    - ``observed`` — the day's aggregated value, null on gap days
+      AND on present days whose aggregate is null (all-null inputs);
     - ``filled``   — last non-null ``observed`` at or before the day
-      (null only before the key's first observation — impossible here
-      because the spine starts at the key's min day);
-    - ``is_gap``   — true where the day had no rows.
+      (null until the key's first NON-NULL observation: the spine
+      starts at the key's min day, but that day's aggregate can
+      itself be null);
+    - ``is_gap``   — true where the day had NO ROWS, tracked by a
+      presence marker, not by ``observed IS NULL``: a present day
+      whose aggregate is null (e.g. ``max()`` over all-null sensor
+      readings) is NOT a gap (r11 review catch — the old spelling
+      conflated the two).
 
     ``value_col`` must already be one-row-per-(key, day) aggregated by
     the caller (this function does not choose an aggregate for you).
@@ -79,7 +85,8 @@ def gap_fill_ffill(
     day = F.col(day_col) if isinstance(day_col, str) else day_col
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     daily = df.select(
-        F.col(key_col), day.alias("day"), val.alias("observed")
+        F.col(key_col), day.alias("day"), val.alias("observed"),
+        F.lit(True).alias("_present"),
     )
     spine = date_spine(daily, key_col, "day")
     joined = spine.join(daily, on=[key_col, "day"], how="left")
@@ -90,7 +97,8 @@ def gap_fill_ffill(
     )
     return (
         joined.withColumn(filled_name, F.last("observed", ignorenulls=True).over(w))
-        .withColumn("is_gap", F.col("observed").isNull())
+        .withColumn("is_gap", F.col("_present").isNull())
+        .drop("_present")
     )
 
 
@@ -119,7 +127,12 @@ def time_weighted_avg(
     Quantization error ≤ 0.005 on values, 1 ms on weights — both far
     below sensor noise; sub-ms holding times weigh 0. The last
     observation per key has no successor and is excluded (its holding
-    time is unknown — open interval).
+    time is unknown — open interval). A NULL-VALUE observation still
+    terminates its predecessor's holding interval (the lead sees it)
+    but its OWN interval is excluded from numerator and denominator
+    alike — the old spelling kept it in total_ms/n_intervals while
+    SUM skipped the null product, silently biasing twa toward zero
+    over the unknown-value span (r11 review catch).
 
     One keyed window (lead) + one keyed agg, both on ``key_col``:
     Catalyst reuses the single hash exchange for both.
@@ -133,7 +146,7 @@ def time_weighted_avg(
     qv = F.round(F.col(value_col) * 100).cast("long")
     weighted = (
         df.withColumn("_dt_ms", dt_ms)
-        .filter(F.col("_dt_ms").isNotNull())
+        .filter(F.col("_dt_ms").isNotNull() & F.col(value_col).isNotNull())
         .withColumn("_qv", qv)
     )
     return weighted.groupBy(key_col).agg(

@@ -122,13 +122,22 @@ _PREV_WINDOW = [
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
 _RECHECK: list[str] = [
-    # round 11: the two queries whose OUTPUT changed this round — both
-    # were the last rows-only-by-design entries and gained exact
-    # DuckDB oracles (r10 verdict task 2): trained-PQ now emits
-    # 1e-6-grid integer distortions under a quantized-Lloyd codebook;
-    # PCA projection moved to the unrolled power-iteration flavor.
+    # round 11: queries whose OUTPUT changed this round. First two:
+    # the last rows-only-by-design entries gained exact DuckDB
+    # oracles (r10 verdict task 2) — trained-PQ emits 1e-6-grid
+    # integer distortions under a quantized-Lloyd codebook; PCA
+    # projection moved to the unrolled power-iteration flavor.
     "c03_pq_encode_trained",
     "c03_pca_project",
+    # Next three: the r11 operator-review fixes moved values —
+    # row_fingerprint's null-flag rendering shifts every hash_coord
+    # pseudo-coordinate (b66) and the corpus checksum (dataset
+    # fingerprint); sequence_pack now shards via the SCRAMBLED
+    # split_bucket (the raw fold hash sharded same-length keys in
+    # lockstep). Oracles mirrored; local parity green at both SFs.
+    "b66_spatial_grid_join",
+    "c07_dataset_fingerprint",
+    "c07_sequence_pack",
 ]
 
 

@@ -80,7 +80,8 @@ _ISLAND_MIN_PRICE = 250_000
     "b64_sequence_islands",
     oracle=f"""
     WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
-                 WHERE o_totalprice > {_ISLAND_MIN_PRICE}),
+                 WHERE o_totalprice > {_ISLAND_MIN_PRICE}
+                   AND o_orderkey IS NOT NULL),
     r AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids)
     SELECT MIN(id) AS island_start, MAX(id) AS island_end,
            CAST(COUNT(*) AS BIGINT) AS n_ids
@@ -374,10 +375,13 @@ def m9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range join)
 # ---------------------------------------------------------------------------
 
+#: DuckDB twin of operators/spatial.py::hash_coord — which rides
+#: reconcile.row_fingerprint, so the chr(1) VALUE-FLAG prefix per
+#: rendered column must match that function's r11 flag rendering.
 _O_COORD = (
-    "CAST(CAST(('0x' || substr(md5('{p}' || chr(31) "
-    "|| CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) "
-    "/ 1000000.0"
+    "CAST(CAST(('0x' || substr(md5(chr(1) || '{p}' || chr(31) "
+    "|| chr(1) || CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% 1000000 AS DOUBLE) / 1000000.0"
 )
 
 

@@ -1760,9 +1760,12 @@ def c04_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT CAST(('0x' || substr(md5(
-               CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
-               coalesce(lang, chr(0)||chr(0)) || chr(31) ||
-               coalesce(source, chr(0)||chr(0))), 1, 15)) AS BIGINT) AS h
+               chr(1) || CAST(doc_id AS VARCHAR) || chr(31) ||
+               chr(1) || text || chr(31) ||
+               CASE WHEN lang IS NULL THEN chr(0)
+                    ELSE chr(1) || lang END || chr(31) ||
+               CASE WHEN source IS NULL THEN chr(0)
+                    ELSE chr(1) || source END), 1, 15)) AS BIGINT) AS h
       FROM documents)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            bit_xor(h) AS corpus_fp

@@ -54,7 +54,7 @@ from .util import dsum, o_dsum, t
     oracle=f"""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             {o_dsum('value')} AS observed
+             {o_dsum('value')} AS observed, TRUE AS present
       FROM events GROUP BY user_id, CAST(ts AS DATE)),
     bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
                FROM daily GROUP BY user_id),
@@ -63,13 +63,14 @@ from .util import dsum, o_dsum, t
                                                  CAST(d1 AS TIMESTAMP),
                                                  INTERVAL 1 DAY)) AS DATE) AS day
               FROM bounds),
-    j AS (SELECT s.user_id, s.day, d.observed
+    j AS (SELECT s.user_id, s.day, d.observed,
+                 COALESCE(d.present, FALSE) AS present
           FROM spine s LEFT JOIN daily d USING (user_id, day))
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
            last_value(observed IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY day
                    ROWS UNBOUNDED PRECEDING) AS filled,
-           observed IS NULL AS is_gap
+           NOT present AS is_gap
     FROM j
     """,
 )
@@ -458,7 +459,7 @@ def c03_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e),
     f AS (SELECT user_id, dt_ms,
                  CAST(round(value * 100) AS BIGINT) AS qv
-          FROM l WHERE dt_ms IS NOT NULL)
+          FROM l WHERE dt_ms IS NOT NULL AND value IS NOT NULL)
     SELECT user_id,
            COUNT(*) AS n_intervals,
            CAST(SUM(dt_ms) AS BIGINT) AS total_ms,

@@ -105,6 +105,18 @@ def test_sequence_islands_dedups_ids(spark):
     assert got == [(1, 2, 2), (4, 4, 1)]
 
 
+def test_sequence_islands_excludes_null_ids(spark):
+    """A NULL id has no position on the number line — it must not
+    surface as a spurious (NULL, NULL, 1) island corrupting downstream
+    gap accounting (r11 review catch)."""
+    df = spark.createDataFrame([(1,), (2,), (None,), (4,)], "id int")
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_ids"])
+        for r in sequence_islands(df, "id").collect()
+    )
+    assert got == [(1, 2, 2), (4, 4, 1)]
+
+
 # ---------------------------------------------------------------------------
 # max_drawdown
 # ---------------------------------------------------------------------------
@@ -202,3 +214,17 @@ def test_grid_radius_join_exact_boundary_pair_included(spark):
     )
     out = grid_radius_join(left, right, ("lx", "ly"), ("rx", "ry"), 0.05)
     assert [r.rid for r in out.collect()] == [9]
+
+
+def test_grid_radius_join_rejects_shared_column_names(spark):
+    """Two point tables with the same x/y names — the natural call —
+    would hit AMBIGUOUS_REFERENCE deep in analysis (and duplicate
+    output columns are unusable anyway); the guard raises up front
+    with the rename instruction (r11 review catch)."""
+    import pytest
+
+    from openweathermapapi_etl_spark.operators.spatial import grid_radius_join
+
+    pts = spark.createDataFrame([(1, 0.1, 0.5)], "id int, x double, y double")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        grid_radius_join(pts, pts, ("x", "y"), ("x", "y"), 0.05)

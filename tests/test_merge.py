@@ -656,12 +656,15 @@ def test_row_fingerprint_is_engine_portable(spark):
             """
             SELECT CAST(('0x' || substr(md5(
               concat_ws(chr(31),
-                coalesce(CAST(? AS VARCHAR), chr(0)||chr(0)),
-                coalesce(CAST(? AS VARCHAR), chr(0)||chr(0)),
-                coalesce(CAST(CAST(? AS DECIMAL(38,6)) AS VARCHAR),
-                         chr(0)||chr(0)))), 1, 15)) AS BIGINT)
+                CASE WHEN ? IS NULL THEN chr(0)
+                     ELSE chr(1) || CAST(? AS VARCHAR) END,
+                CASE WHEN ? IS NULL THEN chr(0)
+                     ELSE chr(1) || CAST(? AS VARCHAR) END,
+                CASE WHEN CAST(? AS DECIMAL(38,6)) IS NULL THEN chr(0)
+                     ELSE chr(1) || CAST(CAST(? AS DECIMAL(38,6)) AS VARCHAR)
+                END)), 1, 15)) AS BIGINT)
             """,
-            [k, s, v],
+            [k, k, s, s, v, v],
         ).fetchone()[0]
         for k, s, v in [(1, "a", None), (2, None, 3.5), (3, "x\x1fy", 0.0)]
     }
@@ -695,6 +698,63 @@ def test_reconcile_classifies_missing_extra_changed(spark):
     )
     got = {(r.k, r.status) for r in reconcile(src, dst, ["k"], [F.col("v")], 8).collect()}
     assert got == {(10, "missing"), (20, "changed"), (1000, "extra")}
+
+
+def test_reconcile_detects_value_swap_between_keys(spark):
+    """Two keys in the SAME bucket swapping values is the multiset-
+    equality blind spot of a value-only fingerprint: count and XOR
+    both match, the bucket pruned as equal, report empty — despite
+    two changed rows (r11 review catch). With keys folded into the
+    row fingerprint, the swap flips both fingerprints."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dst = spark.createDataFrame([(1, "b"), (2, "a")], "k long, v string")
+    # n_buckets=1: both keys share a bucket by construction.
+    got = {
+        (r.k, r.status)
+        for r in reconcile(src, dst, ["k"], [F.col("v")], n_buckets=1).collect()
+    }
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_reconcile_detects_duplicate_key_count_drift(spark):
+    """src holds a key's row TWICE, dst once (failed dedup or partial
+    replay): the bucket phase flags it, but the old row-level
+    full-outer join many-to-many-matched the copies, fingerprints
+    agreed, and the report came back EMPTY (r11 review catch). The
+    per-key (count, xor) fold classifies it as changed."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
+    dst = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    got = {
+        (r.k, r.status)
+        for r in reconcile(src, dst, ["k"], [F.col("v")], n_buckets=4).collect()
+    }
+    assert got == {(1, "changed")}
+
+
+def test_reconcile_null_never_collides_with_literal(spark):
+    """A NULL field vs the literal two-NUL string — binary junk from a
+    bad load, exactly what a corruption audit hunts — fingerprinted
+    IDENTICALLY under the old chr(0)chr(0) sentinel (r11 review
+    catch); the flag rendering keeps the NULL class collision-free."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.reconcile import reconcile
+
+    src = spark.createDataFrame([(1, None)], "k long, v string")
+    dst = spark.createDataFrame([(1, "\x00\x00")], "k long, v string")
+    got = {
+        (r.k, r.status)
+        for r in reconcile(src, dst, ["k"], [F.col("v")], n_buckets=4).collect()
+    }
+    assert got == {(1, "changed")}
 
 
 def test_reconcile_null_vs_absent_column_value_differ(spark):

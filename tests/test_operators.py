@@ -107,6 +107,63 @@ def test_multimodal_stub_and_fake_decode(spark):
     assert out.width == 11 % 640 and out.height == (11 * 7) % 480
 
 
+def test_multimodal_null_payload_degrades_not_crashes(spark):
+    """A NULL payload (missing blob, failed fetch) must degrade to
+    null metadata / null features / zero frames — .map(len) and
+    byte-iteration raised TypeError and killed the whole task before
+    (r11 review catch)."""
+    from openweathermapapi_etl_spark.operators.multimodal import (
+        energy_frames,
+        fake_feature_extract,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, None)],
+        "id long, payload binary",
+    )
+    meta = {r.id: r.n_bytes for r in fake_decode_metadata(df, "id").collect()}
+    assert meta == {1: 11, 2: None}
+    feats = {r.id: r.features for r in fake_feature_extract(df).collect()}
+    assert feats[1] is not None and feats[2] is None
+    frames = energy_frames(df, "id", "payload", frame_bytes=4).collect()
+    assert all(r.id == 1 for r in frames) and frames
+
+
+def test_cdc_latest_state_null_op_fails_loudly(spark):
+    """A NULL op on a key's latest change must FAIL, not silently
+    delete the key (op != 'D' is NULL under three-valued logic — the
+    old where() dropped the key exactly as a delete would; r11 review
+    catch)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from openweathermapapi_etl_spark.operators.sequences import cdc_latest_state
+
+    ok = spark.createDataFrame(
+        [(1, 1, "U"), (1, 2, "D"), (2, 1, "U")], "k long, seq int, op string"
+    )
+    assert {r.k for r in cdc_latest_state(ok, "k", ["seq"], "op").collect()} == {2}
+    bad = spark.createDataFrame(
+        [(1, 1, "U"), (1, 2, None)], "k long, seq int, op string"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL op"):
+        cdc_latest_state(bad, "k", ["seq"], "op").collect()
+
+
+def test_compaction_plan_null_size_fails_loudly(spark):
+    """A file of unknown size cannot be bin-packed: the old plan gave
+    it a NULL bin_offset/bin_id and it silently joined no compaction
+    bin (r11 review catch)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from openweathermapapi_etl_spark.operators.compaction import compaction_plan
+
+    bad = spark.createDataFrame(
+        [("a", 10), ("b", None)], "path string, bytes long"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL bytes"):
+        compaction_plan(bad, ["path"], "bytes", target_bytes=64).collect()
+
+
 def test_lsh_short_docs_do_not_bucket_together(spark):
     """Docs too short to shingle (<3 tokens) have NULL signature
     components; the band key must be NULL (not joinable) — concat_ws

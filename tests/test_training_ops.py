@@ -86,6 +86,32 @@ def test_gap_fill_ffill_fills_gaps_per_key(spark):
     }
 
 
+def test_gap_fill_observed_null_day_is_not_a_gap(spark):
+    from openweathermapapi_etl_spark.operators.timeseries import gap_fill_ffill
+
+    # Day 2 HAS a row whose aggregated value is null (all-null sensor
+    # readings): is_gap must be False (presence-tracked, r11 review
+    # catch) while filled still carries the last non-null forward.
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01", 10.0),
+            ("u", "2024-01-02", None),
+            ("u", "2024-01-04", 40.0),
+        ],
+        "k string, d string, v double",
+    ).select("k", F.to_date("d").alias("d"), "v")
+    out = {
+        str(r["day"]): (r["observed"], r["filled"], r["is_gap"])
+        for r in gap_fill_ffill(df, "k", "d", "v").collect()
+    }
+    assert out == {
+        "2024-01-01": (10.0, 10.0, False),
+        "2024-01-02": (None, 10.0, False),  # present, null — NOT a gap
+        "2024-01-03": (None, 10.0, True),
+        "2024-01-04": (40.0, 40.0, False),
+    }
+
+
 # ---------------------------------------------------------------------------
 # pq_encode (product quantization)
 # ---------------------------------------------------------------------------
@@ -333,6 +359,28 @@ def test_time_weighted_avg_weights_by_holding_time(spark):
     assert r["n_intervals"] == 2
     assert r["total_ms"] == 10_000
     assert r["twa"] == 11.0
+
+
+def test_time_weighted_avg_null_value_interval_excluded(spark):
+    """A NULL-value observation terminates its predecessor's holding
+    interval but its OWN unknown-value span must leave numerator AND
+    denominator — the old spelling kept it in total_ms only, biasing
+    twa toward zero (r11 review catch): 10 held 1h, NULL held 1h,
+    then the final row → twa must be 10, not 5."""
+    from openweathermapapi_etl_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 1, 10.0),
+            ("k", "2024-01-01 01:00:00", 2, None),
+            ("k", "2024-01-01 02:00:00", 3, 5.0),  # last: excluded anyway
+        ],
+        "k string, ts string, eid int, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "v")
+    [r] = time_weighted_avg(df, "k", "ts", "v", "eid").collect()
+    assert r["n_intervals"] == 1
+    assert r["total_ms"] == 3_600_000
+    assert r["twa"] == 10.0
 
 
 def test_time_weighted_avg_single_event_key_drops(spark):
