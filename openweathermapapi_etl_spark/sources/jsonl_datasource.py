@@ -10,14 +10,19 @@ from its staging-table + single transactional merge
 (/root/reference/dags/weather-etl.py:85-93,152-174), here expressed
 through the engine's own API:
 
-- each task writes its rows to ``_tmp_<uuid>.jsonl`` (invisible to
-  readers) and reports the file name + row count in its commit message;
+- each task writes its rows to ``_tmp_<commit>_<uuid>.jsonl``
+  (invisible to readers) and reports the file name + row count in its
+  commit message;
 - ``commit`` runs ONLY if every task succeeded: it renames the temp
-  files to final names and writes a ``_COMMITTED`` manifest listing
-  them — the manifest write is the atomic commit point (``os.replace``)
-  and readers trust only manifest-listed files;
-- ``abort`` (any task failed) removes the temp files; no manifest means
-  readers see NOTHING of the failed batch — partial output cannot leak.
+  files to per-commit-unique final names and writes a ``_COMMITTED``
+  manifest — the manifest write is the atomic commit point
+  (``os.replace``) and readers trust only manifest-listed files;
+  append mode MERGES the manifest with prior commits, overwrite
+  replaces it and unlinks the superseded files after the swing;
+- ``abort`` (any task failed) removes every temp carrying this run's
+  commit id — including the failed task's own partial file, which
+  never reported a commit message; no manifest update means readers
+  see NOTHING of the failed batch — partial output cannot leak.
 
 Scale notes: rows stream through each task (nothing accumulates beyond
 the open file buffer); commit messages are O(tasks) tiny tuples on the
@@ -51,18 +56,33 @@ class _FileCommit(WriterCommitMessage):
 
 
 class _JsonlDirWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("jsonl_dir sink requires .option('path', ...)")
         self.path = path
+        # Honor the save mode (r11 review catch: the flag was dropped
+        # and every commit behaved as overwrite-with-collisions —
+        # fixed part-NNNNN names clobbered earlier parts and the
+        # manifest was replaced wholesale, so two .mode("append")
+        # saves silently destroyed the first batch). Final names now
+        # carry a per-commit uuid (collision-free across commits);
+        # append MERGES the manifest, overwrite replaces it and
+        # removes the superseded committed files.
+        self.overwrite = overwrite
+        self.commit_id = uuid.uuid4().hex[:12]
         # Test hook: fail the task that sees this marker value, to prove
         # the abort path (documented, off in production use).
         self.fail_on = options.get("fail_on_value")
 
     def write(self, iterator: Iterator[Row]) -> _FileCommit:
         os.makedirs(self.path, exist_ok=True)
-        tmp = f"_tmp_{uuid.uuid4().hex}.jsonl"
+        # The commit id prefixes TEMP names too: abort() receives
+        # messages only from tasks that RETURNED one, so a task that
+        # died mid-write leaked its temp forever (r11 review catch) —
+        # the prefix lets the driver glob away every temp of THIS run
+        # regardless of which tasks reported.
+        tmp = f"_tmp_{self.commit_id}_{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -77,30 +97,56 @@ class _JsonlDirWriter(DataSourceWriter):
                 n += 1
         return _FileCommit(tmp_name=tmp, n_rows=n)
 
+    def _manifest_files(self) -> list[dict]:
+        try:
+            with open(os.path.join(self.path, MANIFEST)) as fh:
+                return list(json.load(fh)["files"])
+        except (OSError, ValueError, KeyError):
+            return []
+
     def commit(self, messages) -> None:
         files = []
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{self.commit_id}-{i:05d}.jsonl"
             os.replace(
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, final),
             )
             files.append({"file": final, "n_rows": m.n_rows})
+        prior = self._manifest_files()
+        manifest = files if self.overwrite else prior + files
         manifest_tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(manifest_tmp, "w") as fh:
-            json.dump({"files": files}, fh)
+            json.dump({"files": manifest}, fh)
         # The atomic commit point: readers trust only manifest-listed
         # files, and the manifest appears all-at-once or not at all.
         os.replace(manifest_tmp, os.path.join(self.path, MANIFEST))
+        if self.overwrite:
+            # Superseded data files are unreachable the instant the
+            # manifest swings; removing them afterwards is cleanup,
+            # not part of the commit point.
+            keep = {f["file"] for f in files}
+            for f in prior:
+                if f["file"] not in keep:
+                    try:
+                        os.unlink(os.path.join(self.path, f["file"]))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
+        # Glob by this run's commit-id prefix, not the message list:
+        # the FAILED task (the reason abort runs) never returned a
+        # message, so its partial temp is invisible to the list and
+        # accumulated forever under the old spelling.
+        import glob as _glob
+
+        for p in _glob.glob(
+            os.path.join(self.path, f"_tmp_{self.commit_id}_*.jsonl")
+        ):
             try:
-                os.unlink(os.path.join(self.path, m.tmp_name))
+                os.unlink(p)
             except OSError:
                 pass
 
@@ -113,7 +159,7 @@ class JsonlDirDataSource(DataSource):
         return "jsonl_dir"
 
     def writer(self, schema: StructType, overwrite: bool) -> _JsonlDirWriter:
-        return _JsonlDirWriter(self.options)
+        return _JsonlDirWriter(self.options, overwrite)
 
 
 def committed_files(path: str) -> list[str]:

@@ -38,6 +38,7 @@ the M1 idempotent merge, as everywhere else in the pipeline.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -146,6 +147,11 @@ class WeatherHTTPDistStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options) -> None:
+        # Local import like the simple reader's — the bare name was a
+        # NameError on the default-cities path, masked because every
+        # test passes the cities option (r11 review catch).
+        from .source import DEFAULT_CITIES
+
         cities_opt = options.get("cities")
         self.cities = (
             [c.strip() for c in cities_opt.split(",") if c.strip()]
@@ -157,10 +163,34 @@ class WeatherHTTPDistStreamReader(DataSourceStreamReader):
             from .source import make_requests_fetcher
 
             make_requests_fetcher()  # A14: raises here if unconfigured
+        # Restart contract (r11 review catch): the engine restores the
+        # committed offset from ITS checkpoint, but this reader's
+        # counter lived only in instance memory — a restarted query
+        # got latestOffset()=1 against start=N, planning empty/stalled
+        # batches until the counter caught back up. The Python
+        # DataSourceStreamReader API has no restore hook, so the
+        # counter round-trips through an optional driver-local state
+        # file (``offset_state`` option, written in commit()). Without
+        # the option the reader is correct for a FRESH query (tests,
+        # availableNow drains) and the docstring directs restartable
+        # deployments to set it — or to use the simple flavor, whose
+        # read(start) API is checkpoint-correct by construction.
+        self._state_path = options.get("offset_state")
         self.batch = 0
+        if self._state_path:
+            try:
+                with open(self._state_path) as fh:
+                    self.batch = int(json.load(fh)["batch"])
+            except (OSError, ValueError, KeyError, TypeError):
+                self.batch = 0  # fresh start or unreadable state
+        # Pinned at construction: the engine may call latestOffset()
+        # BEFORE initialOffset(), so returning the live counter here
+        # would skip the first sweep behind an empty (start==end)
+        # micro-batch.
+        self._initial = self.batch
 
     def initialOffset(self) -> dict:
-        return {"batch": 0}
+        return {"batch": self._initial}
 
     def latestOffset(self) -> dict:
         self.batch += 1
@@ -191,7 +221,11 @@ class WeatherHTTPDistStreamReader(DataSourceStreamReader):
         yield (partition.city, json.dumps(doc))
 
     def commit(self, end: dict) -> None:
-        pass
+        if self._state_path:
+            tmp = f"{self._state_path}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"batch": int(end["batch"])}, fh)
+            os.replace(tmp, self._state_path)  # atomic like the sink's
 
 
 class WeatherHTTPDistDataSource(DataSource):

@@ -110,7 +110,12 @@ def split_table_files(
     else:
         # Contiguous id ranges (NULL ids drop, as the old range filter
         # did). Needs one max-id agg scan; the predicate form doesn't.
+        # An EMPTY source (max is NULL) still produces n_files empty
+        # replay files — the empty-split branch below is the intended
+        # output, not a TypeError on None arithmetic (r11 review).
         max_id = df.agg(F.max(id_col)).collect()[0][0]
+        if max_id is None:
+            max_id = 0
         step = (max_id + 1 + n_files - 1) // n_files
         assign = F.when(
             F.col(id_col).isNotNull() & (F.col(id_col) >= 0),

@@ -100,10 +100,15 @@ def make_batch_processor(
         # before anything is written (all-or-nothing, A7).
         docs = [fetcher(city) for city in city_list]
         raw = spark.createDataFrame(
-            spark.sparkContext.parallelize([json.dumps(d) for d in docs]),
-            schema="string",
+            [(json.dumps(d),) for d in docs], "value string"
         )
-        raw_parsed = spark.read.schema(WEATHER_RAW).json(raw.rdd.map(lambda r: r[0]))
+        # from_json with the explicit schema — the same spelling the
+        # distributed twin uses; the old createDataFrame→.rdd→
+        # spark.read.json(RDD) round-trip re-ran the parallelize per
+        # action through a deprecated overload (r11 review cleanup).
+        raw_parsed = raw.select(
+            F.from_json("value", WEATHER_RAW).alias("d")
+        ).select("d.*")
         if raw_log_root:
             # Overwrite the per-batch dir, not append: a failed-then-
             # retried micro-batch re-enters with the SAME batch_id, so
@@ -141,9 +146,14 @@ def fetch_documents_distributed(
     n = n_partitions or min(
         len(city_list), spark.sparkContext.defaultParallelism
     )
+    # Round-robin repartition(n), NOT repartition(n, "city"): hash
+    # partitioning collides — some partitions carry 2-3 cities while
+    # others sit empty, so wall-clock becomes 2-3 SEQUENTIAL fetches
+    # per partition instead of one (r11 review catch). Round-robin
+    # spreads the already-distinct city rows evenly by construction.
     cities_df = spark.createDataFrame(
         [(c,) for c in city_list], "city string"
-    ).repartition(n, "city")
+    ).repartition(n)
 
     def fetch_partition(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415 (worker-side import)
@@ -207,6 +217,7 @@ def http_microbatch_query(
     interval: str = "5 minutes",
     raw_log_root: str | None = None,
     distributed: bool = False,
+    checkpoint_location: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming ETL: rate-clock → fetch → transform → M1.
 
@@ -214,6 +225,13 @@ def http_microbatch_query(
     as JSON per batch (A16, more useful than the reference's log lines).
     ``distributed``: fetch executor-side via mapInPandas (the large-
     city-list scale path) instead of the driver loop.
+    ``checkpoint_location``: REQUIRED for any restartable deployment
+    that logs bronze — without it every restart gets a fresh temp
+    checkpoint, batch ids reset to 0, and the bronze writer's
+    same-batch-retry overwrite discipline (idempotence) instead
+    CLOBBERS the previous run's ``batch=N`` dirs with unrelated
+    documents (r11 review catch). Left optional so short-lived
+    smoke/test queries keep the zero-setup path.
     """
     city_list = cities or DEFAULT_CITIES
     table = VersionedParquetTable(table_root)
@@ -222,9 +240,11 @@ def http_microbatch_query(
         spark, fetcher, table, city_list, raw_log_root
     )
     clock = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-    return (
+    writer = (
         clock.writeStream.trigger(processingTime=interval)
         .outputMode("append")
         .foreachBatch(process_batch)
-        .start()
     )
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
