@@ -58,22 +58,67 @@ class ConcurrentWriteError(RuntimeError):
     writer holds the commit lock). Re-read and retry the merge."""
 
 
+def _null_safe_isin(col: Column, values: list) -> Column:
+    """NULL-safe membership for partition-value lists: ``isin`` is
+    three-valued (NULL in, NULL out), so a ``touched`` list containing
+    ``None`` selected NO rows of the NULL hive partition while the
+    dir-entry side (:*meth:`_entries_for_values`) DID match the
+    ``__HIVE_DEFAULT_PARTITION__`` entry — the partition was neither
+    rewritten nor re-linked, silently destroyed by a 1-key delete
+    (r11 review catch)."""
+    non_null = [v for v in values if v is not None]
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        cond = cond | col.isNull()
+    return cond
+
+
 def dedup_last_write_wins(
     updates: DataFrame, keys: list[str], order_col: str | None = None
 ) -> DataFrame:
     """Collapse an update batch to one row per key.
 
     With ``order_col``: keep the row with the greatest value (arrival
-    order / event time) — ties broken by non-key columns descending so
-    the result is always deterministic. Without: keep the greatest
-    tuple of non-key columns (arbitrary but deterministic).
+    order / event time) — ties broken by the ORDERABLE non-key columns
+    descending so the result is always deterministic. Without: keep
+    the greatest tuple of orderable non-key columns (arbitrary but
+    deterministic).
+
+    Map-typed columns (incl. maps nested in arrays/structs) are NOT
+    orderable in Spark and are excluded from the tie-break — the old
+    unconditional order list made ANY schema with a map column
+    un-upsertable (AnalysisException on every merge; r11 review
+    catch). With ``order_col`` the pick stays deterministic whenever
+    (order_col, orderable non-keys) totally orders each key group; a
+    schema whose EVERY non-key column is map-typed needs an explicit
+    ``order_col`` and raises otherwise (no deterministic pick exists).
     """
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, _St):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    dtypes = {f.name: f.dataType for f in updates.schema.fields}
     non_keys = [c for c in updates.columns if c not in keys]
-    order = [F.col(c).desc_nulls_last() for c in non_keys]
+    orderable = [c for c in non_keys if not _has_map(dtypes[c])]
+    order = [F.col(c).desc_nulls_last() for c in orderable]
     if order_col:
         order = [F.col(order_col).desc_nulls_last()] + [
-            F.col(c).desc_nulls_last() for c in non_keys if c != order_col
+            F.col(c).desc_nulls_last() for c in orderable if c != order_col
         ]
+    elif non_keys and not orderable:
+        raise ValueError(
+            "dedup_last_write_wins: every non-key column is map-typed "
+            "(unorderable) — no deterministic last-write pick exists; "
+            "pass order_col"
+        )
     if not order:  # key-only relation: any row of the key group works
         return updates.dropDuplicates(keys)
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -91,11 +136,17 @@ def keyed_upsert(
     order_col: str | None = None,
     broadcast_updates: bool = False,
     allow_new_columns: bool = False,
+    updates_key_unique: bool = False,
 ) -> DataFrame:
     """MERGE: rows from ``updates`` win on key collision (A11).
 
     ``old`` must already be key-unique (guaranteed when it was produced
-    by this function); ``updates`` may contain intra-batch duplicates.
+    by this function); ``updates`` may contain intra-batch duplicates —
+    pass ``updates_key_unique=True`` when the batch is key-unique BY
+    CONSTRUCTION (e.g. upsert_changed_only's already-deduped survivor
+    set) to skip the window dedup's shuffle (r11 review: the
+    suppressed-merge path paid it twice per micro-batch for zero
+    semantic effect).
 
     NULL keys are handled NULL-safely (``<=>``): a NULL key is one key
     group, consistent with the window dedup above (``partitionBy``
@@ -105,7 +156,11 @@ def keyed_upsert(
     invariant M1's correctness rests on. ``<=>`` is still an equi-join
     key for Spark's hash joins, so the plan is unchanged.
     """
-    deduped = dedup_last_write_wins(updates, keys, order_col)
+    deduped = (
+        updates
+        if updates_key_unique
+        else dedup_last_write_wins(updates, keys, order_col)
+    )
     if allow_new_columns:
         # Additive schema evolution (Delta/Iceberg mergeSchema
         # semantics): updates may CARRY new columns — survivors
@@ -790,6 +845,13 @@ class VersionedParquetTable:
                 f"removable while the branch exists"
             )
         shutil.rmtree(self._version_dir(staged_version), ignore_errors=True)
+        # The tombstone sidecar goes WITH the version it was staged
+        # for: _next_version allocates from max-on-disk, so removing
+        # v=N frees number N for the next writer — a surviving
+        # _DELETES_vN would then anti-join ITS stale keys out of the
+        # unrelated future occupant's reads, silent row loss (r11
+        # review catch).
+        shutil.rmtree(self._deletes_dir(staged_version), ignore_errors=True)
         for entry in self.inflight_dirs():
             if entry.startswith(f"v={staged_version}.inflight-"):
                 shutil.rmtree(
@@ -815,14 +877,20 @@ class VersionedParquetTable:
         updates: DataFrame,
         keys: list[str],
         order_col: str | None = None,
+        updates_key_unique: bool = False,
     ) -> int:
         """M1 end-to-end: merge ``updates`` into the current version and
         commit the result as a new version (idempotent — A11 fine point).
         With ``partition_by``, only touched partitions are merged and
         rewritten (see class docstring for the dependency requirement).
+        ``updates_key_unique``: see :func:`keyed_upsert`.
         """
         if not self.exists():
-            return self.overwrite(dedup_last_write_wins(updates, keys, order_col))
+            return self.overwrite(
+                updates
+                if updates_key_unique
+                else dedup_last_write_wins(updates, keys, order_col)
+            )
         if self.partition_by:
             # Merge-on-read tombstones must fold into the data before a
             # partition-pruned merge: untouched partitions are
@@ -831,8 +899,16 @@ class VersionedParquetTable:
             # predecessor's side file. One compaction, then prune.
             if os.path.isdir(self._deletes_dir(self.current_version())):
                 self.apply_deletes(spark)
-            return self._upsert_partitioned(spark, updates, keys, order_col)
-        merged = keyed_upsert(self.read(spark), updates, keys, order_col)
+            return self._upsert_partitioned(
+                spark, updates, keys, order_col, updates_key_unique
+            )
+        merged = keyed_upsert(
+            self.read(spark),
+            updates,
+            keys,
+            order_col,
+            updates_key_unique=updates_key_unique,
+        )
         return self.overwrite(merged)
 
     def upsert_changed_only(
@@ -889,7 +965,11 @@ class VersionedParquetTable:
         ).localCheckpoint(eager=True)
         if changed.isEmpty():
             return self.current_version()
-        return self.upsert(spark, changed, keys, order_col)
+        # changed is key-unique by construction (anti-joined down from
+        # the deduped batch) — skip the second window dedup.
+        return self.upsert(
+            spark, changed, keys, order_col, updates_key_unique=True
+        )
 
     def _upsert_partitioned(
         self,
@@ -897,6 +977,7 @@ class VersionedParquetTable:
         updates: DataFrame,
         keys: list[str],
         order_col: str | None,
+        updates_key_unique: bool = False,
     ) -> int:
         """Partition-pruned merge: anti-join only within touched
         partitions; untouched partition dirs are hard-linked from the
@@ -911,7 +992,11 @@ class VersionedParquetTable:
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         old = self.read(spark)
         merged = keyed_upsert(
-            old.filter(F.col(pcol).isin(touched)), updates, keys, order_col
+            old.filter(_null_safe_isin(F.col(pcol), touched)),
+            updates,
+            keys,
+            order_col,
+            updates_key_unique=updates_key_unique,
         )
         new_version = self.claim_version()
         target = self._version_dir(new_version)
@@ -1027,7 +1112,7 @@ class VersionedParquetTable:
             .distinct()
             .collect()
         ]
-        kept = raw.filter(F.col(pcol).isin(touched))
+        kept = raw.filter(_null_safe_isin(F.col(pcol), touched))
         remaining = kept.join(
             F.broadcast(dk2), on=cond(kept), how="left_anti"
         )
@@ -1114,6 +1199,8 @@ class VersionedParquetTable:
 
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
+        import errno
+
         for dirpath, _dirnames, filenames in os.walk(src):
             rel = os.path.relpath(dirpath, src)
             out = os.path.join(dst, rel) if rel != "." else dst
@@ -1122,7 +1209,16 @@ class VersionedParquetTable:
                 s, d = os.path.join(dirpath, fn), os.path.join(out, fn)
                 try:
                     os.link(s, d)
-                except OSError:
+                except OSError as e:
+                    # Copy ONLY for the cross-device case the fallback
+                    # exists for. The old bare `except OSError` also
+                    # swallowed EEXIST and copy2'd OVER the existing
+                    # file — an in-place mutation of a "committed
+                    # immutable" version dir when a destination
+                    # collided (r11 review catch); any other failure
+                    # now propagates loudly.
+                    if e.errno != errno.EXDEV:
+                        raise
                     shutil.copy2(s, d)  # cross-device fallback
 
     def compact(self, spark: SparkSession, files_per_partition: int = 1) -> int:
@@ -1330,16 +1426,29 @@ class VersionedParquetTable:
         """Fast-forward main to the branch head and delete the branch.
 
         Raises if main diverged from the branch's base — the branch
-        must be recreated from current main and replayed (rebase)."""
+        must be recreated from current main and replayed (rebase).
+
+        The divergence check and the pointer swing run as ONE
+        :meth:`commit_if` CAS under ``_COMMIT_LOCK`` (r11 review
+        catch: the old hand-rolled check-then-``_commit`` could
+        last-write-wins over a concurrent OCC writer that committed
+        between the check and the swing — the exact lost update M24
+        exists to prevent). The branch pointer is removed only AFTER
+        the commit succeeds: a crash in between leaves a merged main
+        plus a now-stale branch (deletable, nothing lost), whereas
+        the old delete-first order stranded the head as anonymous
+        staged-uncommitted work."""
         ref = self._branch_ref(name)
-        cur = self.current_version()
-        if cur != ref["base"]:
+        try:
+            merged = self.commit_if(ref["head"], ref["base"])
+        except ConcurrentWriteError as e:
             raise RuntimeError(
-                f"branch {name!r} based on v{ref['base']} but main is "
-                f"at v{cur}: diverged; rebase (re-branch and replay)"
-            )
+                f"branch {name!r} based on v{ref['base']} diverged from "
+                f"main or the commit lock is held: {e}; rebase "
+                f"(re-branch and replay)"
+            ) from e
         os.remove(self._branch_pointer(name))
-        return self._commit(ref["head"])
+        return merged
 
     def delete_branch(self, name: str) -> None:
         os.remove(self._branch_pointer(name))
@@ -1367,6 +1476,22 @@ class VersionedParquetTable:
             raise ValueError(
                 f"rollback target v{to_version} is not earlier than "
                 f"current v{cur}"
+            )
+        # The dir existing is not enough: an OCC loser that claimed a
+        # number and died before writing leaves an EMPTY dir below the
+        # pointer (version_states: unlogged-orphan). The old guards
+        # accepted it and the "successful" restore made every read()
+        # raise until someone rolled back again (r11 review catch).
+        # The real test is committed-log membership (the log heals
+        # from the pointer via _heal_history, called above): a restore
+        # target must have been PUBLISHED once — rolling back to a
+        # staged-uncommitted dir would silently publish someone's
+        # abandoned write; that act is publish()'s, made explicitly.
+        if to_version not in set(self._committed_versions()):
+            raise ValueError(
+                f"cannot rollback to v{to_version}: never committed "
+                f"(a claimed/staged slot — see version_states(); use "
+                f"publish() if releasing staged work is intended)"
             )
         self._heal_history()  # same swing→log gap as _commit
         # ONE timestamp for pointer and log: the heal check matches a
@@ -1496,6 +1621,15 @@ class VersionedParquetTable:
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError("cannot clone an empty table")
+        # Refuse a non-empty destination: linking into an existing
+        # table dir would collide with (and under the old EEXIST-
+        # swallowing fallback, overwrite) its committed files (r11
+        # review catch). A clone target is a NEW table, full stop.
+        if os.path.isdir(dst_root) and os.listdir(dst_root):
+            raise FileExistsError(
+                f"clone_to target {dst_root!r} is not empty — refusing "
+                "to link into an existing table; choose a fresh path"
+            )
         clone = VersionedParquetTable(dst_root, partition_by=self.partition_by)
         target = clone._version_dir(1)
         os.makedirs(target, exist_ok=True)
@@ -1621,8 +1755,22 @@ def scd2_apply(
     vt_type = history.schema["valid_to"].dataType.simpleString()
     out_cols = keys + tracked + ["valid_from", "valid_to", "is_current"]
     upd = dedup_last_write_wins(updates, keys, order_col=eff_col)
-    cur = history.filter(F.col("is_current"))
-    closed = history.filter(~F.col("is_current"))
+    # A NULL is_current (nullable external history) fails LOUDLY: both
+    # three-valued filters below would silently drop such rows from
+    # open AND closed slices — row loss on every apply (r11 review
+    # catch). Malformed history must be repaired, not shrunk.
+    flag = F.when(
+        F.col("is_current").isNull(),
+        F.raise_error(
+            F.lit(
+                "scd2_apply: NULL is_current in history — the row "
+                "belongs to neither slice and would silently vanish; "
+                "repair the flag upstream"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.col("is_current"))
+    cur = history.filter(flag)
+    closed = history.filter(~flag)
 
     c = cur.select(
         *[F.col(n).alias(f"c_{n}") for n in keys + tracked],

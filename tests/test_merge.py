@@ -2389,3 +2389,121 @@ def test_rollback_then_commit_adds_no_spurious_heal_line(spark, tmp_path):
     with open(os.path.join(table.root, "_HISTORY.jsonl")) as fh:
         entries = [_json.loads(ln) for ln in fh if ln.strip()]
     assert [e["version"] for e in entries] == [1, 2, 1, 3]
+
+
+def test_abandon_removes_stale_tombstones_with_the_slot(spark, tmp_path):
+    """abandon() must take _DELETES_v{N} WITH the version dir: the
+    version counter allocates from max-on-disk, so the freed number is
+    reused and a surviving tombstone set would anti-join ITS stale
+    keys out of the unrelated future occupant — silent row loss (r11
+    review catch)."""
+    table = VersionedParquetTable(str(tmp_path / "t"))
+    table.overwrite(make_df(spark, [("a", 1, "v1"), ("b", 1, "v1")]))
+    # Stage a crashed MOR delete: claimed v2 + _DELETES_v2, no commit.
+    staged = table.claim_version()
+    os.makedirs(table._deletes_dir(staged), exist_ok=True)
+    make_df(spark, [("a", 0, "x")]).select("k").write.mode("overwrite").parquet(
+        table._deletes_dir(staged)
+    )
+    table.abandon(staged)
+    assert not os.path.isdir(table._deletes_dir(staged))
+    # The reused number's occupant keeps ALL its rows.
+    v = table.upsert(spark, make_df(spark, [("c", 1, "v2")]), keys=["k"])
+    assert v == staged, "freed number should be reused (max-on-disk)"
+    assert {r.k for r in table.read(spark).collect()} == {"a", "b", "c"}
+
+
+def test_partitioned_ops_handle_null_partition_values(spark, tmp_path):
+    """A NULL hive partition (__HIVE_DEFAULT_PARTITION__) must merge
+    and delete like any other: the old null-unsafe isin(touched)
+    neither rewrote nor re-linked it, so a 1-key delete destroyed
+    every other row of the NULL partition (r11 review catch)."""
+    table = VersionedParquetTable(str(tmp_path / "tp"), partition_by="val")
+    rows = [("a", 1, None), ("b", 1, None), ("c", 1, "x"), ("d", 1, "x")]
+    table.overwrite(make_df(spark, rows))
+    # Delete one key living in the NULL partition.
+    table.delete(spark, make_df(spark, [("a", 1, None)]).select("k"), ["k"])
+    got = {(r.k, r.val) for r in table.read(spark).collect()}
+    assert got == {("b", None), ("c", "x"), ("d", "x")}, (
+        "the NULL partition's other rows must survive a 1-key delete"
+    )
+    # And upserting INTO the NULL partition merges, not duplicates.
+    table.upsert(spark, make_df(spark, [("b", 2, None)]), keys=["k"])
+    got = {(r.k, r.ord, r.val) for r in table.read(spark).collect()}
+    assert got == {("b", 2, None), ("c", 1, "x"), ("d", 1, "x")}
+
+
+def test_rollback_refuses_never_committed_slot(spark, tmp_path):
+    """rollback to a claimed-but-never-written (or staged-uncommitted)
+    version must refuse: the old guards accepted an OCC loser's empty
+    slot and the 'successful' restore made every read() raise until
+    someone rolled back again (r11 review catch)."""
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "tr"))
+    table.overwrite(make_df(spark, [("a", 1, "v1")]))
+    # The OCC loser: claims the next number, dies before writing —
+    # an empty dir that was NEVER in the commit log.
+    dead = table.claim_version()
+    assert dead == 2 and not os.listdir(table._version_dir(dead))
+    # A competitor commits past it; current is now above the corpse.
+    table.overwrite(make_df(spark, [("a", 3, "v3")]))
+    with _pytest.raises(ValueError, match="never committed"):
+        table.rollback(dead)
+    # A genuinely committed target still restores.
+    assert table.rollback(1) == 1
+    assert {r.val for r in table.read(spark).collect()} == {"v1"}
+
+
+def test_clone_to_refuses_non_empty_destination(spark, tmp_path):
+    """Cloning onto an existing table must fail loudly — the old
+    EEXIST-swallowing link fallback copy2'd OVER the destination's
+    committed files, corrupting it in place (r11 review catch)."""
+    import pytest as _pytest
+
+    src = VersionedParquetTable(str(tmp_path / "src"))
+    src.overwrite(make_df(spark, [("a", 1, "s")]))
+    dst = VersionedParquetTable(str(tmp_path / "dst"))
+    dst.overwrite(make_df(spark, [("z", 1, "d")]))
+    with _pytest.raises(FileExistsError, match="not empty"):
+        src.clone_to(str(tmp_path / "dst"))
+    # The destination is untouched.
+    assert {r.k for r in dst.read(spark).collect()} == {"z"}
+
+
+def test_merge_branch_cas_rejects_concurrent_main_commit(spark, tmp_path):
+    """merge_branch must CAS against the branch base under the commit
+    lock: the old hand-rolled check-then-commit could last-write-wins
+    over an OCC writer that committed between the check and the swing
+    (r11 review catch). Simulated by advancing main after branching."""
+    import pytest as _pytest
+
+    table = VersionedParquetTable(str(tmp_path / "tb"))
+    table.overwrite(make_df(spark, [("a", 1, "main1")]))
+    table.create_branch("exp")
+    table.write_branch("exp", make_df(spark, [("a", 2, "branch")]))
+    # Concurrent main commit AFTER the branch was cut.
+    table.overwrite(make_df(spark, [("a", 3, "main2")]))
+    with _pytest.raises(RuntimeError, match="rebase"):
+        table.merge_branch("exp")
+    # Branch pointer survives the refused merge (delete-after-commit).
+    assert table.read_branch(spark, "exp").collect()[0].val == "branch"
+    assert table.read(spark).collect()[0].val == "main2"
+
+
+def test_dedup_tolerates_map_columns_with_order_col(spark):
+    """A map-typed payload column must not make the table
+    un-upsertable: maps are unorderable and the old tie-break put
+    EVERY non-key column in the window ORDER BY (r11 review catch).
+    Without order_col and only map payloads, the error is loud."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": "1"}), ("a", 2, {"x": "2"}), ("b", 1, {"y": "3"})],
+        "k string, ord int, attrs map<string,string>",
+    )
+    out = dedup_last_write_wins(df, ["k"], order_col="ord")
+    assert {(r.k, r.ord) for r in out.collect()} == {("a", 2), ("b", 1)}
+    maps_only = df.select("k", "attrs")
+    with _pytest.raises(ValueError, match="order_col"):
+        dedup_last_write_wins(maps_only, ["k"])
