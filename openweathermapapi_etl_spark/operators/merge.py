@@ -58,6 +58,29 @@ class ConcurrentWriteError(RuntimeError):
     writer holds the commit lock). Re-read and retry the merge."""
 
 
+def _all_eq_nullsafe(pairs) -> Column:
+    """AND-fold of ``eqNullSafe`` over (left, right) column pairs —
+    THE null-safe equi-join condition every merge-path join builds
+    (r11 review: the hand-rolled fold was copied at eight sites with
+    slight variations; a join-semantics fix must land exactly once)."""
+    cond = None
+    for left, right in pairs:
+        e = left.eqNullSafe(right)
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _any_neq_nullsafe(pairs) -> Column:
+    """OR-fold of negated ``eqNullSafe`` — "any tracked column
+    differs", the change-detection twin of :func:`_all_eq_nullsafe`
+    (SCD2 close decisions, snapshot-diff update classification)."""
+    changed = None
+    for left, right in pairs:
+        d = ~left.eqNullSafe(right)
+        changed = d if changed is None else changed | d
+    return changed
+
+
 def _null_safe_isin(col: Column, values: list) -> Column:
     """NULL-safe membership for partition-value lists: ``isin`` is
     three-valued (NULL in, NULL out), so a ``touched`` list containing
@@ -179,10 +202,9 @@ def keyed_upsert(
             *[F.col(k).alias(f"__u_{k}") for k in keys]
         )
         anti_right = F.broadcast(anti_keys) if broadcast_updates else anti_keys
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
-            cond = c if cond is None else cond & c
+        cond = _all_eq_nullsafe(
+            (F.col(k), F.col(f"__u_{k}")) for k in keys
+        )
         survivors = old.join(anti_right, on=cond, how="left_anti")
         return deduped.unionByName(survivors, allowMissingColumns=True)
     deduped = deduped.select(*old.columns)  # align column order
@@ -192,10 +214,7 @@ def keyed_upsert(
         *[F.col(k).alias(f"__u_{k}") for k in keys]
     )
     anti_right = F.broadcast(anti_keys) if broadcast_updates else anti_keys
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
-        cond = c if cond is None else cond & c
+    cond = _all_eq_nullsafe((F.col(k), F.col(f"__u_{k}")) for k in keys)
     survivors = old.join(anti_right, on=cond, how="left_anti")
     return deduped.unionByName(survivors)
 
@@ -424,10 +443,7 @@ class VersionedParquetTable:
         tomb_dir = self._deletes_dir(version)
         if os.path.isdir(tomb_dir):
             tomb = spark.read.parquet(tomb_dir)
-            cond = None
-            for k in tomb.columns:
-                c = df[k].eqNullSafe(tomb[k])
-                cond = c if cond is None else cond & c
+            cond = _all_eq_nullsafe((df[k], tomb[k]) for k in tomb.columns)
             df = df.join(F.broadcast(tomb), on=cond, how="left_anti")
         return df
 
@@ -942,18 +958,14 @@ class VersionedParquetTable:
         bk = deduped.select(
             *[F.col(k).alias(f"__bk_{k}") for k in keys]
         ).distinct()
-        kcond = None
-        for k in keys:
-            e = current[k].eqNullSafe(bk[f"__bk_{k}"])
-            kcond = e if kcond is None else kcond & e
+        kcond = _all_eq_nullsafe((current[k], bk[f"__bk_{k}"]) for k in keys)
         cur_slice = current.join(F.broadcast(bk), on=kcond, how="left_semi")
         cur2 = cur_slice.select(
             *[F.col(c).alias(f"__cur_{c}") for c in current.columns]
         )
-        fcond = None
-        for c in current.columns:
-            e = deduped[c].eqNullSafe(cur2[f"__cur_{c}"])
-            fcond = e if fcond is None else fcond & e
+        fcond = _all_eq_nullsafe(
+            (deduped[c], cur2[f"__cur_{c}"]) for c in current.columns
+        )
         noop_keys = deduped.join(
             F.broadcast(cur2), on=fcond, how="left_semi"
         ).select(*keys)
@@ -1072,10 +1084,7 @@ class VersionedParquetTable:
         dk2 = dk.select(
             *[F.col(k).alias(f"__dk_{k}") for k in keys]
         ).distinct()
-        cond = None
-        for k in keys:
-            c = df[k].eqNullSafe(dk2[f"__dk_{k}"])
-            cond = c if cond is None else cond & c
+        cond = _all_eq_nullsafe((df[k], dk2[f"__dk_{k}"]) for k in keys)
         return df.join(F.broadcast(dk2), on=cond, how="left_anti")
 
     def _delete_partitioned_core(
@@ -1099,11 +1108,9 @@ class VersionedParquetTable:
         ).distinct()
 
         def cond(frame):
-            c = None
-            for k in keys:
-                e = frame[k].eqNullSafe(dk2[f"__dk_{k}"])
-                c = e if c is None else c & e
-            return c
+            return _all_eq_nullsafe(
+                (frame[k], dk2[f"__dk_{k}"]) for k in keys
+            )
 
         touched = [
             r[0]
@@ -1783,16 +1790,14 @@ def scd2_apply(
         F.col(eff_col).alias("u_eff"),
         F.lit(True).alias("u_present"),
     )
-    cond = None
-    for k in keys:
-        e = F.col(f"c_{k}").eqNullSafe(F.col(f"u_{k}"))
-        cond = e if cond is None else cond & e
+    cond = _all_eq_nullsafe(
+        (F.col(f"c_{k}"), F.col(f"u_{k}")) for k in keys
+    )
     j = c.join(u, cond, "full_outer")
 
-    changed = None
-    for x in tracked:
-        d = ~F.col(f"c_{x}").eqNullSafe(F.col(f"u_{x}"))
-        changed = d if changed is None else changed | d
+    changed = _any_neq_nullsafe(
+        (F.col(f"c_{x}"), F.col(f"u_{x}")) for x in tracked
+    )
 
     def row(side: str, vfrom, vto, is_cur: bool):
         return F.struct(
@@ -1865,16 +1870,14 @@ def snapshot_diff(
         *[F.col(c).alias(f"new_{c}") for c in tracked],
         F.lit(True).alias("_new_present"),
     )
-    cond = None
-    for k in keys:
-        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
-        cond = c if cond is None else cond & c
+    cond = _all_eq_nullsafe(
+        (F.col(f"_ok_{k}"), F.col(f"_nk_{k}")) for k in keys
+    )
     j = o.join(n, on=cond, how="full_outer")
 
-    changed = None
-    for c in tracked:
-        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        changed = d if changed is None else changed | d
+    changed = _any_neq_nullsafe(
+        (F.col(f"old_{c}"), F.col(f"new_{c}")) for c in tracked
+    )
 
     out = (
         j.withColumn(
