@@ -284,13 +284,24 @@ def main() -> None:
     force(QUERIES["b01_parquet_scan"](spark, sf_dir))
 
     names = list(QUERIES) if run_all else BENCH_QUERIES
+    # Headline mode reports MIN-OF-2 per query (r11 verdict Next #3):
+    # the single-shot numbers carried a uniform ~1.15x session/cache
+    # noise band that polluted round-over-round diffs — real
+    # regressions could hide inside it. The first (cold) run pays file
+    # listing + codegen + JIT; the min is the comparable figure. --all
+    # stays single-shot (the full book is 357 queries; its committed
+    # BENCH_FULL baseline is already min-across-sweeps by method).
+    repeats = 1 if run_all else 2
     timings: dict[str, float] = {}
     for name in names:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -298,6 +309,9 @@ def main() -> None:
                 "metric": (
                     "full_book_runtime" if run_all
                     else "headline_queries_total_runtime"
+                ),
+                "method": (
+                    "single_shot" if run_all else f"min_of_{repeats}"
                 ),
                 "value": round(sum(timings.values()), 3),
                 "value_prev_set": round(

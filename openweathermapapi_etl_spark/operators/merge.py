@@ -1489,18 +1489,19 @@ class VersionedParquetTable:
         # pointer (version_states: unlogged-orphan). The old guards
         # accepted it and the "successful" restore made every read()
         # raise until someone rolled back again (r11 review catch).
-        # The real test is committed-log membership (the log heals
-        # from the pointer via _heal_history, called above): a restore
-        # target must have been PUBLISHED once — rolling back to a
-        # staged-uncommitted dir would silently publish someone's
-        # abandoned write; that act is publish()'s, made explicitly.
+        # The real test is committed-log membership (healed FIRST so a
+        # crashed swing's unlogged current version is back-filled
+        # before the log is read): a restore target must have been
+        # PUBLISHED once — rolling back to a staged-uncommitted dir
+        # would silently publish someone's abandoned write; that act
+        # is publish()'s, made explicitly.
+        self._heal_history()  # same swing→log gap as _commit
         if to_version not in set(self._committed_versions()):
             raise ValueError(
                 f"cannot rollback to v{to_version}: never committed "
                 f"(a claimed/staged slot — see version_states(); use "
                 f"publish() if releasing staged work is intended)"
             )
-        self._heal_history()  # same swing→log gap as _commit
         # ONE timestamp for pointer and log: the heal check matches a
         # history line against the pointer record exactly, so stamping
         # the two with separate time.time() calls would make every

@@ -5,7 +5,12 @@ Importing this package populates :data:`QUERIES` / :data:`ORACLES`
 correctness driver.
 """
 
-from .registry import ORACLES, QUERIES, register  # noqa: F401
+from .registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    ROWS_ONLY_BY_DESIGN,
+    register,
+)
 
 # Import for side effects: each module registers its queries.
 from . import relational  # noqa: E402,F401

@@ -18,6 +18,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Queries DELIBERATELY registered without a DuckDB oracle, with the
+#: reason (arrival-order dependence, hash-implementation dependence,
+#: ...). The driver renders a no-oracle query as an ``err`` row, which
+#: reads red even when the rows-only check is green — this marker is
+#: passed through ``__spark_entry__.rows_only_by_design()`` so a green
+#: round's record is self-explaining (r11 verdict Next #5). A query
+#: lacking BOTH an oracle and an entry here fails the registry test:
+#: oracle-lessness must always be a documented decision.
+ROWS_ONLY_BY_DESIGN: dict[str, str] = {}
+
 
 def canonicalizable_violations(schema) -> list[str]:
     """Columns whose type the correctness driver cannot canonicalize.
@@ -40,15 +50,36 @@ def canonicalizable_violations(schema) -> list[str]:
     ]
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a named query and (optionally) its oracle."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    rows_only_reason: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle.
+
+    A query with NO oracle must state ``rows_only_reason`` — the
+    one-line justification recorded in :data:`ROWS_ONLY_BY_DESIGN` and
+    surfaced to the driver via ``rows_only_by_design()``.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is None and rows_only_reason is None:
+            raise ValueError(
+                f"query {name!r} has no oracle and no rows_only_reason "
+                f"— oracle-lessness must be a documented decision"
+            )
+        if oracle is not None and rows_only_reason is not None:
+            raise ValueError(
+                f"query {name!r} has BOTH an oracle and a "
+                f"rows_only_reason — pick one"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        else:
+            ROWS_ONLY_BY_DESIGN[name] = rows_only_reason
         return fn
 
     return deco

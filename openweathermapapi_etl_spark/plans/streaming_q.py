@@ -80,7 +80,14 @@ def b38_stream_microbatch_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "b38_out", "complete")
 
 
-@register("b39_watermark_late_drop")
+@register(
+    "b39_watermark_late_drop",
+    rows_only_reason=(
+        "arrival-order dependent: which late rows the watermark drops "
+        "depends on micro-batch arrival order, which no batch SQL "
+        "oracle can replay"
+    ),
+)
 def b39_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39 (rows-only — arrival-order semantics have no batch oracle):
     newer half of events arrives first, advancing the 10-minute
@@ -294,7 +301,14 @@ def b43_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(deduped, "b43w_out", "append")
 
 
-@register("b43_streaming_dedup_watermarked_evicting")
+@register(
+    "b43_streaming_dedup_watermarked_evicting",
+    rows_only_reason=(
+        "arrival-order dependent: which duplicate survives (and which "
+        "late duplicates re-emit after state eviction) depends on "
+        "micro-batch arrival order — no batch SQL equivalent"
+    ),
+)
 def b43_streaming_dedup_watermarked_evicting(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

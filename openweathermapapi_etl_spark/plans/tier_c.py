@@ -640,7 +640,15 @@ def c05_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_metadata(wrapped, "id")
 
 
-@register("c02_minhash_fast")
+@register(
+    "c02_minhash_fast",
+    rows_only_reason=(
+        "hash-implementation dependent: signatures come from Spark's "
+        "xxhash64 JVM intrinsic, which DuckDB cannot reproduce; the "
+        "portable-hash twin c02_minhash_signatures is the exact-oracle "
+        "check of the same pipeline"
+    ),
+)
 def c02_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2a-prod (rows-only by design): the production MinHash flavor —
     xxhash64 (one JVM intrinsic per shingle) instead of the portable

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Iterator
@@ -98,11 +99,24 @@ class _JsonlDirWriter(DataSourceWriter):
         return _FileCommit(tmp_name=tmp, n_rows=n)
 
     def _manifest_files(self) -> list[dict]:
+        # ONLY a missing manifest means "no prior commits". Any other
+        # read/parse failure (permissions, truncated JSON, missing
+        # "files" key) must ABORT the commit: swallowing it here would
+        # make append mode atomically replace a manifest it could not
+        # read with only the new batch's files — silently dropping
+        # every previously committed file from readers (r12 advisor
+        # catch; the same silent-data-loss class fixed in merge.py).
         try:
             with open(os.path.join(self.path, MANIFEST)) as fh:
                 return list(json.load(fh)["files"])
-        except (OSError, ValueError, KeyError):
+        except FileNotFoundError:
             return []
+        except (OSError, ValueError, KeyError) as e:
+            raise RuntimeError(
+                f"unreadable sink manifest at "
+                f"{os.path.join(self.path, MANIFEST)} — refusing to "
+                f"commit over committed history it cannot merge: {e}"
+            ) from e
 
     def commit(self, messages) -> None:
         files = []
@@ -115,14 +129,40 @@ class _JsonlDirWriter(DataSourceWriter):
                 os.path.join(self.path, final),
             )
             files.append({"file": final, "n_rows": m.n_rows})
-        prior = self._manifest_files()
-        manifest = files if self.overwrite else prior + files
-        manifest_tmp = os.path.join(self.path, MANIFEST + ".tmp")
-        with open(manifest_tmp, "w") as fh:
-            json.dump({"files": manifest}, fh)
-        # The atomic commit point: readers trust only manifest-listed
-        # files, and the manifest appears all-at-once or not at all.
-        os.replace(manifest_tmp, os.path.join(self.path, MANIFEST))
+        # The manifest update is a read-modify-write (append merges the
+        # prior list); a short exclusive lock file serializes concurrent
+        # saves to the same path so the second committer can't erase the
+        # first's files from the manifest (r12 advisor catch — same
+        # discipline as the version store's _COMMIT_LOCK). Bounded
+        # retries, then fail loudly: a writer that died holding it
+        # leaves the lock behind, removable once confirmed dead.
+        lock = os.path.join(self.path, MANIFEST + ".lock")
+        fd = None
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.05)
+        if fd is None:
+            raise RuntimeError(
+                f"sink manifest lock held at {lock} — another writer is "
+                f"mid-commit (or died holding it; remove after fencing)"
+            )
+        try:
+            prior = self._manifest_files()
+            manifest = files if self.overwrite else prior + files
+            manifest_tmp = os.path.join(
+                self.path, f"{MANIFEST}.{self.commit_id}.tmp"
+            )
+            with open(manifest_tmp, "w") as fh:
+                json.dump({"files": manifest}, fh)
+            # The atomic commit point: readers trust only manifest-listed
+            # files, and the manifest appears all-at-once or not at all.
+            os.replace(manifest_tmp, os.path.join(self.path, MANIFEST))
+        finally:
+            os.close(fd)
+            os.unlink(lock)
         if self.overwrite:
             # Superseded data files are unreachable the instant the
             # manifest swings; removing them afterwards is cleanup,
@@ -169,6 +209,8 @@ def committed_files(path: str) -> list[str]:
     try:
         with open(os.path.join(path, MANIFEST)) as fh:
             manifest = json.load(fh)
-    except OSError:
+    except FileNotFoundError:
+        # Missing manifest = no commit ever succeeded. Any OTHER read
+        # failure raises: an EACCES/truncated manifest is not "empty".
         return []
     return [os.path.join(path, f["file"]) for f in manifest["files"]]

@@ -76,6 +76,35 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+    # rows_only_by_design() (r11 verdict Next #5): exactly the queries
+    # with NO oracle, each with a non-empty reason — so the driver's
+    # err:no_oracle rendering of these three has a self-explaining
+    # pass-through and a silently oracle-less query cannot register.
+    rob = mod.rows_only_by_design()
+    assert set(rob) == set(mod.queries()) - set(mod.oracle_sql())
+    assert all(isinstance(r, str) and r for r in rob.values())
+    assert set(rob) == {
+        "b39_watermark_late_drop",
+        "b43_streaming_dedup_watermarked_evicting",
+        "c02_minhash_fast",
+    }
+
+
+def test_register_requires_oracle_or_documented_reason():
+    """Oracle-lessness must be a documented decision: register() with
+    neither an oracle nor a rows_only_reason (or with both) raises."""
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.plans.registry import register
+
+    with _pytest.raises(ValueError, match="no oracle and no rows_only_reason"):
+        register("zz_test_no_oracle")(lambda spark, sf: None)
+    with _pytest.raises(ValueError, match="BOTH an oracle and a"):
+        register("zz_test_both", oracle="SELECT 1", rows_only_reason="x")(
+            lambda spark, sf: None
+        )
+    assert "zz_test_no_oracle" not in QUERIES
+    assert "zz_test_both" not in QUERIES
 
 
 def test_driver_window_rotates_to_stalest_checked():

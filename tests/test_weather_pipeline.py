@@ -497,6 +497,87 @@ def test_jsonl_sink_requires_path(spark):
         df.write.format("jsonl_dir").mode("append").save()
 
 
+def _staged_writer(jd, out, n_rows=1):
+    """A writer with one already-written temp file + its commit
+    message, driving the driver-side commit() directly (no Spark job
+    needed to exercise the manifest protocol)."""
+    w = jd._JsonlDirWriter({"path": str(out)}, overwrite=False)
+    tmp = f"_tmp_{w.commit_id}_unit.jsonl"
+    (out / tmp).write_text('{"id": 0}\n' * n_rows)
+    return w, jd._FileCommit(tmp_name=tmp, n_rows=n_rows)
+
+
+def test_jsonl_sink_unreadable_manifest_refuses_commit(tmp_path):
+    """ONLY a missing manifest means "no prior commits". A corrupt or
+    unreadable one must ABORT the commit instead of being atomically
+    replaced with just the new batch's files — the old `except
+    (OSError, ValueError, KeyError): return []` silently dropped every
+    previously committed file from readers (r12 advisor catch)."""
+    from openweathermapapi_etl_spark.sources import jsonl_datasource as jd
+
+    out = tmp_path / "sink_corrupt_manifest"
+    out.mkdir()
+    (out / jd.MANIFEST).write_text("{this is not json")
+    w, msg = _staged_writer(jd, out)
+    with pytest.raises(RuntimeError, match="unreadable sink manifest"):
+        w.commit([msg])
+    # the commit point never swung: the unreadable manifest survives
+    # byte-for-byte for an operator to inspect, and no lock leaks
+    assert (out / jd.MANIFEST).read_text() == "{this is not json"
+    assert not (out / (jd.MANIFEST + ".lock")).exists()
+    # the reader raises on it too (unreadable != empty)
+    with pytest.raises(json.JSONDecodeError):
+        jd.committed_files(str(out))
+
+
+def test_jsonl_sink_concurrent_appends_all_survive(tmp_path):
+    """The manifest merge is a read-modify-write; the per-path lock
+    file must serialize concurrent append commits so the last one
+    can't erase earlier commits' files from the manifest (r12 advisor
+    catch — without the lock this test loses files nondeterministically)."""
+    import threading
+
+    from openweathermapapi_etl_spark.sources import jsonl_datasource as jd
+
+    out = tmp_path / "sink_concurrent_append"
+    out.mkdir()
+    staged = [_staged_writer(jd, out) for _ in range(8)]
+    barrier = threading.Barrier(len(staged))
+    errs: list[Exception] = []
+
+    def go(w, m):
+        barrier.wait()
+        try:
+            w.commit([m])
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=go, args=(w, m)) for w, m in staged
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert len(jd.committed_files(str(out))) == len(staged)
+    assert not (out / (jd.MANIFEST + ".lock")).exists()
+
+
+def test_jsonl_sink_stale_lock_fails_loudly(tmp_path, monkeypatch):
+    """A lock left by a dead writer must surface as an error after the
+    bounded retries — never a silent skip or an unlocked write."""
+    from openweathermapapi_etl_spark.sources import jsonl_datasource as jd
+
+    monkeypatch.setattr(jd.time, "sleep", lambda s: None)  # fast retries
+    out = tmp_path / "sink_stale_lock"
+    out.mkdir()
+    (out / (jd.MANIFEST + ".lock")).write_text("")
+    w, msg = _staged_writer(jd, out)
+    with pytest.raises(RuntimeError, match="manifest lock held"):
+        w.commit([msg])
+
+
 def _ds_dist_stream(spark, canned: dict, cities: str):
     import json as _json
 

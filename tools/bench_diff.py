@@ -45,8 +45,13 @@ def load_queries(path: str) -> dict[str, float]:
     tail = doc.get("tail")
     if isinstance(tail, str):
         pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)
-        skip = {"sf", "value", "value_prev_set", "n", "rc", "cpus"}
-        return {k: float(v) for k, v in pairs if k not in skip}
+        # Whitelist by query-name shape (tier prefix a/b/c/m + number,
+        # or flagship_*) instead of blacklisting wrapper keys: any
+        # present-or-future numeric wrapper field would otherwise be
+        # misreported as a query and trigger spurious regressed/missing
+        # verdicts (r12 advisor catch).
+        qname = re.compile(r"^(?:[abcm]\d+[a-z]?_|flagship_)")
+        return {k: float(v) for k, v in pairs if qname.match(k)}
     return {k: float(v) for k, v in doc.items()
             if isinstance(v, (int, float))}
 
