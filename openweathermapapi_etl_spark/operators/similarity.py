@@ -210,6 +210,45 @@ def embedding_neardup_pairs(
     )
 
 
+def _semdedup_candidates(
+    assigned: DataFrame, max_cell_witnesses: int | None = None
+) -> DataFrame:
+    """The pre-threshold in-cell candidate pair frame SemDeDup scores —
+    factored out so the pair-work bound is directly countable by the
+    cap regression test (r11 verdict Next #4: rows processed, not wall
+    time). ``max_cell_witnesses=M`` keeps only the M LOWEST ids per
+    cell on the witness (lo) side, bounding per-cell pair work at
+    ``M x n_c`` instead of ``n_c^2``. That cap is EXACT in the regime
+    it guards — duplicate blowup — because a near-duplicate group's
+    min-id member sorts to the front of its cell, so every group keeps
+    its witness as long as the cell holds <= M distinct groups; recall
+    degrades only when distinct-group count per cell exceeds M (the
+    uniform-growth case, where the right lever is scaling
+    ``centroid_mod`` ~ sqrt(N) instead)."""
+    from pyspark.sql import Window as W
+
+    lo = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vid").alias("id_lo"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    if max_cell_witnesses is not None:
+        wrank = W.partitionBy("cid").orderBy("id_lo")
+        lo = (
+            lo.withColumn("_wr", F.row_number().over(wrank))
+            .filter(F.col("_wr") <= max_cell_witnesses)
+            .drop("_wr")
+        )
+    hi = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vid").alias("id_hi"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    return lo.join(hi, on="cid").filter(F.col("id_lo") < F.col("id_hi"))
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -217,6 +256,7 @@ def semdedup(
     threshold: float = 0.3,
     centroid_mod: int = 40,
     pin: bool = True,
+    max_cell_witnesses: int | None = None,
 ) -> DataFrame:
     """C2g: SemDeDup — cluster-bucketed SEMANTIC deduplication
     (Abbas et al. 2023, arXiv:2303.09540): assign every embedding to
@@ -242,6 +282,14 @@ def semdedup(
     (the paper uses k ≈ √N clusters from a trained k-means — swap
     :func:`kmeans_update` centroids in; the deterministic
     ``id % centroid_mod`` stand-in keeps this oracle-expressible).
+
+    Duplicate blowup (sf1 probe, SCALE.md: x100 cell pair work for x10
+    data at duplicate-factor 10): ``max_cell_witnesses=M`` bounds each
+    cell's pair work at ``M x n_c`` — exact under duplication, where
+    every dup group's min-id witness sorts into the cell's first M ids
+    (see :func:`_semdedup_candidates`; regression-pinned by
+    test_semdedup_witness_cap_bounds_pair_work). Default ``None``
+    keeps the full within-cell quadratic (the oracle-checked spelling).
 
     Returns every corpus row: (id, centroid_id, is_kept).
     """
@@ -277,21 +325,8 @@ def semdedup(
     # (same policy knob as operators/rank.py::global_rank).
     if pin:
         assigned = assigned.localCheckpoint(eager=False)
-    lo = assigned.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vid").alias("id_lo"),
-        F.col("v").alias("va"),
-        F.col("vn").alias("na"),
-    )
-    hi = assigned.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vid").alias("id_hi"),
-        F.col("v").alias("vb"),
-        F.col("vn").alias("nb"),
-    )
     dropped = (
-        lo.join(hi, on="cid")
-        .filter(F.col("id_lo") < F.col("id_hi"))
+        _semdedup_candidates(assigned, max_cell_witnesses)
         .filter(
             cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
             >= threshold

@@ -844,6 +844,89 @@ def test_semdedup_transitive_chain_keeps_only_min_id(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
+def test_semdedup_witness_cap_bounds_pair_work(spark):
+    """r11 verdict Next #4 — pin the duplicate-blowup bound the sf1
+    probe measured (x100 cell pair work for x10 data): on a
+    duplicate-factor-10 corpus, ``max_cell_witnesses=M`` must bound
+    per-cell candidate PAIRS (rows processed, not wall time) at
+    ``M x n_c`` instead of ``n_c^2``, and — because every dup group's
+    min-id witness sorts into its cell's first M ids — produce the
+    IDENTICAL keep/drop decisions as the uncapped quadratic."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.similarity import (
+        _semdedup_candidates,
+        norm_fold,
+        semdedup,
+    )
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    # Duplicate factor 10: nine extra exact copies, ids offset by
+    # k*10001 so copies are never centroid seeds (ids % 40 != 0) and
+    # every base id sorts BELOW every copy id within its cell.
+    dup = base
+    for k in range(1, 10):
+        dup = dup.union(
+            base.select(
+                (F.col("vec_id") + k * 10001).alias("vec_id"), "embedding"
+            )
+        )
+    dup = dup.localCheckpoint()
+
+    uncapped = semdedup(dup, centroid_mod=40)
+    cells = {
+        r["centroid_id"]: r["n"]
+        for r in uncapped.groupBy("centroid_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    # M = the largest per-cell count of BASE (lowest-decile) ids — the
+    # exactness bound: every dup group's min-id witness is a base id.
+    base_per_cell = {
+        r["centroid_id"]: r["n"]
+        for r in uncapped.filter(F.col("vec_id") < 200)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    m = max(base_per_cell.values())
+    total_rows = sum(cells.values())
+    assert total_rows == 2000
+
+    # Rebuild the operator's own assignment frame from its output and
+    # count the candidate frames directly — the pair-work measurement.
+    assigned = uncapped.join(dup, "vec_id").select(
+        F.col("vec_id").alias("vid"),
+        "centroid_id",
+        F.col("embedding").alias("v"),
+        norm_fold(F.col("embedding")).alias("vn"),
+    )
+    n_unc = _semdedup_candidates(assigned).count()
+    n_cap = _semdedup_candidates(assigned, m).count()
+
+    # In-cell only, never corpus^2 — exact closed forms for both.
+    assert n_unc == sum(n * (n - 1) // 2 for n in cells.values())
+    assert n_cap == sum(
+        sum(n - r for r in range(1, min(m, n) + 1)) for n in cells.values()
+    )
+    # The bound itself: capped pair work <= M x corpus, and materially
+    # below the quadratic at duplicate-factor 10 (the blowup regime).
+    assert n_cap <= m * total_rows
+    assert n_cap * 3 < n_unc, (n_cap, n_unc)
+
+    # Exactness under duplication: identical keep/drop decisions.
+    got_cap = {
+        (r["vec_id"], r["is_kept"])
+        for r in semdedup(dup, centroid_mod=40, max_cell_witnesses=m).collect()
+    }
+    got_unc = {(r["vec_id"], r["is_kept"]) for r in uncapped.collect()}
+    assert got_cap == got_unc
+
+
 # ---------------------------------------------------------------------------
 # sq8_encode (int8 scalar quantization)
 # ---------------------------------------------------------------------------
