@@ -156,22 +156,37 @@ def write_records_indexed(
     return index
 
 
+def _read_one_at(fh, path: str, offset: int) -> tuple[int, str]:
+    """Shared random-access record parse with the same fail-loudly
+    truncation contract as the sequential reader: a stale/garbage
+    offset (e.g. an index sidecar paired with the wrong shard) must
+    name the file and offset, not surface as a bare struct.error from
+    a short ``fh.read`` (r12 review catch)."""
+    fh.seek(offset)
+    header = fh.read(4)
+    if len(header) < 4:
+        raise IOError(f"{path}: truncated length header at offset {offset}")
+    (length,) = struct.unpack("<I", header)
+    payload = fh.read(length)
+    trailer = fh.read(4)
+    if len(payload) < length or len(trailer) < 4:
+        raise IOError(f"{path}: truncated record at offset {offset}")
+    (want,) = struct.unpack("<I", trailer)
+    got = xor_fold(payload)
+    if got != want:
+        raise IOError(
+            f"{path}: checksum mismatch at offset {offset} "
+            f"(stored {want:#010x}, computed {got:#010x})"
+        )
+    rec = json.loads(payload)
+    return rec["doc_id"], rec["text"]
+
+
 def read_record_at(path: str, offset: int) -> tuple[int, str]:
     """Random-access read of ONE record by byte offset, checksum
     verified — O(record), independent of shard size."""
     with open(path, "rb") as fh:
-        fh.seek(offset)
-        (length,) = struct.unpack("<I", fh.read(4))
-        payload = fh.read(length)
-        (want,) = struct.unpack("<I", fh.read(4))
-        got = xor_fold(payload)
-        if got != want:
-            raise IOError(
-                f"{path}: checksum mismatch at offset {offset} "
-                f"(stored {want:#010x}, computed {got:#010x})"
-            )
-        rec = json.loads(payload)
-        return rec["doc_id"], rec["text"]
+        return _read_one_at(fh, path, offset)
 
 
 def read_records_at(
@@ -184,16 +199,5 @@ def read_records_at(
     out: list[tuple[int, str]] = []
     with open(path, "rb") as fh:
         for offset in offsets:
-            fh.seek(offset)
-            (length,) = struct.unpack("<I", fh.read(4))
-            payload = fh.read(length)
-            (want,) = struct.unpack("<I", fh.read(4))
-            got = xor_fold(payload)
-            if got != want:
-                raise IOError(
-                    f"{path}: checksum mismatch at offset {offset} "
-                    f"(stored {want:#010x}, computed {got:#010x})"
-                )
-            rec = json.loads(payload)
-            out.append((rec["doc_id"], rec["text"]))
+            out.append(_read_one_at(fh, path, offset))
     return out

@@ -291,6 +291,13 @@ def run_until_state_drained_query(
         try:
             while time.monotonic() < deadline:
                 time.sleep(0.1)
+                # A FAILED query never advances lastProgress, so without
+                # this check the loop would spin to the full timeout and
+                # report a misleading TimeoutError instead of the actual
+                # failure (r12 review catch).
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
                 lp = q.lastProgress
                 ops = (lp or {}).get("stateOperators") or []
                 if ops and all(op.get("numRowsTotal", 1) == 0 for op in ops):

@@ -684,3 +684,36 @@ def test_tfrecord_lite_roundtrip_and_corruption_raises(tmp_path):
     open(path, "wb").write(bytes(data[:10]))
     with _pytest.raises(IOError, match="truncated"):
         list(read_records(path))
+
+
+def test_tfrecord_random_access_bad_offset_names_file_and_offset(tmp_path):
+    """A stale/garbage offset (index sidecar paired with the wrong
+    shard) must raise with file+offset context, not a bare
+    struct.error from a short read (r12 review catch)."""
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.sources.tfrecord import (
+        read_record_at,
+        read_records_at,
+        write_records_indexed,
+    )
+
+    path = str(tmp_path / "shard-ra.tfr")
+    index = write_records_indexed(path, iter([(7, "abc"), (8, "defgh")]))
+    # good offsets still round-trip (single and batched)
+    assert read_record_at(path, index[1][1]) == (8, "defgh")
+    assert read_records_at(path, [off for _, off in index]) == [
+        (7, "abc"),
+        (8, "defgh"),
+    ]
+    size = len(open(path, "rb").read())
+    # offset at EOF: truncated header, named loudly
+    with _pytest.raises(IOError, match=rf"truncated length header at offset {size}"):
+        read_record_at(path, size)
+    # offset 2 bytes before EOF: short header read, still named
+    with _pytest.raises(IOError, match="truncated"):
+        read_records_at(path, [size - 2])
+    # offset into the middle of a payload: garbage length -> truncated
+    # record or checksum mismatch, never a silent/garbled row
+    with _pytest.raises(IOError, match="truncated record|checksum mismatch"):
+        read_record_at(path, index[0][1] + 5)

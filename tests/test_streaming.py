@@ -379,6 +379,35 @@ def test_state_timeout_expiry_emits_every_key_and_drains(spark):
     assert got == want
 
 
+def test_state_drain_runner_surfaces_query_failure_fast(spark):
+    """A query that FAILS never advances lastProgress, so the drain
+    loop used to spin to the full timeout and report a misleading
+    TimeoutError; it must re-raise the query's own error promptly
+    (r12 review catch)."""
+    import time as _time
+
+    import pytest
+
+    from openweathermapapi_etl_spark.streaming.jobs import (
+        run_until_state_drained_query,
+    )
+
+    failing = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .select(F.raise_error(F.lit("injected stream failure")).alias("x"))
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(Exception) as ei:
+        run_until_state_drained_query(failing, "drain_fail_fast", timeout_s=60.0)
+    elapsed = _time.monotonic() - t0
+    assert not isinstance(ei.value, TimeoutError), (
+        "query failure must surface as the query's error, not a drain timeout"
+    )
+    assert elapsed < 30, f"failure took {elapsed:.1f}s to surface"
+
+
 def test_rocksdb_backs_timer_state_and_conf_restored(spark):
     """b53b's two contracts (mirror of the b40b pin, extended to TIMER
     state): (1) the RocksDB provider really backs the

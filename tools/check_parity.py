@@ -72,6 +72,12 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = sys.argv[2:]
+    # A typo'd name must fail loudly: the old silent no-match loop
+    # printed "ALL OK" (exit 0) for a query that never ran — a false
+    # green from the verification tool itself (r12 review catch).
+    unknown = [n for n in only if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown} — not in the registry")
     spark = get_session("parity-check")
     con = duck_con(sf_dir)
     failures = 0
