@@ -61,6 +61,13 @@ def run_batch_pipeline(
     table = VersionedParquetTable(table_root)
     batches = [r[0] for r in raw.select("dt").distinct().orderBy("dt").collect()]
     for dt in batches:
-        batch = transform_raw(raw.filter(F.col("dt") == dt)).distinct()
+        # NULL-safe batch predicate: a NULL dt lands in the batch list
+        # as None, and `dt == None` never matches (three-valued logic)
+        # — the document would silently vanish from the replay instead
+        # of riding one batch with a NULL Time (r12 review catch; the
+        # schema-first contract turns the reference's KeyError into
+        # NULL, so the row must survive to the table).
+        pred = F.col("dt").isNull() if dt is None else F.col("dt") == dt
+        batch = transform_raw(raw.filter(pred)).distinct()
         table.upsert(spark, batch, keys=WEATHER_KEYS)
     return table

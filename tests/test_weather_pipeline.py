@@ -92,6 +92,26 @@ def test_pipeline_e2e_idempotent_rerun(spark, tmp_path):
     assert dups == []
 
 
+def test_pipeline_null_dt_document_survives_replay(spark, tmp_path):
+    """A document missing ``dt`` decodes as NULL under the schema-first
+    contract (vs the reference's KeyError) — it must ride ONE replay
+    batch with a NULL Time, not silently vanish: the old ``dt == None``
+    batch predicate never matched (three-valued logic, r12 review)."""
+    no_dt = {k: v for k, v in DOC.items() if k != "dt"}
+    no_dt["name"] = "NullDtCity"
+    path = tmp_path / "docs_null_dt.jsonl"
+    with open(path, "w") as fh:
+        fh.write(json.dumps(DOC) + "\n")
+        fh.write(json.dumps(no_dt) + "\n")
+    table = run_batch_pipeline(spark, str(path), str(tmp_path / "wn"))
+    rows = {
+        (r["City_Name"], r["Time"] is None)
+        for r in table.read(spark).collect()
+    }
+    assert ("NullDtCity", True) in rows, rows
+    assert ("Rotterdam", False) in rows
+
+
 def test_streaming_http_source_canned(spark, tmp_path):
     """A1 via the rate-clock + injectable fetcher: one tick fetches all
     cities, transforms, and merges; a second tick upserts over it."""
