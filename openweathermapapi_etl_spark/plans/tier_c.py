@@ -1960,7 +1960,15 @@ def c02_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, controls bucket skew; the verify stays one ALU op
     per candidate. The synthetic 25-word vocab makes signatures
     cluster tightly (~28% of pairs within radius 3 at sf0.001) — the
-    operator measures the data; the oracle pins the arithmetic."""
+    operator measures the data; the oracle pins the arithmetic.
+
+    Measured saturation cliff (r12 sf1 probe, SCALE.md): 4.8 s at
+    sf0.1 → ~1119 s at sf1 (233× for 10× docs). 50k docs in a 2^16
+    signature space make bucket density — and the radius-3 OUTPUT
+    pair set itself — grow ~quadratically, so the 16-bit flavor is
+    strictly a correctness fixture; size the signature to the corpus
+    (64-bit keeps density ~constant) before pointing this at real
+    data."""
     sigs = simhash16(
         t(spark, sf_dir, "documents"), "text", "doc_id", portable=True
     )
