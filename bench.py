@@ -284,14 +284,17 @@ def main() -> None:
     force(QUERIES["b01_parquet_scan"](spark, sf_dir))
 
     names = list(QUERIES) if run_all else BENCH_QUERIES
-    # Headline mode reports MIN-OF-2 per query (r11 verdict Next #3):
-    # the single-shot numbers carried a uniform ~1.15x session/cache
-    # noise band that polluted round-over-round diffs — real
-    # regressions could hide inside it. The first (cold) run pays file
+    # Headline mode reports MIN-OF-3 per query (r11 verdict Next #3,
+    # raised from 2 in r12): the single-shot numbers carried a uniform
+    # ~1.15x session/cache noise band, and the host shows ~3% average
+    # hypervisor CPU STEAL with multi-second bursts (measured r12,
+    # SCALE.md host-drift note) — a burst spanning both runs of a
+    # min-of-2 still pollutes that query's figure, while three runs
+    # make a single burst discardable. The first (cold) run pays file
     # listing + codegen + JIT; the min is the comparable figure. --all
-    # stays single-shot (the full book is 357 queries; its committed
-    # BENCH_FULL baseline is already min-across-sweeps by method).
-    repeats = 1 if run_all else 2
+    # stays single-shot per sweep (the full book is 357 queries; its
+    # committed BENCH_FULL baseline is min-across-3-sweeps by method).
+    repeats = 1 if run_all else 3
     timings: dict[str, float] = {}
     for name in names:
         if name not in QUERIES:
