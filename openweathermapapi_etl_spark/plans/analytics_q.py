@@ -717,3 +717,122 @@ def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C2 continued — the SAMPLED P/R audit (the audit's own 100 TB spelling)
+# ---------------------------------------------------------------------------
+
+#: Documents enter the audit sample iff their salted scrambled hash
+#: lands in bucket 0 of 4 (a 25% doc sample → 1/16 of the pair
+#: universe). Membership is a row-local expression on the ID, so both
+#: the truth side and the candidate restriction apply it without joins.
+_PR_SAMPLE_MOD = 4
+
+
+def _dedup_pr_sampled_oracle() -> str:
+    from .tier_c import _O_HASH, _O_SCRAMBLE
+
+    def o_in_sample(idexpr: str) -> str:
+        h = _O_SCRAMBLE.format(
+            h=_O_HASH.format(s=f"'prsample:' || CAST({idexpr} AS VARCHAR)")
+        )
+        return f"({h}) % {_PR_SAMPLE_MOD} = 0"
+
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents
+                  WHERE {o_in_sample('doc_id')}),
+    sets AS (SELECT doc_id, list_distinct({_O_SHINGLES}) AS s FROM toks),
+    ne AS (SELECT * FROM sets WHERE len(s) > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s)) AS inter,
+            len(a.s) + len(b.s) AS ssum
+          FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+    truth AS (SELECT id_a, id_b FROM p
+              WHERE inter * 2 >= (ssum - inter) * 1),
+    cand_all AS ({_lsh_oracle(max_bucket=10_000)}),
+    cand AS (SELECT * FROM cand_all
+             WHERE {o_in_sample('id_a')} AND {o_in_sample('id_b')}),
+    tp AS (SELECT COUNT(*) AS n FROM truth t
+           JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST((SELECT COUNT(*) FROM ne) AS BIGINT)    AS n_sample_docs,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT)  AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(tp.n AS BIGINT)                         AS tp,
+           CAST(tp.n AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand)              AS precision,
+           CAST(tp.n AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth)             AS recall
+    FROM tp
+    """
+
+
+@register("c02_dedup_pr_audit_sampled", oracle=_dedup_pr_sampled_oracle())
+def c02_dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2n-scale: the SAMPLED flavor c02_dedup_pr_audit's docstring
+    prescribes for 100 TB, implemented: the exact prefix-filtered
+    ground truth — the audit's only super-linear stage (measured 21×
+    wall for 10× data on the duplicate-factor-10 sf1 fixture,
+    SCALE.md) — runs on a deterministic 25% document sample
+    (salted-hash bucket, the c07_hash_split discipline), while the
+    SYSTEM UNDER TEST — the production capped-LSH banding — still runs
+    over the FULL corpus, unchanged: an audit must never alter what it
+    audits. Candidate pairs are then restricted to the sampled pair
+    universe by a row-local hash test on each endpoint (no join — the
+    sample is defined by the ID, not by a membership table), and P/R
+    are computed on that universe. Under uniform doc sampling every
+    pair of sampled docs is an unbiased draw from the pair universe,
+    so precision and recall are consistent estimators of the full-
+    corpus figures; the estimator's cost is p² of the exact join
+    (1/16 here) while the banding cost is unchanged — exactly the
+    asymmetry the sampling exists to exploit.
+
+    The oracle runs the identical sampled construction (the hash is
+    the portable fold + scramble, SQL-expressible), so the sampled
+    audit is itself hash-checked — the 100 TB spelling is verified
+    code, not a docstring promise."""
+    from fractions import Fraction as Fr
+
+    from ..operators.sampling import split_bucket
+
+    d = t(spark, sf_dir, "documents")
+
+    def in_sample(col: F.Column) -> F.Column:
+        return split_bucket(col, "prsample", _PR_SAMPLE_MOD) == 0
+
+    d_s = d.filter(in_sample(F.col("doc_id")))
+    truth = setsim_join(d_s, "doc_id", "text", tau=Fr(1, 2)).select(
+        "id_a", "id_b"
+    )
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    cand = (
+        lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+        .filter(in_sample(F.col("id_a")) & in_sample(F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+    # Mirror the oracle's `ne` count: sampled docs with ≥1 shingle
+    # (len ≥ 3 tokens after the shared tokenize).
+    from ..operators.text import tokens as _tokens
+
+    n_docs = d_s.filter(F.size(_tokens("text")) >= 3).agg(
+        F.count("*").alias("n_sample_docs")
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
+    return (
+        tp.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_sample_docs",
+            "n_candidates",
+            "n_truth",
+            "tp",
+            (F.col("tp").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+            (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

@@ -228,3 +228,70 @@ def test_grid_radius_join_rejects_shared_column_names(spark):
     pts = spark.createDataFrame([(1, 0.1, 0.5)], "id int, x double, y double")
     with pytest.raises(ValueError, match="BOTH sides"):
         grid_radius_join(pts, pts, ("x", "y"), ("x", "y"), 0.05)
+
+
+# ---------------------------------------------------------------------------
+# c02_dedup_pr_audit_sampled — the sample restricts, never distorts
+# ---------------------------------------------------------------------------
+
+
+def test_sampled_pr_audit_truth_is_full_truth_restricted(spark):
+    """The sampled audit's ground truth must equal the FULL exact
+    ground truth restricted to pairs whose endpoints are both in the
+    hash sample — i.e. sampling shrinks the pair universe but never
+    changes any surviving pair's verdict (the unbiasedness argument
+    rests on exactly this). Also pins that the candidate restriction
+    is the same row-local membership rule on both endpoints."""
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from openweathermapapi_etl_spark.operators.sampling import split_bucket
+    from openweathermapapi_etl_spark.plans.analytics_q import _PR_SAMPLE_MOD
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def in_sample(col):
+        return split_bucket(col, "prsample", _PR_SAMPLE_MOD) == 0
+
+    # Full exact truth, then restricted to the sampled pair universe.
+    full_truth = setsim_join(d, "doc_id", "text", tau=Fraction(1, 2))
+    restricted = {
+        (r["id_a"], r["id_b"])
+        for r in full_truth.filter(
+            in_sample(F.col("id_a")) & in_sample(F.col("id_b"))
+        ).collect()
+    }
+    # The sampled audit's truth side: exact join over sampled docs only.
+    sampled_truth = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_join(
+            d.filter(in_sample(F.col("doc_id"))),
+            "doc_id",
+            "text",
+            tau=Fraction(1, 2),
+        ).collect()
+    }
+    assert sampled_truth == restricted
+
+    # Candidate restriction: every surviving pair has both endpoints
+    # sampled, and it equals the set-filter of the full candidates.
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+    )
+    full_cand = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in cand.filter(
+            in_sample(F.col("id_a")) & in_sample(F.col("id_b"))
+        ).collect()
+    }
+    sample_ids = {
+        r["doc_id"]
+        for r in d.filter(in_sample(F.col("doc_id"))).select("doc_id").collect()
+    }
+    assert kept == {
+        (a, b) for (a, b) in full_cand if a in sample_ids and b in sample_ids
+    }
