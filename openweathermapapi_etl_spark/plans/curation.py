@@ -2180,9 +2180,11 @@ def c04_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "c04_boilerplate_strip",
-    oracle="""
+#: Shared by the text-keyed query and its hash-keyed scale rewrite:
+#: the rewrite is semantics-preserving (absent xxhash64 collisions),
+#: so BOTH register the text-keyed SQL — the b10_salted_join
+#: discipline, where the identical hash proves the rewrite.
+_BOILERPLATE_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
                   FROM documents),
     chunks AS (
@@ -2202,8 +2204,10 @@ def c04_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(a.n_kept, 0) AS n_kept,
            COALESCE(a.cleaned, '') AS cleaned
     FROM tot t LEFT JOIN agg a USING (doc_id)
-    """,
-)
+    """
+
+
+@register("c04_boilerplate_strip", oracle=_BOILERPLATE_ORACLE)
 def c04_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4v: boilerplate REMOVAL — the line-dedup step of C4/RefinedWeb
     -style web curation, applied (not just detected, cf.
@@ -4377,4 +4381,58 @@ def c07_curation_ab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(~F.col("keep_a") & ~F.col("keep_b"), 1).otherwise(0)
         ).cast("bigint").alias("dropped_both"),
+    )
+
+
+@register("c04_boilerplate_strip_hashkey", oracle=_BOILERPLATE_ORACLE)
+def c04_boilerplate_strip_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4v-scale: the HASH-KEYED shuffle c04_boilerplate_strip's
+    docstring prescribes for 100 TB, implemented: the chunk-frequency
+    groupBy and the filter join key on ``xxhash64(ctext)`` instead of
+    the chunk text, so the frequency table's shuffle and the join
+    comparisons carry 8-byte keys where the text-keyed plan ships the
+    chunk string per distinct chunk per map partition (chunk payloads
+    still ride the probe side — they are the OUTPUT — but key
+    exchange, hash table build, and comparisons all shrink to fixed
+    width). Semantics-preserving absent 64-bit collisions, so the
+    oracle is the TEXT-keyed SQL verbatim (the b10_salted_join
+    discipline — the hash match proves the rewrite drops/keeps
+    exactly the same chunks), and the driver's value-hash is itself
+    the collision check at test SF; the pinning test additionally
+    asserts zero xxhash64 collisions over the corpus's distinct
+    chunks and output-equality with the text-keyed query. At a true
+    100 TB density a collision is ~n²/2⁶⁵ — audit with the count
+    the test pins if the corpus's distinct-chunk count approaches
+    2³² (where the birthday term stops being negligible)."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(token_chunks(tokens("text"), 2, 2)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.array_join(F.col("c.toks"), " ").alias("ctext"),
+    ).withColumn("h", F.xxhash64("ctext"))
+    counts = ch.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    kept = ch.join(counts, "h").filter(F.col("nd") < 20)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_no", "ctext"))
+                ),
+                lambda x: x.ctext,
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )

@@ -640,3 +640,43 @@ if _HAVE_HYP:
         assert sorted(map(tuple, inc.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+# ---------------------------------------------------------------------------
+# c04_boilerplate_strip_hashkey — hash-keyed rewrite equals text-keyed
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_hashkey_rewrite_is_exact(spark):
+    """The xxhash64-keyed shuffle (c04_boilerplate_strip_hashkey) must
+    reproduce the text-keyed query row for row, and the collision
+    premise must hold: every distinct chunk text maps to a distinct
+    64-bit hash on this corpus (a collision would silently merge two
+    chunks' document frequencies — the one failure mode the rewrite
+    admits)."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.plans import QUERIES
+    from openweathermapapi_etl_spark.operators.text import token_chunks, tokens
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = {
+        tuple(r)
+        for r in QUERIES["c04_boilerplate_strip"](spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["c04_boilerplate_strip_hashkey"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == b
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = d.select(
+        F.explode(token_chunks(tokens("text"), 2, 2)).alias("c")
+    ).select(F.array_join(F.col("c.toks"), " ").alias("ctext")).distinct()
+    n_text, n_hash = chunks.agg(
+        F.count("*"), F.count_distinct(F.xxhash64("ctext"))
+    ).first()
+    assert n_text == n_hash, f"xxhash64 collision: {n_text} texts, {n_hash} hashes"
