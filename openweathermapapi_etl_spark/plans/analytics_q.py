@@ -688,7 +688,9 @@ def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. At 100 TB the ground-truth side runs on a SAMPLE (the
     exact join is no-false-negative at any size, but paying it
     corpus-wide is the cost banding exists to avoid) — the P/R
-    estimate is unbiased under uniform pair sampling."""
+    estimate is consistent under uniform doc sampling (ratio
+    estimator; pair inclusions correlate through shared endpoints,
+    so it is not exactly unbiased at finite n)."""
     from fractions import Fraction as Fr
 
     d = t(spark, sf_dir, "documents")
@@ -781,10 +783,12 @@ def c02_dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits. Candidate pairs are then restricted to the sampled pair
     universe by a row-local hash test on each endpoint (no join — the
     sample is defined by the ID, not by a membership table), and P/R
-    are computed on that universe. Under uniform doc sampling every
-    pair of sampled docs is an unbiased draw from the pair universe,
-    so precision and recall are consistent estimators of the full-
-    corpus figures; the estimator's cost is p² of the exact join
+    are computed on that universe. Under uniform doc sampling,
+    precision and recall are CONSISTENT estimators of the full-corpus
+    figures — ratio estimators, not exactly unbiased at finite n:
+    pair inclusions correlate through shared endpoints (doc d in the
+    sample pulls in every pair touching d), and at small surviving
+    universes the variance is large; the estimator's cost is p² of the exact join
     (1/16 here) while the banding cost is unchanged — exactly the
     asymmetry the sampling exists to exploit.
 

@@ -239,8 +239,8 @@ def test_sampled_pr_audit_truth_is_full_truth_restricted(spark):
     """The sampled audit's ground truth must equal the FULL exact
     ground truth restricted to pairs whose endpoints are both in the
     hash sample — i.e. sampling shrinks the pair universe but never
-    changes any surviving pair's verdict (the unbiasedness argument
-    rests on exactly this). Also pins that the candidate restriction
+    changes any surviving pair's verdict (the estimator's consistency
+    argument rests on exactly this). Also pins that the candidate restriction
     is the same row-local membership rule on both endpoints."""
     from openweathermapapi_etl_spark.operators.dedup import (
         lsh_candidate_pairs,

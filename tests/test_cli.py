@@ -22,4 +22,8 @@ def test_cli_etl_fixture_then_sql(spark, tmp_path, capsys):
         main(["sql", "SELECT COUNT(*) AS n FROM weather", "--table", table]) == 0
     )
     out = capsys.readouterr().out
-    assert "48" in out
+    # Whole-token match (r13 tests-review strengthening: a bare
+    # `"48" in out` also matched "480" or a timestamp containing 48).
+    import re
+
+    assert re.search(r"\b48\b", out), out

@@ -48,7 +48,11 @@ def test_streaming_dedup_state_spans_batches(spark, sf_dir, tmp_path):
 
 def test_session_window_streaming_append(spark, sf_dir, tmp_path):
     """session_window + watermark in true streaming append mode runs and
-    emits only finalized sessions (a subset of the batch sessions)."""
+    emits only finalized sessions — a VALUE-level subset of the batch
+    sessions: every emitted (window, user, count) row must appear
+    verbatim in the batch twin (r13 tests-review strengthening: the
+    old count-only bound `0 < streamed <= batch` passed for any
+    wrong-valued subset — e.g. per-batch-partial counts)."""
     out = str(tmp_path / "sess_replay")
     split_events_files(spark, sf_dir, out)
     stream = replay_files_stream(spark, out, EVENTS)
@@ -65,7 +69,17 @@ def test_session_window_streaming_append(spark, sf_dir, tmp_path):
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
         .agg(F.count("*").alias("n"))
     )
-    assert 0 < streamed.count() <= batch.count()
+
+    def rows(df):
+        return {
+            (r["session_window"]["start"], r["session_window"]["end"],
+             r["user_id"], r["n"])
+            for r in df.collect()
+        }
+
+    got, want = rows(streamed), rows(batch)
+    assert 0 < len(got) <= len(want)
+    assert got <= want, f"streamed sessions not in batch twin: {got - want}"
 
 
 def test_watermarked_dedup_evicts_state(spark, sf_dir, tmp_path):

@@ -11,6 +11,8 @@ bench JSON's flat format can't show by eye across 357 entries.
 Usage:
     python tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
                                [--min-sec 0.3] [--json]
+                               [--control-refs BASE [HEAD]]
+                               [--control q1,q2,...]
 
 Exit code 1 if any query regressed past the threshold (so a round
 script can gate on it). Queries below --min-sec in BOTH files are
@@ -18,13 +20,31 @@ noise-floored and never flagged: at sf0.1 a 0.1 s query jitters 2-3x
 run-to-run on a shared local[32] JVM, and flagging those would bury
 the real signal (the same floor bench.py's own round-over-round
 comparisons have always applied informally).
+
+Control-set normalization (round-13 order #2 — the SCALE.md host-drift
+protocol, executable): a shared local host drifts whole EPOCHS between
+rounds (r11→r12 measured a uniform 1.21x on untouched code), so a raw
+ratio conflates host speed with code cost. With --control-refs the
+tool derives the CONTROL SET mechanically — the shared queries whose
+defining module is NOT in the reverse transitive import closure of
+``git diff BASE..HEAD`` (the same closure tools/changed_queries.py
+uses for the correctness window) — computes the median old→new ratio
+over that set (the host factor), divides every query's ratio by it,
+and flags only the normalized outliers: code-attributable drift, not
+weather. --control takes an explicit comma-list instead when the refs
+aren't available (e.g. comparing two sweeps of the same commit, where
+EVERY query is control). A control set smaller than 5 after the noise
+floor is refused (host factor forced to 1.0 with a warning) — a
+3-query median is itself weather.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
+import statistics
 import sys
 
 
@@ -56,11 +76,89 @@ def load_queries(path: str) -> dict[str, float]:
             if isinstance(v, (int, float))}
 
 
+def control_set(old: dict[str, float], new: dict[str, float],
+                base: str, head: str) -> list[str]:
+    """Shared queries whose defining module is untouched by
+    ``git diff base..head`` (transitively, over the package import
+    graph) — the mechanically-derived control set.
+
+    One deliberate divergence from the CORRECTNESS closure
+    (tools/changed_queries.py): HUB modules — whose reverse closure
+    reaches at least half the registered queries (plans/registry.py,
+    plans/__init__.py, session.py are the perennial ones) — are
+    dropped from the changed set before the closure. For correctness
+    the conservative rule is right (a registry change CAN flip any
+    query's result); for a wall-time control it degenerates — a
+    one-line registration-guard edit empties the control set every
+    round. Safety argument: control membership only feeds the MEDIAN
+    normalizer, it does NOT exempt a query from flagging — every
+    shared query is still individually compared post-normalization —
+    so a hub-module regression that slows some dependents is still
+    caught; the median is robust until a majority of control queries
+    drift TOGETHER. That majority case (a real uniform regression in
+    a hub module) is the documented blind spot — indistinguishable
+    from host drift here; the same-host A/B/A protocol (SCALE.md) is
+    the discriminator."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import subprocess
+
+    import changed_queries as cq
+
+    sys.path.insert(0, cq.ROOT)
+    out = subprocess.run(
+        ["git", "diff", "--name-only", f"{base}..{head}"],
+        cwd=cq.ROOT, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    known = cq.package_modules()
+    path_to_mod = {p: m for m, p in known.items()}
+    changed = {path_to_mod[p] for p in out if p in path_to_mod}
+
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    def query_reach(mods: set[str]) -> int:
+        closure = cq.affected_modules(mods, known)
+        return sum(1 for fn in QUERIES.values() if fn.__module__ in closure)
+
+    hubs = {
+        m for m in changed
+        if query_reach({m}) >= len(QUERIES) / 2
+    }
+    if hubs:
+        print(f"control derivation: ignoring hub module(s) "
+              f"{sorted(m.rsplit('.', 1)[-1] for m in hubs)} "
+              f"(uniform-cost by construction; see tool docstring)",
+              file=sys.stderr)
+    affected = (
+        cq.affected_modules(changed - hubs, known) if changed - hubs else {}
+    )
+    return sorted(
+        q for q in set(old) & set(new)
+        if q in QUERIES and QUERIES[q].__module__ not in affected
+    )
+
+
+def host_factor(old: dict[str, float], new: dict[str, float],
+                control: list[str], min_sec: float) -> tuple[float, int]:
+    """Median old→new ratio over the control queries above the noise
+    floor: the host-epoch factor every ratio is normalized by.
+    Returns (factor, n_used); refuses (factor 1.0) below 5 queries —
+    a tiny median is itself noise."""
+    ratios = [
+        new[q] / old[q]
+        for q in control
+        if old[q] > 0 and (old[q] >= min_sec or new[q] >= min_sec)
+    ]
+    if len(ratios) < 5:
+        return 1.0, len(ratios)
+    return statistics.median(ratios), len(ratios)
+
+
 def diff(
     old: dict[str, float],
     new: dict[str, float],
     threshold: float,
     min_sec: float,
+    host: float = 1.0,
 ) -> dict:
     shared = sorted(set(old) & set(new))
     regressed, improved = [], []
@@ -68,7 +166,7 @@ def diff(
         o, n = old[name], new[name]
         if o < min_sec and n < min_sec:
             continue  # noise floor: both runs too fast to compare
-        ratio = n / o if o > 0 else float("inf")
+        ratio = (n / o if o > 0 else float("inf")) / host
         row = {"query": name, "old_s": round(o, 3), "new_s": round(n, 3),
                "ratio": round(ratio, 2)}
         if ratio >= threshold:
@@ -78,6 +176,7 @@ def diff(
     regressed.sort(key=lambda r: -r["ratio"])
     improved.sort(key=lambda r: r["ratio"])
     return {
+        "host_factor": round(host, 3),
         "shared": len(shared),
         "only_old": sorted(set(old) - set(new)),
         "only_new": sorted(set(new) - set(old)),
@@ -104,17 +203,50 @@ def main() -> int:
     ap.add_argument("--min-sec", type=float, default=0.3,
                     help="noise floor: skip queries under this in both runs")
     ap.add_argument("--json", action="store_true", dest="as_json")
+    ap.add_argument("--control-refs", nargs="+", metavar="REF",
+                    help="derive control set from git diff BASE [HEAD] "
+                         "(untouched modules' queries)")
+    ap.add_argument("--control", metavar="Q1,Q2,...",
+                    help="explicit comma-separated control query list")
     args = ap.parse_args()
 
-    d = diff(load_queries(args.old), load_queries(args.new),
-             args.threshold, args.min_sec)
+    old, new = load_queries(args.old), load_queries(args.new)
+    host, n_ctl = 1.0, 0
+    if args.control_refs and args.control:
+        ap.error("--control-refs and --control are mutually exclusive")
+    if args.control_refs:
+        if len(args.control_refs) > 2:
+            ap.error("--control-refs takes BASE [HEAD]")
+        base = args.control_refs[0]
+        head = args.control_refs[1] if len(args.control_refs) > 1 else "HEAD"
+        ctl = control_set(old, new, base, head)
+        host, n_ctl = host_factor(old, new, ctl, args.min_sec)
+        print(f"control set: {len(ctl)} untouched queries "
+              f"({n_ctl} above noise floor) -> host factor {host:.3f}",
+              file=sys.stderr)
+    elif args.control:
+        ctl = [q.strip() for q in args.control.split(",") if q.strip()]
+        missing_ctl = [q for q in ctl if q not in old or q not in new]
+        if missing_ctl:
+            ap.error(f"control queries absent from a run: {missing_ctl}")
+        host, n_ctl = host_factor(old, new, ctl, args.min_sec)
+        print(f"control set: {len(ctl)} declared queries "
+              f"({n_ctl} above noise floor) -> host factor {host:.3f}",
+              file=sys.stderr)
+    if (args.control_refs or args.control) and n_ctl < 5:
+        print("WARNING: control set under 5 usable queries — host "
+              "factor forced to 1.0 (raw ratios)", file=sys.stderr)
+
+    d = diff(old, new, args.threshold, args.min_sec, host=host)
     if args.as_json:
         print(json.dumps(d, indent=2))
     else:
         if d["shared"] and d["sum_old_s"] > 0:
+            norm = (f", host-normalized by {d['host_factor']}x"
+                    if d["host_factor"] != 1.0 else "")
             print(f"shared queries: {d['shared']}  "
                   f"total {d['sum_old_s']}s -> {d['sum_new_s']}s "
-                  f"({d['sum_new_s'] / d['sum_old_s']:.2f}x)")
+                  f"({d['sum_new_s'] / d['sum_old_s']:.2f}x raw{norm})")
         elif d["shared"]:
             print(f"shared queries: {d['shared']}  "
                   f"total {d['sum_old_s']}s -> {d['sum_new_s']}s")

@@ -13,11 +13,16 @@ Usage:
   python tools/bench_isolated.py --one NAME   (internal: child mode)
 
 Prints one JSON line: {"sf_dir": ..., "runs": N,
-                       "queries": {name: min_sec, ...}}
+                       "queries": {name: min_sec, ...},
+                       "failed": [name, ...]}
+Failed queries appear ONLY in "failed" — never as sentinel values in
+"queries" — so downstream sum/min/ratio over the timing map cannot
+silently absorb a failure.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import subprocess
@@ -52,25 +57,25 @@ def run_one(name: str, sf_dir: str, runs: int) -> float:
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = 3
-    if "--sf-dir" in args:
-        i = args.index("--sf-dir")
-        sf_dir = args[i + 1]
-        del args[i : i + 2]
-    if "--runs" in args:
-        i = args.index("--runs")
-        runs = int(args[i + 1])
-        del args[i : i + 2]
-    if args and args[0] == "--one":
-        print(json.dumps({args[1]: round(run_one(args[1], sf_dir, runs), 3)}))
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--sf-dir",
+                   default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.1"))
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--one", metavar="NAME",
+                   help="internal: time one query in this process")
+    p.add_argument("queries", nargs="*", metavar="QUERY")
+    opts = p.parse_args()
+    sf_dir, runs = opts.sf_dir, opts.runs
+    if opts.one:
+        print(json.dumps({opts.one: round(run_one(opts.one, sf_dir, runs), 3)}))
         return
-    if not args:
-        raise SystemExit("usage: bench_isolated.py [--sf-dir D] [--runs N] q...")
+    if not opts.queries:
+        p.error("no queries named (and --one not given)")
     timings: dict[str, float] = {}
+    failed: list[str] = []
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    for name in args:
+    for name in opts.queries:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--sf-dir", sf_dir, "--runs", str(runs), "--one", name],
@@ -78,13 +83,15 @@ def main() -> None:
         )
         if out.returncode != 0:
             # Fail loud per query, keep going so one bad name doesn't
-            # void an hour-long sweep; the error is in the record.
+            # void an hour-long sweep; the failure is in the record —
+            # in "failed", never as a sentinel inside "queries".
             sys.stderr.write(out.stderr[-2000:] + "\n")
-            timings[name] = -1.0
+            failed.append(name)
             continue
         timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
         sys.stderr.write(f"{name}: {timings[name]}\n")
-    print(json.dumps({"sf_dir": sf_dir, "runs": runs, "queries": timings}))
+    print(json.dumps({"sf_dir": sf_dir, "runs": runs,
+                      "queries": timings, "failed": failed}))
 
 
 if __name__ == "__main__":
