@@ -17,6 +17,15 @@ Decomposable aggregates only (sum/count/min/max — avg as sum+count).
 The rewrite is semantics-preserving, so its DuckDB oracle is the plain
 single-stage aggregation — which is exactly what makes it safely
 verifiable.
+
+MEASURED (r13 zipf probe, SCALE.md round-13): on a 7.5M-row orders
+fixture with a 10%-mass hot custkey, the plain groupBy(sum/count)
+reads 1.55 s vs the salted rewrite's 2.23 s — partial aggregation
+really does absorb sum/count skew (the hot key's map-side partials
+are one row per map partition regardless of its mass), confirming
+the "most cases" claim above with numbers. Reach for salting only
+when the per-key state defeats map-side combine (collect-style aggs,
+many wide aggregates, exact distinct counts).
 """
 
 from __future__ import annotations
@@ -76,6 +85,15 @@ def salted_join(
     the small side is the price — use for big⋈small only, and prefer a
     plain broadcast when the small side fits (this exists for when it
     does NOT). Semantics-preserving: the oracle is the plain join.
+
+    The big⋈small contract is MEASURED, not advisory (r13 zipf probe,
+    SCALE.md round-13): on a 30M-row fact with a 10%-mass hot key
+    joined to a 7.5M-row "small" side (a 4:1 ratio — NOT small),
+    n_salts=8 replication turned a 4.1 s naive sort-merge join into
+    23.6 s (5.7× worse): the 60M replicated rows dwarf any straggler
+    saved. The operator pays off only when small-side-rows × n_salts
+    remains far below the big side AND the hot key's single-reducer
+    work exceeds the task quantum by enough to dominate the stage.
 
     Only inner/left are valid: a right/full join would null-extend each
     UNMATCHED small-side row once per salt replica (n_salts duplicates).

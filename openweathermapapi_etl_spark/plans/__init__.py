@@ -50,62 +50,62 @@ from . import analytics_q  # noqa: E402,F401
 # (full output committed per round as PARITY_r{N}.txt) and the pytest
 # oracle suite re-verifies every query at sf0.001 on each run.
 
-# Round 10's driver window (== CORRECTNESS_r10.json keys): the most
-# recently driver-verified -> rotate to the BACK this round. Round 11
-# registers no new queries; the head carries the two OUTPUT-CHANGED
-# queries (both gained oracles per the r10 verdict task 2), then the
-# stalest-checked names rotate forward as usual.
+# Round 12's driver window (== CORRECTNESS_r12.json keys): the most
+# recently driver-verified -> rotate to the BACK this round. Round 13
+# registers one new query (c02_source_overlap_matrix_hashkey), which
+# self-heads via the never-driver-checked rule; no output-changed
+# queries this round, so _RECHECK is empty.
 _PREV_WINDOW = [
-    "b44_dualsink_fanout",
-    "b44_txn_dualsink",
-    "b42_dynamic_gap_sessionize",
-    "b24_event_transitions",
-    "b24_last_touch_attribution",
-    "b24_seasonal_decompose",
-    "b24_state_runs",
-    "b24_cusum_changepoint",
     "c03_pq_encode_trained",
-    "c03_sq8_encode",
-    "c03_covariance_matrix",
     "c03_pca_project",
-    "c03_mips_topk",
-    "c03_ivf_persist",
-    "c03_bq_hamming_topk",
-    "c03_bq_rerank_funnel",
-    "c03_mrl_rerank_funnel",
-    "c03_graph_expand_topk",
-    "c03_rrf_fusion",
-    "c03_filtered_topk",
-    "c03_centroid_drift",
-    "c03_ivf_rebalance",
-    "c03_rvq_encode",
-    "c03_kcenter_select",
-    "c04_bm25_topk",
-    "c07_length_buckets",
-    "b37_variant_extract",
-    "b10_bloom_runtime_filter",
-    "c07_epoch_shuffle",
-    "c07_epoch_decorrelation",
-    "c02_setsim_exact",
-    "b64_sequence_islands",
-    "b24_max_drawdown",
-    "b16_mad",
-    "b65_windowed_distinct",
-    "c07_quantile_normalize",
-    "c06_jaccard_neighbors",
-    "m9_cdc_apply",
     "b66_spatial_grid_join",
-    "b22_drift_audit",
-    "c04_k_anonymity",
-    "c07_tokenizer_fertility",
-    "c02_dedup_pr_audit",
-    "flagship_q3",
-    "b01_parquet_scan",
-    "b04_parquet_sink_roundtrip",
-    "b04_orc_sink_roundtrip",
-    "b02_text_sink_roundtrip",
-    "b01_schema_evolution",
-    "b04_partitioned_sink_prune",
+    "c07_dataset_fingerprint",
+    "c07_sequence_pack",
+    "c04_boilerplate_strip_hashkey",
+    "c02_dedup_pr_audit_sampled",
+    "b06_select_expr",
+    "b07_filter_predicates",
+    "b08_case_when",
+    "b09_cast_coalesce",
+    "b10_inner_join",
+    "b11_left_join",
+    "b11_full_outer_join",
+    "b11_right_join",
+    "b12_semi_join",
+    "b12_anti_join",
+    "b13_cross_join",
+    "b14_range_join",
+    "b15_asof_join",
+    "b16_groupby_agg",
+    "b17_count_distinct",
+    "b18_approx_count_distinct",
+    "b19_filtered_agg",
+    "b20_rollup",
+    "b20_cube",
+    "b21_having",
+    "b22_pk_uniqueness",
+    "b23_distribution_windows",
+    "b23_ranking_windows",
+    "b24_analytic_windows",
+    "b25_window_frames",
+    "b26_order_by",
+    "b27_top_k",
+    "b28_topk_per_group",
+    "b29_union",
+    "b29_union_distinct",
+    "b30_intersect",
+    "b31_except",
+    "b16_percentile_agg",
+    "b16_approx_percentile",
+    "b20_grouping_sets",
+    "b16_salted_agg",
+    "b20_pivot",
+    "b16_string_agg",
+    "b12_correlated_scalar_subquery",
+    "b05_jdbc_roundtrip",
+    "b10_salted_join",
+    "b10_bucketed_colocated_join",
+    "b16_histogram",
 ]
 
 # The head is DERIVED at import time, not hand-curated (round-4
@@ -127,22 +127,10 @@ _PREV_WINDOW = [
 # them for review); parity (PARITY_r7.txt, all queries, exact values)
 # and the pytest oracle suite still cover every one of them each run.
 _RECHECK: list[str] = [
-    # round 11: queries whose OUTPUT changed this round. First two:
-    # the last rows-only-by-design entries gained exact DuckDB
-    # oracles (r10 verdict task 2) — trained-PQ emits 1e-6-grid
-    # integer distortions under a quantized-Lloyd codebook; PCA
-    # projection moved to the unrolled power-iteration flavor.
-    "c03_pq_encode_trained",
-    "c03_pca_project",
-    # Next three: the r11 operator-review fixes moved values —
-    # row_fingerprint's null-flag rendering shifts every hash_coord
-    # pseudo-coordinate (b66) and the corpus checksum (dataset
-    # fingerprint); sequence_pack now shards via the SCRAMBLED
-    # split_bucket (the raw fold hash sharded same-length keys in
-    # lockstep). Oracles mirrored; local parity green at both SFs.
-    "b66_spatial_grid_join",
-    "c07_dataset_fingerprint",
-    "c07_sequence_pack",
+    # round 13: no query's OUTPUT changed this round (the new hashkey
+    # twin self-heads via the never-driver-checked rule; docstring and
+    # test-only edits move no values), and CORRECTNESS_r12 was 50/50
+    # green — nothing to pin to the front.
 ]
 
 

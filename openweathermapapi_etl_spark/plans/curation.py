@@ -4231,9 +4231,11 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c02_source_overlap_matrix",
-    oracle="""
+#: Shared by the text-keyed query and its r13 hash-keyed twin: the
+#: rewrite is semantics-preserving absent xxhash64 collisions, so BOTH
+#: spellings hash-check against the same text-keyed SQL (the same
+#: discipline as c04_boilerplate_strip_hashkey).
+_OVERLAP_MATRIX_ORACLE = """
     WITH toks AS (SELECT source, string_split(text, ' ') AS tk
                   FROM documents),
     grams AS (
@@ -4252,7 +4254,12 @@ def c04_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.src_a, s.src_b, za.n_grams AS grams_a, s.shared,
            CAST(s.shared AS DOUBLE) / za.n_grams AS containment
     FROM shared s JOIN sizes za ON za.source = s.src_a
-    """,
+    """
+
+
+@register(
+    "c02_source_overlap_matrix",
+    oracle=_OVERLAP_MATRIX_ORACLE,
 )
 def c02_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2o: SOURCE-pair n-gram containment MATRIX — for every ordered
@@ -4298,6 +4305,73 @@ def c02_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = grams.select(F.col("source").alias("src_b"), "g")
     shared = (
         a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared.join(
+        F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("n_grams").alias("grams_a"),
+        "shared",
+        (F.col("shared").cast("double") / F.col("n_grams")).alias(
+            "containment"
+        ),
+    )
+
+
+@register(
+    "c02_source_overlap_matrix_hashkey",
+    oracle=_OVERLAP_MATRIX_ORACLE,
+)
+def c02_source_overlap_matrix_hashkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C2o-scale: the xxhash64-keyed spelling the text-keyed query's
+    docstring prescribes for 100 TB ("key the join by xxhash64(gram)"),
+    implemented — round-13 order #5, the THIRD instance of the
+    hash-key-rewrite-with-text-oracle discipline (after
+    c04_boilerplate_strip_hashkey and the r12 decision note). Each
+    exploded gram hashes ONCE at the map side; the distinct, the
+    self-join exchange, and the join comparisons then carry/compare a
+    fixed 8-byte key instead of the ~25-char 4-token gram text — here,
+    unlike the 2-token boilerplate chunks, the key is ~3x wider than
+    the hash, so the wire savings have a real shot at paying for the
+    hash pass (measured both ways in SCALE.md, not asserted).
+
+    Semantics-preserving absent collisions (a collision would merge
+    two distinct grams' source sets, inflating `shared`), so the
+    oracle is the TEXT-keyed SQL verbatim; the collision premise is
+    pinned by tests/test_curation.py on the corpus's distinct grams.
+    Output is bit-identical to c02_source_overlap_matrix."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    toks = d.select("source", tk.alias("tk")).filter(F.size("tk") >= 4)
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = (
+        toks.select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - 3)
+            ).alias("pos"),
+            F.xxhash64(gram).alias("gh"),
+        )
+        .select("source", "gh")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "gh")
+    b = grams.select(F.col("source").alias("src_b"), "gh")
+    shared = (
+        a.join(b, "gh")
         .filter(F.col("src_a") != F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared"))

@@ -680,3 +680,49 @@ def test_boilerplate_hashkey_rewrite_is_exact(spark):
         F.count("*"), F.count_distinct(F.xxhash64("ctext"))
     ).first()
     assert n_text == n_hash, f"xxhash64 collision: {n_text} texts, {n_hash} hashes"
+
+
+def test_source_overlap_hashkey_rewrite_is_exact(spark):
+    """The r13 third instance of the hash-key discipline
+    (c02_source_overlap_matrix_hashkey): bit-identical output to the
+    text-keyed query, and the collision premise holds — every distinct
+    4-gram maps to a distinct xxhash64 on this corpus (a collision
+    would merge two grams' source sets and inflate `shared`)."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.text import tokens
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = {
+        tuple(r)
+        for r in QUERIES["c02_source_overlap_matrix"](spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["c02_source_overlap_matrix_hashkey"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == b and a
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = tokens("text")
+    toks = d.select(tk.alias("tk")).filter(F.size("tk") >= 4)
+    gram = F.concat_ws(
+        " ",
+        F.col("tk")[F.col("pos") - 1],
+        F.col("tk")[F.col("pos")],
+        F.col("tk")[F.col("pos") + 1],
+        F.col("tk")[F.col("pos") + 2],
+    )
+    grams = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 3)).alias("pos"),
+        gram.alias("g"),
+    ).select("g").distinct()
+    n_text, n_hash = grams.agg(
+        F.count("*"), F.count_distinct(F.xxhash64("g"))
+    ).first()
+    assert n_text == n_hash, (
+        f"xxhash64 collision: {n_text} grams, {n_hash} hashes"
+    )

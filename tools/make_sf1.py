@@ -137,6 +137,11 @@ def main() -> None:
     zipf = "--zipf" in args
     if zipf:
         args.remove("--zipf")
+    copies = COPIES
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
     out = args[0] if args else ("/tmp/sf1z" if zipf else "/tmp/sf1")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -158,7 +163,7 @@ def main() -> None:
         )
         con.execute(
             f"COPY (SELECT {sel} FROM parquet_scan('{SRC}/{t}.parquet'), "
-            f"(SELECT unnest(generate_series(0, {COPIES - 1})) AS n) i) "
+            f"(SELECT unnest(generate_series(0, {copies - 1})) AS n) i) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
         n = con.execute(
