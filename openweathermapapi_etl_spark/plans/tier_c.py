@@ -279,6 +279,27 @@ _O_NORMS = (
 )
 
 
+def _hyperplane_bucket_sql(dim: int, n_planes: int) -> str:
+    """The sign-bit bucket id as a DuckDB expression over `embedding`:
+    the hyperplanes are a deterministic LCG (no RNG state), so they
+    inline as SQL literals — which upgrades every hyperplane-LSH query
+    from a rows-only check to a full value-hash oracle."""
+    planes = make_planes(dim, n_planes)
+
+    def dot_lit(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    return " + ".join(
+        f"CASE WHEN {dot_lit(p)} >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+
+
 @register(
     "c02_embedding_neardup",
     oracle=f"""
@@ -295,9 +316,55 @@ _O_NORMS = (
 def c02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2e: embedding-cosine near-dup pairs (cosine >= 0.4, exact
     verification path; at scale the same scoring runs on LSH-bucketed
-    candidates — see operators/similarity.py)."""
+    candidates — the registered c02_embedding_neardup_lsh below).
+    Quadratic BY DESIGN (the id_a < id_b triangle is the oracle-exact
+    ground truth): measured 21.7x wall for 10x vectors at sf1
+    (SCALE.md round-13) — the documented cost the bucketed flavor
+    exists to avoid."""
     return embedding_neardup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+def _neardup_lsh_oracle(threshold: float = 0.4, dim: int = 64,
+                        n_planes: int = 6) -> str:
+    bucket = _hyperplane_bucket_sql(dim, n_planes)
+    cos = f"{_o_dot('a.embedding', 'b.embedding')} / (na.nrm * nb.nrm)"
+    return f"""
+    WITH norms AS ({_O_NORMS}),
+    bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register("c02_embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
+def c02_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2e-scale: the LSH-BUCKETED embedding near-dup the exact
+    query's docstring prescribes for 100 TB, registered (round-13
+    order-4 follow-through: the sf1 probe measured the exact triangle
+    at 21.7x wall for 10x vectors — quadratic by design — and the
+    scale spelling was a prose promise until now). Candidates are
+    same-hyperplane-bucket pairs (equi-join on the 2^6 sign-bit
+    bucket — each bucket bounds its own candidate set, so pair work
+    is sum of in-bucket triangles, never the corpus triangle), then
+    the IDENTICAL exact scoring and threshold run on the survivors.
+    Recall < 1 by design (a near-dup pair split by a hyperplane is
+    missed; raise n_planes with corpus size and/or multi-probe —
+    c03_lsh_multiprobe demonstrates the probing pattern).
+
+    The seeded planes inline as SQL literals, so this is a full
+    value-hash oracle, not a rows-only check — same discipline as
+    c03_cosine_topk_lsh/c03_knn_graph."""
+    return embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, n_planes=6, dim=64,
     )
 
 
@@ -347,24 +414,9 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_topk_oracle(
     k: int = 5, dim: int = 64, n_planes: int = 4, qmod: int | None = 50
 ) -> str:
-    """The hyperplanes are a deterministic LCG (no RNG state), so they
-    inline as SQL literals — which upgrades the LSH ANN from a
-    rows-only check to a full value-hash oracle. ``qmod=None`` makes
-    EVERY vector a query (the k-NN-graph case)."""
-    planes = make_planes(dim, n_planes)
-
-    def dot_lit(plane: list[float]) -> str:
-        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
-        return (
-            f"list_reduce(list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
-            "(x, y) -> x + y)"
-        )
-
-    bucket = " + ".join(
-        f"CASE WHEN {dot_lit(p)} >= 0 THEN {1 << i} ELSE 0 END"
-        for i, p in enumerate(planes)
-    )
+    """See :func:`_hyperplane_bucket_sql`. ``qmod=None`` makes EVERY
+    vector a query (the k-NN-graph case)."""
+    bucket = _hyperplane_bucket_sql(dim, n_planes)
     cos_qn = f"{_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm)"
     return f"""
     WITH norms AS ({_O_NORMS}),

@@ -295,3 +295,25 @@ def test_sampled_pr_audit_truth_is_full_truth_restricted(spark):
     assert kept == {
         (a, b) for (a, b) in full_cand if a in sample_ids and b in sample_ids
     }
+
+
+def test_embedding_neardup_lsh_is_subset_of_exact(spark):
+    """The bucketed flavor's contract (r13): LSH candidates can only
+    MISS pairs, never invent them — every (id_a, id_b, cos_sim) it
+    emits appears verbatim in the exact triangle's output, and at this
+    fixture the subset is non-empty (vacuous recall would mean the
+    buckets degenerated)."""
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+        for r in QUERIES["c02_embedding_neardup"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+        for r in QUERIES["c02_embedding_neardup_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh and lsh <= exact, (
+        f"LSH invented pairs not in the exact set: {lsh - exact}"
+    )
