@@ -284,6 +284,20 @@ def main() -> None:
     force(QUERIES["b01_parquet_scan"](spark, sf_dir))
 
     names = list(QUERIES) if run_all else BENCH_QUERIES
+    if run_all:
+        # HEAD warmup (r13): --all runs in registration order, and the
+        # driver-window rotation reorders that head every round — so
+        # whichever queries sit first absorb the session's remaining
+        # JIT/codegen ramp and read ~2-3x hot. The r12→r13 diff showed
+        # exactly the rotated-to-front queries as spurious regressions
+        # and the rotated-away ones as spurious improvements. One
+        # unmeasured pass over the first few names de-positions the
+        # figures; method field records the change. 16 covers the
+        # measured ramp (K=8 left positions 8-10 flagged — including
+        # the order's first JDBC query, which pays the one-time Derby
+        # engine boot for the whole session).
+        for name in names[:16]:
+            force(QUERIES[name](spark, sf_dir))
     # Headline mode reports MIN-OF-3 per query (r11 verdict Next #3,
     # raised from 2 in r12): the single-shot numbers carried a uniform
     # ~1.15x session/cache noise band, and the host shows ~3% average
@@ -314,7 +328,8 @@ def main() -> None:
                     else "headline_queries_total_runtime"
                 ),
                 "method": (
-                    "single_shot" if run_all else f"min_of_{repeats}"
+                    "single_shot_headwarm" if run_all
+                    else f"min_of_{repeats}"
                 ),
                 "value": round(sum(timings.values()), 3),
                 "value_prev_set": round(
