@@ -343,22 +343,51 @@ def _dedup_corpus_oracle() -> str:
 @register("c06_dedup_corpus", oracle=_dedup_corpus_oracle())
 def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6b: the END of the dedup pipeline — the surviving corpus.
-    Candidate pairs → clusters → drop every member that is not its
-    cluster's canonical representative (minimum doc id); unpaired
-    documents survive untouched. The anti-join plans as a key-shuffle
-    SMJ statically — the right general shape, because the loser set
-    scales with the duplicate rate (30-50% of a raw crawl, far beyond
-    broadcast); when it IS small, AQE converts the runtime join to
-    broadcast from the observed size, so both regimes get the right
-    plan without a hint."""
+    EXACT duplicates collapse FIRST (one linear sha2(text) groupBy —
+    the standard pipeline order), then near-dup banding runs on the
+    distinct-text representatives only, clusters close, and every
+    non-canonical member drops; unpaired documents survive untouched.
+
+    The stage order is a measured scale decision (r13 zipf probe,
+    SCALE.md): on the mega-cluster fixture (10% of docs sharing one
+    text — the boilerplate-page shape every raw crawl contains) the
+    banding-first spelling fed a C(n,2) same-text clique into the CC
+    step (7.0× wall at equal volume); exact-first removes the clique
+    at linear cost because a same-text group enters banding as ONE
+    row. Output-identical by construction — identical texts get
+    identical MinHash signatures, each exact group's representative
+    is its min id, and min-id survivorship composes across the two
+    stages (the cluster minimum over representatives IS the minimum
+    over all members) — which is why the oracle is unchanged and the
+    equivalence is pytest-pinned on a crafted mega-cluster corpus.
+
+    The final anti-join plans as a key-shuffle SMJ statically — the
+    right general shape, because the loser set scales with the
+    duplicate rate (30-50% of a raw crawl, far beyond broadcast);
+    when it IS small, AQE converts the runtime join to broadcast from
+    the observed size, so both regimes get the right plan without a
+    hint."""
     d = t(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    groups = d.groupBy(F.sha2(F.col("text"), 256).alias("_th")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    with_rep = d.join(
+        groups, F.sha2(F.col("text"), 256) == F.col("_th")
+    ).select("doc_id", "text", "rep_id")
+    exact_losers = with_rep.filter(
+        F.col("doc_id") != F.col("rep_id")
+    ).select("doc_id")
+    reps = with_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    sigs = minhash_signature(reps, "text", "doc_id", k=8, portable=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
-    losers = (
+    near_losers = (
         dedup_clusters(pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
+    losers = exact_losers.unionByName(near_losers)
     return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 

@@ -726,3 +726,58 @@ def test_source_overlap_hashkey_rewrite_is_exact(spark):
     assert n_text == n_hash, (
         f"xxhash64 collision: {n_text} grams, {n_hash} hashes"
     )
+
+
+def test_dedup_corpus_exact_first_equals_banding_first(spark, tmp_path):
+    """The r13 stage-order rewrite (exact-dedup before near-dup
+    banding, c06_dedup_corpus): on a corpus with an exact-duplicate
+    MEGA-CLUSTER, near-dup pairs, and uniques, the surviving corpus
+    must equal the banding-first spelling's output exactly — identical
+    texts share MinHash signatures and min-id survivorship composes
+    across stages. (The reorder exists because the banding-first shape
+    fed a C(n,2) same-text clique into CC — 7.0x wall on the zipf
+    mega-cluster fixture, SCALE.md r13.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.cluster import dedup_clusters
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    boiler = "the same boilerplate page text repeated on every mirror site"
+    near_a = "a nearly duplicated article body with shared shingle runs intact"
+    near_b = "a nearly duplicated article body with shared shingle runs intact!"
+    rows = (
+        [(i, boiler, "en", "s1", len(boiler)) for i in range(40)]  # mega
+        + [(100, near_a, "en", "s2", len(near_a)),
+           (101, near_b, "en", "s2", len(near_b))]
+        + [(200 + i, f"unique document number {i} with its own words here",
+            "en", "s3", 40) for i in range(5)]
+    )
+    sf = str(tmp_path / "sf_mega")
+    os.makedirs(sf)
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {r.doc_id for r in QUERIES["c06_dedup_corpus"](spark, sf).collect()}
+
+    # The banding-first spelling, reconstructed inline (the pre-r13 shape).
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2,
+                                max_bucket=10_000)
+    losers = {
+        r.doc_id
+        for r in dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .collect()
+    }
+    want = {r[0] for r in rows} - losers
+    assert got == want
+    # And the mega-cluster really collapsed to its min id.
+    assert 0 in got and not any(1 <= i < 40 for i in got)
