@@ -349,3 +349,88 @@ def incremental_clusters(
     return final.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def dedup_clusters_compact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Corpus-scale spelling of the LSH→CC cluster pass: EXACT
+    duplicates collapse FIRST, connected components run over
+    distinct-text REPRESENTATIVES only, and per-member labels come
+    back through one linear join — the r13 ``c06_dedup_corpus``
+    reorder (d48e4af) applied to the cluster-materializing family
+    (r14 verdict order #2).
+
+    Why the classic pipeline (band everything, CC on all members)
+    cannot survive a mega-cluster: an exact-duplicate group of n docs
+    enters banding as n identical signatures, so every band emits the
+    same C(n,2) clique — at 100 TB a boilerplate page at 10% crawl
+    mass makes the edge list quadratic in corpus size. Here the group
+    enters as ONE row (a linear sha2 groupBy), so edge count is
+    bounded by distinct-text bucket sizes and the member expansion is
+    one equi-join — per-member output rows remain (that IS the
+    contract), but the cost is linear.
+
+    Output-identical to ``dedup_clusters`` over the banding of the
+    full corpus, by the composition argument pinned in
+    tests/test_curation.py: identical texts share MinHash signatures,
+    a rep (its group's min id) inherits exactly its group's band
+    buckets, and the component min over reps IS the min over all
+    members. Two deliberate contract differences, both on regimes
+    where the classic spelling is wrong or undefined: (1) an exact
+    group larger than ``max_bucket`` still collapses and clusters here
+    (banding-first silently drops its oversized bucket and the clique
+    survives dedup); (2) an exact group of <3-token texts clusters
+    here (banding-first never pairs short texts — empty shingle set).
+
+    Returns the :func:`dedup_clusters` contract (doc_id, cluster_id,
+    cluster_size) where cluster_size counts MEMBERS; singleton docs
+    (unique text, no near-dup edge) are absent, as in the classic
+    spelling. Sizes are computed REP-side (sum of exact-group counts
+    per component — a component-count-sized agg) instead of a window
+    over the member rows, so the mega-cluster never feeds a skewed
+    window partition.
+    """
+    from .dedup import lsh_candidate_pairs, minhash_signature
+
+    th = F.sha2(F.col(text_col).cast("string"), 256)
+    groups = docs.groupBy(th.alias("_th")).agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_members")
+    )
+    members = docs.select(th.alias("_th"), F.col(id_col)).join(
+        groups, "_th"
+    ).select(id_col, "rep_id")
+    reps = docs.join(
+        groups.select(F.col("rep_id").alias(id_col)), id_col
+    ).select(id_col, text_col)
+    sigs = minhash_signature(reps, text_col, id_col, k=k, portable=True)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, k=k, band_size=band_size, max_bucket=max_bucket
+    )
+    rep_cc = connected_components(pairs).select(
+        F.col("node").alias("rep_id"), F.col("label").alias("cluster_id")
+    )
+    # Exact groups of >=2 whose rep has no near-dup edge are their own
+    # cluster (the classic spelling reaches the same rows via the
+    # same-text band clique).
+    solo = (
+        groups.filter(F.col("n_members") >= 2)
+        .join(rep_cc.select("rep_id"), "rep_id", "left_anti")
+        .select("rep_id", F.col("rep_id").alias("cluster_id"))
+    )
+    rep_label = rep_cc.unionByName(solo)
+    sizes = (
+        rep_label.join(groups.select("rep_id", "n_members"), "rep_id")
+        .groupBy("cluster_id")
+        .agg(F.sum("n_members").cast("long").alias("cluster_size"))
+    )
+    return (
+        members.join(rep_label, "rep_id")
+        .join(sizes, "cluster_id")
+        .select(id_col, "cluster_id", "cluster_size")
+    )

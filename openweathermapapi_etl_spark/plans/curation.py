@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.skew import bounded_partition_key
-from ..operators.cluster import dedup_clusters, kcore_peel
+from ..operators.cluster import (
+    dedup_clusters,
+    dedup_clusters_compact,
+    kcore_peel,
+)
 from ..operators.dedup import (
     delta_lsh_candidates,
     lsh_candidate_pairs,
@@ -87,6 +91,67 @@ def c06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
     return dedup_clusters(pairs)
+
+
+def _clusters_compact_oracle() -> str:
+    """Oracle twin of c06_dedup_clusters_compact — SAME stage order:
+    exact collapse to min-id reps first, the banding/closure CTEs see
+    reps only, per-member rows come back through the exact groups and
+    sizes sum the group counts per component. Solo exact groups (>= 2
+    members, rep unpaired) are their own cluster."""
+    pairs_sql = _lsh_oracle(max_bucket=10_000, source="reps").strip()
+    return f"""
+    WITH RECURSIVE grouped AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n
+      FROM documents),
+    reps AS (SELECT doc_id, text FROM grouped WHERE doc_id = rep_id),
+    gstat AS (SELECT rep_id, MAX(grp_n) AS n_members
+              FROM grouped GROUP BY rep_id),
+    pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node AS rep, MIN(r) AS cluster_id
+             FROM reach GROUP BY node),
+    rep_label AS (
+      SELECT rep, cluster_id FROM comp
+      UNION ALL
+      SELECT g.rep_id, g.rep_id FROM gstat g
+      WHERE g.n_members >= 2
+        AND NOT EXISTS (SELECT 1 FROM comp c WHERE c.rep = g.rep_id)),
+    sizes AS (SELECT rl.cluster_id,
+                     CAST(SUM(g.n_members) AS BIGINT) AS cluster_size
+              FROM rep_label rl JOIN gstat g ON g.rep_id = rl.rep
+              GROUP BY rl.cluster_id)
+    SELECT m.doc_id, rl.cluster_id, s.cluster_size
+    FROM grouped m
+    JOIN rep_label rl ON rl.rep = m.rep_id
+    JOIN sizes s ON s.cluster_id = rl.cluster_id
+    """
+
+
+@register("c06_dedup_clusters_compact", oracle=_clusters_compact_oracle())
+def c06_dedup_clusters_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (corpus-scale flavor, r14 order #2): the same per-member
+    cluster contract as c06_dedup_clusters, but computed exact-first —
+    sha2 collapse → banding over distinct-text reps → CC over reps →
+    one linear join back through the exact groups. A same-text
+    mega-cluster (the zipf fixture's 10%-mass boilerplate page, the
+    shape that makes banding-first CC quadratic) costs one linear
+    groupBy + a single-row band entry here; see
+    operators/cluster.dedup_clusters_compact for the composition
+    argument and the two deliberate contract differences (>max_bucket
+    exact groups and <3-token exact groups DO cluster here — both
+    regimes where banding-first silently loses them). Equivalence to
+    the classic spelling below the cap is pytest-pinned; the oracle
+    carries the same stage order so query ≡ oracle in all regimes."""
+    return dedup_clusters_compact(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -322,9 +387,29 @@ def c03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_corpus_oracle() -> str:
-    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    """Oracle twin of c06_dedup_corpus, SAME stage order as the code:
+    exact duplicates collapse to their min doc_id FIRST, and the
+    banding CTE sees distinct-text representatives only. The stage
+    order matters for MORE than speed: with the banding-first
+    spelling, an exact-duplicate group larger than ``max_bucket``
+    (10_000) would be dropped by the oversized-bucket cap and so
+    SURVIVE, while the code's unconditional sha2 collapse removes it —
+    a divergence exactly on the mega-cluster regime the reorder
+    targets (r14 advisor catch). With the collapse inside the oracle
+    too, a same-text group enters banding as one row in both engines
+    and query ≡ oracle holds in ALL regimes, above and below the cap
+    (pinned by tests/test_curation.py::
+    test_dedup_corpus_oracle_agrees_above_max_bucket)."""
+    pairs_sql = _lsh_oracle(max_bucket=10_000, source="reps").strip()
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
+    WITH RECURSIVE grouped AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+      FROM documents),
+    reps AS (SELECT doc_id, text FROM grouped WHERE doc_id = rep_id),
+    exact_losers AS (SELECT doc_id AS node FROM grouped
+                     WHERE doc_id <> rep_id),
+    pairs AS ({pairs_sql}),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
     reach(node, r) AS (
@@ -332,9 +417,11 @@ def _dedup_corpus_oracle() -> str:
       UNION
       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
     ),
-    losers AS (SELECT node FROM (SELECT node, MIN(r) AS m
-                                 FROM reach GROUP BY node) q
-               WHERE node <> m)
+    near_losers AS (SELECT node FROM (SELECT node, MIN(r) AS m
+                                      FROM reach GROUP BY node) q
+                    WHERE node <> m),
+    losers AS (SELECT node FROM exact_losers
+               UNION SELECT node FROM near_losers)
     SELECT d.doc_id, d.lang, d.source FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
     """
@@ -358,8 +445,13 @@ def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical MinHash signatures, each exact group's representative
     is its min id, and min-id survivorship composes across the two
     stages (the cluster minimum over representatives IS the minimum
-    over all members) — which is why the oracle is unchanged and the
-    equivalence is pytest-pinned on a crafted mega-cluster corpus.
+    over all members). That argument holds unconditionally ONLY when
+    the oracle collapses exact dups first as well: a banding-first
+    oracle would let an exact group larger than ``max_bucket`` slip
+    past the oversized-bucket cap and survive (r14 advisor catch), so
+    the oracle now carries the same stage order and the equivalence is
+    pytest-pinned both below (crafted mega-cluster corpus) and above
+    the cap (a >10k same-text group vs the DuckDB oracle).
 
     The final anti-join plans as a key-shuffle SMJ statically — the
     right general shape, because the loser set scales with the

@@ -136,7 +136,12 @@ def c02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle(k: int = 8, band_size: int = 2, max_bucket: int | None = None) -> str:
+def _lsh_oracle(
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+    source: str = "documents",
+) -> str:
     params = _affine_params(k)
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 1000000007)) AS m{j}"
@@ -161,7 +166,7 @@ def _lsh_oracle(k: int = 8, band_size: int = 2, max_bucket: int | None = None) -
                JOIN ok USING (band_no, band_key))"""
     src = "bands2" if max_bucket is not None else "bands"
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {source}),
     sh AS (SELECT doc_id, {_O_SHINGLES} AS shingles FROM toks),
     hashed AS (SELECT doc_id,
                       list_transform(shingles, s -> {_O_HASH.format(s='s')}) AS hs

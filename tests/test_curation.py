@@ -781,3 +781,120 @@ def test_dedup_corpus_exact_first_equals_banding_first(spark, tmp_path):
     assert got == want
     # And the mega-cluster really collapsed to its min id.
     assert 0 in got and not any(1 <= i < 40 for i in got)
+
+
+def test_dedup_corpus_oracle_agrees_above_max_bucket(spark, tmp_path):
+    """r14 advisor catch: a banding-first oracle DIVERGES from the
+    exact-first code once an exact-duplicate group exceeds
+    ``max_bucket`` (10_000) — the oversized band bucket is dropped by
+    the cap, so the whole same-text mega-cluster would SURVIVE in the
+    oracle while the code's unconditional sha2 collapse removes it.
+    The oracle now collapses exact dups first too; this test pins
+    query ≡ oracle ON that regime: a 10_050-member same-text group
+    (strictly above the cap), plus a near-dup pair and uniques, run
+    through BOTH the Spark query and the registered DuckDB oracle."""
+    import os
+
+    import duckdb
+
+    from openweathermapapi_etl_spark.plans import ORACLES, QUERIES
+
+    boiler = "the same boilerplate page text repeated on every mirror site"
+    near_a = "a nearly duplicated article body with shared shingle runs intact"
+    near_b = "a nearly duplicated article body with shared shingle runs intact!"
+    n_mega = 10_050  # > max_bucket=10_000
+    rows = (
+        [(i, boiler, "en", "s1", len(boiler)) for i in range(n_mega)]
+        + [(20_000, near_a, "en", "s2", len(near_a)),
+           (20_001, near_b, "en", "s2", len(near_b))]
+        + [(30_000 + i, txt, "en", "s3", len(txt)) for i, txt in enumerate([
+            "quarterly finance report on supplier margins and freight costs",
+            "gardening tips for arid climates with drip irrigation notes",
+            "open source licensing survey across copyleft and permissive",
+            "recipe for sourdough starters using whole rye flour blends",
+            "field guide to migratory shorebirds of the northern flyway",
+        ])]
+    )
+    sf = str(tmp_path / "sf_over_cap")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {r.doc_id for r in QUERIES["c06_dedup_corpus"](spark, sf).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = {r[0] for r in con.execute(ORACLES["c06_dedup_corpus"]).fetchall()}
+    con.close()
+
+    assert got == want
+    # The over-cap mega-cluster collapsed to its min id in BOTH engines.
+    assert 0 in got and not any(1 <= i < n_mega for i in got)
+    # Near-dup pair collapsed; uniques survived.
+    assert 20_000 in got and 20_001 not in got
+    assert all(30_000 + i in got for i in range(5))
+
+
+def test_dedup_clusters_compact_equals_classic_below_cap(spark, tmp_path):
+    """r14 order #2 composition pin: on a corpus with an exact
+    mega-cluster (40 same-text docs), a cross-group near-dup pair, and
+    uniques — all texts >= 3 tokens, all exact groups below
+    max_bucket — the compact spelling (exact-collapse → band reps →
+    CC → join labels back) returns EXACTLY the classic
+    dedup_clusters-over-full-banding rows: same members, same min-id
+    cluster ids, same member-counted sizes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.cluster import dedup_clusters
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from openweathermapapi_etl_spark.plans import QUERIES
+
+    boiler = "the same boilerplate page text repeated on every mirror site"
+    near_a = "a nearly duplicated article body with shared shingle runs intact"
+    near_b = "a nearly duplicated article body with shared shingle runs intact!"
+    rows = (
+        [(i, boiler, "en", "s1", len(boiler)) for i in range(40)]
+        + [(100, near_a, "en", "s2", len(near_a)),
+           (101, near_b, "en", "s2", len(near_b)),
+           (102, near_a, "en", "s2", len(near_a))]  # exact dup of a near-dup
+        + [(200 + i, txt, "en", "s3", len(txt)) for i, txt in enumerate([
+            "quarterly finance report on supplier margins and freight costs",
+            "gardening tips for arid climates with drip irrigation notes",
+        ])]
+    )
+    sf = str(tmp_path / "sf_compact")
+    os.makedirs(sf)
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in QUERIES["c06_dedup_clusters_compact"](spark, sf).collect()
+    }
+
+    # Classic spelling: band the FULL corpus, CC over all members.
+    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2,
+                                max_bucket=10_000)
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == want
+    # Shape sanity: the mega-cluster is one 40-member cluster rooted
+    # at 0; {100, 101, 102} is one 3-member cluster rooted at 100.
+    assert (0, 0, 40) in got and (39, 0, 40) in got
+    assert {(100, 100, 3), (101, 100, 3), (102, 100, 3)} <= got
+    # Uniques absent (no near-dup edge, exact group of 1).
+    assert not any(doc in (200, 201) for doc, _, _ in got)

@@ -141,12 +141,16 @@ def host_factor(old: dict[str, float], new: dict[str, float],
                 control: list[str], min_sec: float) -> tuple[float, int]:
     """Median old→new ratio over the control queries above the noise
     floor: the host-epoch factor every ratio is normalized by.
-    Returns (factor, n_used); refuses (factor 1.0) below 5 queries —
-    a tiny median is itself noise."""
+    BOTH sides must clear the floor — a sub-floor denominator (0.1s →
+    0.3s) is pure jitter reading as 3.0×, and a few such pairs skew
+    the normalizer every ratio is divided by (r14 advisor catch; the
+    or-rule remains correct in diff(), where it *flags* rather than
+    normalizes). Returns (factor, n_used); refuses (factor 1.0) below
+    5 queries — a tiny median is itself noise."""
     ratios = [
         new[q] / old[q]
         for q in control
-        if old[q] > 0 and (old[q] >= min_sec or new[q] >= min_sec)
+        if old[q] >= min_sec and new[q] >= min_sec
     ]
     if len(ratios) < 5:
         return 1.0, len(ratios)

@@ -10,8 +10,10 @@ the generator's, so a plan-shape delta between sf0.1 and sf1 is a
 SCALE effect, not a data-shape artifact. Dimensions (region, nation)
 stay enum-sized, as they would at any SF.
 
-Usage: python tools/make_sf1.py [out_dir]          (default /tmp/sf1)
-       python tools/make_sf1.py --zipf [out_dir]   (default /tmp/sf1z)
+Usage: python tools/make_sf1.py [out_dir]            (default /tmp/sf1)
+       python tools/make_sf1.py --zipf [out_dir]     (default /tmp/sf1z)
+       python tools/make_sf1.py --copies N [out_dir] (replication factor;
+                                                      default 10 = sf1)
 
 --zipf (round-13 order #1) builds the SKEW-ADVERSARIAL variant: same
 10x volume, but the join/agg keys every probe so far left uniform are
@@ -133,16 +135,22 @@ def _skew_fact(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:]]
-    zipf = "--zipf" in args
-    if zipf:
-        args.remove("--zipf")
-    copies = COPIES
-    if "--copies" in args:
-        i = args.index("--copies")
-        copies = int(args[i + 1])
-        del args[i : i + 2]
-    out = args[0] if args else ("/tmp/sf1z" if zipf else "/tmp/sf1")
+    # argparse (r14 advisor low): the hand-rolled parser neither
+    # documented --copies nor rejected a misplaced flag value being
+    # silently taken as out_dir.
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("out_dir", nargs="?", default=None,
+                    help="output dir (default /tmp/sf1, /tmp/sf1z with --zipf)")
+    ap.add_argument("--zipf", action="store_true",
+                    help="skew-adversarial variant: zipf FKs + mega-dup text")
+    ap.add_argument("--copies", type=int, default=COPIES, metavar="N",
+                    help=f"replication factor over sf0.1 (default {COPIES}; "
+                         "5 → sf0.5-equivalent volume)")
+    ns = ap.parse_args()
+    zipf, copies = ns.zipf, ns.copies
+    out = ns.out_dir or ("/tmp/sf1z" if zipf else "/tmp/sf1")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in ENUM_TABLES:
