@@ -358,6 +358,7 @@ def dedup_clusters_compact(
     k: int = 8,
     band_size: int = 2,
     max_bucket: int | None = 10_000,
+    with_sizes: bool = True,
 ) -> DataFrame:
     """Corpus-scale spelling of the LSH→CC cluster pass: EXACT
     duplicates collapse FIRST, connected components run over
@@ -394,7 +395,10 @@ def dedup_clusters_compact(
     spelling. Sizes are computed REP-side (sum of exact-group counts
     per component — a component-count-sized agg) instead of a window
     over the member rows, so the mega-cluster never feeds a skewed
-    window partition.
+    window partition. ``with_sizes=False`` drops the size agg+join for
+    consumers that need LABELS only (c07_group_split) — one fewer
+    shuffle at low dup rates, where reps ≈ corpus and every pass
+    shows.
     """
     from .dedup import lsh_candidate_pairs, minhash_signature
 
@@ -424,6 +428,8 @@ def dedup_clusters_compact(
         .select("rep_id", F.col("rep_id").alias("cluster_id"))
     )
     rep_label = rep_cc.unionByName(solo)
+    if not with_sizes:
+        return members.join(rep_label, "rep_id").select(id_col, "cluster_id")
     sizes = (
         rep_label.join(groups.select("rep_id", "n_members"), "rep_id")
         .groupBy("cluster_id")

@@ -732,12 +732,28 @@ def c04_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _group_split_oracle() -> str:
-    pairs_sql = _lsh_oracle(max_bucket=10_000).strip()
+    """Oracle twin of the r14-rebased c07_group_split — the SAME
+    exact-first stage order as dedup_clusters_compact: collapse
+    identical texts to min-id reps, band/close over reps only, then
+    label every document through its exact group (solo exact groups
+    of >= 2 are their own cluster). Banding-first and exact-first
+    labels are pytest-pinned equal below the bucket cap; above it the
+    exact-first labels are the CORRECT ones (the banding-first oracle
+    would silently drop the >cap mega-bucket — r14 advisor class)."""
+    pairs_sql = _lsh_oracle(max_bucket=10_000, source="reps").strip()
     bucket = _O_SCRAMBLE.format(h=_O_HASH.format(
-        s="'gsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"
+        s="'gsplit:' || CAST(COALESCE(rl.cluster_id, g.doc_id) AS VARCHAR)"
     ))
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
+    WITH RECURSIVE grouped AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n
+      FROM documents),
+    reps AS (SELECT doc_id, text FROM grouped WHERE doc_id = rep_id),
+    gstat AS (SELECT rep_id, MAX(grp_n) AS n_members
+              FROM grouped GROUP BY rep_id),
+    pairs AS ({pairs_sql}),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
     reach(node, r) AS (
@@ -745,12 +761,18 @@ def _group_split_oracle() -> str:
       UNION
       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
     ),
-    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+    comp AS (SELECT node AS rep, MIN(r) AS cluster_id
              FROM reach GROUP BY node),
+    rep_label AS (
+      SELECT rep, cluster_id FROM comp
+      UNION ALL
+      SELECT g.rep_id, g.rep_id FROM gstat g
+      WHERE g.n_members >= 2
+        AND NOT EXISTS (SELECT 1 FROM comp c WHERE c.rep = g.rep_id)),
     assigned AS (
-      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+      SELECT g.doc_id, COALESCE(rl.cluster_id, g.doc_id) AS group_id,
              {bucket} % 100 AS split_bucket
-      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+      FROM grouped g LEFT JOIN rep_label rl ON rl.rep = g.rep_id)
     SELECT doc_id, group_id, split_bucket,
            CASE WHEN split_bucket < 80 THEN 'train'
                 WHEN split_bucket < 90 THEN 'val'
@@ -768,13 +790,19 @@ def c07_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the train/test boundary — the classic eval-leak — which is why
     production pipelines split AFTER dedup clustering. Unpaired
     documents are their own group (coalesce to doc_id); the cluster
-    map joins in as the small side."""
+    map joins in as the small side.
+
+    r14 rebase: the cluster pass is dedup_clusters_compact (exact
+    collapse → band reps → CC → linear label join) — the banding-first
+    spelling fed the zipf mega-cluster's C(n,2) clique into CC for
+    labels that exact-first computes linearly (97.2 s → measured
+    post-rebase in SCALE.md r14 at equal volume). Labels are
+    pytest-pinned identical below the bucket cap; the oracle carries
+    the same stage order."""
     from ..operators.sampling import split_bucket
 
     d = t(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
-    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    clusters = dedup_clusters_compact(d, with_sizes=False)
     joined = d.select("doc_id").join(clusters, "doc_id", "left")
     group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     b = split_bucket(group, salt="gsplit")
@@ -3960,7 +3988,7 @@ def c07_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS DOUBLE) / COALESCE(s.cluster_size, 1) AS weight
     FROM documents d
     LEFT JOIN (SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
-               FROM ({_clusters_oracle()})) s USING (doc_id)
+               FROM ({_clusters_compact_oracle()})) s USING (doc_id)
     """,
 )
 def c07_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3972,17 +4000,19 @@ def c07_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrase variation; no dedup over-trains on boilerplate):
     downstream, c07_weighted_sample consumes exactly these weights.
 
-    Shape: the LSH→connected-components cluster pass (same bounded
-    iteration as c06_dedup_clusters), then ONE left join back to the
-    corpus — cluster table is duplicate-sized, far smaller than the
-    corpus, so the join broadcasts at scale. Weight is one IEEE
-    division of exact integers, bit-identical cross-engine."""
+    Shape (r14 rebase): the compact cluster pass
+    (dedup_clusters_compact — exact collapse first, CC over
+    distinct-text reps, member-counted sizes computed rep-side), then
+    ONE left join back to the corpus — cluster table is
+    duplicate-sized, far smaller than the corpus, so the join
+    broadcasts at scale. The banding-first spelling paid the zipf
+    mega-cluster's C(n,2) clique for sizes the exact-group counts give
+    linearly (93.0 s → measured post-rebase in SCALE.md r14); sizes
+    are pytest-pinned identical below the bucket cap, and the oracle
+    composes the exact-first cluster CTE. Weight is one IEEE division
+    of exact integers, bit-identical cross-engine."""
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "text", "doc_id", k=8, portable=True)
-    pairs = lsh_candidate_pairs(
-        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
-    )
-    sizes = dedup_clusters(pairs).select("doc_id", "cluster_size")
+    sizes = dedup_clusters_compact(docs).select("doc_id", "cluster_size")
     return docs.join(sizes, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
