@@ -19,10 +19,12 @@ groupBy-min on the destination), the dominant data volume is the edge
 list (2|E| after symmetrization), and rounds needed = component
 *diameter*, not size. LSH components are unions of bucket cliques:
 diameters in practice are 2-5 even at web scale, so the loop converges
-in a handful of rounds. `localCheckpoint(eager=True)` truncates the
-lineage every round — without it the plan doubles per iteration and
-re-executes the whole prefix; on a real cluster with flaky executors
-swap in reliable `checkpoint()`. The convergence probe is a
+in a handful of rounds. `localCheckpoint` truncates the lineage every
+round — without it the plan doubles per iteration and re-executes the
+whole prefix; lazy (`eager=False`, r14) so the materialization rides
+the round's convergence action instead of paying a separate blocking
+job per round. On a real cluster with flaky executors swap in
+reliable `checkpoint()`. The convergence probe is a
 single-row count on the already-materialized round result (bounded
 control-plane read). For adversarial chain-shaped graphs (diameter
 O(n)) the published O(log n) fallback is alternating large-star /
@@ -47,10 +49,12 @@ def connected_components(
     """Label every node of the undirected pair graph with the minimum
     node id reachable from it. Returns (node, label).
 
-    Raises if ``max_iter`` rounds don't reach the fixpoint — silent
-    truncation would emit WRONG cluster ids (two half-merged clusters),
-    and at LSH diameters hitting 25 rounds means the input graph is not
-    the shape this operator is documented for.
+    Raises if ``max_iter`` iterations (each TWO propagation hops, one
+    convergence barrier — see the loop comment) don't reach the
+    fixpoint — silent truncation would emit WRONG cluster ids (two
+    half-merged clusters), and at LSH diameters exhausting the default
+    budget means the input graph is not the shape this operator is
+    documented for.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -60,37 +64,59 @@ def connected_components(
         # joins against `sym`, and without a checkpoint each round
         # re-executes sym's entire upstream lineage (for LSH input
         # that's the whole shingle→minhash→banding pipeline — measured
-        # 3-4x the total runtime at sf0.1). On a cluster, persist to
-        # disk or reliable-checkpoint instead if 2|E| exceeds memory.
-        .localCheckpoint(eager=True)
+        # 3-4x the total runtime at sf0.1). Lazy (eager=False): round 1
+        # materializes it inside its own job instead of paying a
+        # separate up-front job — on a scheduling-bound host (or a busy
+        # cluster) every job is a full barrier (r14 measurement:
+        # ~0.3-0.5 s/job floor here). On a cluster, persist to disk or
+        # reliable-checkpoint instead if 2|E| exceeds memory.
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Round shape (r14 optimization, guide §2.4 + §1.2(1)): min over
+    # {self} ∪ neighbors as ONE groupBy over (edge⋈label) ∪ label rows
+    # — the previous spelling (neighbor groupBy-min, then LEFT JOIN
+    # back onto labels + least()) computed the same function with one
+    # extra join stage per hop. Each ITERATION runs TWO propagation
+    # hops before its single convergence action: label propagation is
+    # barrier-bound, not data-bound (every driver action is a full
+    # cluster barrier — and on the bench host a ~0.3-0.5 s scheduling
+    # floor), so checking convergence every other hop halves the
+    # barrier count for the price of at most one redundant pass over
+    # the edge list — the same price the old per-round convergence
+    # check already paid on its final round. Convergence probe: labels
+    # are per-node non-increasing, so SUM(label) is strictly
+    # decreasing until the fixpoint and equality is EXACT
+    # (decimal(38,0) — no long overflow under ANSI, no float order
+    # dependence, and identical whether the fixpoint landed on the
+    # first or second hop of the iteration). Lazy checkpoints: both
+    # hops materialize inside the sum action's job (per-hop lineage
+    # still truncated at plan time), so each iteration is ONE job —
+    # the eager spelling paid a blocking checkpoint job plus a count
+    # job per single hop.
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+        for _hop in range(2):
+            cand = (
+                sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "label")
+                .unionAll(labels)
             )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = stepped.filter(F.col("label") < F.col("_old")).count()
-        labels = stepped.select("node", "label")
-        if n_changed == 0:
+            labels = (
+                cand.groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the LSH-graph envelope this "
@@ -131,7 +157,9 @@ def connected_components_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy: round 1's checksum action materializes it — no
+        # separate up-front job (see connected_components).
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple | None = None
     for _ in range(max_iter):
@@ -162,7 +190,9 @@ def connected_components_star(
             .union(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # Lazy: the checksum agg below is the materializing action
+            # (1 job/round instead of checkpoint-job + checksum-job).
+            .localCheckpoint(eager=False)
         )
         # decimal(38,0) accumulation: exact, order-independent, and
         # immune to the ANSI long-overflow a plain SUM of 64-bit hashes
@@ -258,7 +288,16 @@ def kcore_peel(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy checkpoints throughout (r14): each round's edge set is
+        # consumed twice in round r+1 (degree agg + both semi-joins),
+        # so it must be materialized exactly once — which lazy local
+        # caching already guarantees on first compute. Eager spelling
+        # paid one BLOCKING job per round (a full barrier each time;
+        # ~0.3-0.5 s/job floor on a scheduling-bound host) before any
+        # downstream work could start; lazy folds all rounds into the
+        # single consuming action's DAG with the same per-round
+        # materialization and lineage truncation.
+        .localCheckpoint(eager=False)
     )
     cur = sym
     for _ in range(rounds):
@@ -267,7 +306,7 @@ def kcore_peel(
         cur = (
             cur.join(keep, "u", "semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cur.groupBy("u").agg(F.count("*").alias("degree")).select(
         F.col("u").alias("node"), "degree"

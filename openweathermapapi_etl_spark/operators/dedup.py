@@ -417,21 +417,53 @@ def hamming_band_pairs(
     # a single allocation). ms is sorted on (id, hash) and ids are
     # bucket-distinct, so slicing past the member keeps id_a < id_b.
     cand = (
-        buckets.select("ms", F.posexplode("ms").alias("_i", "a"))
+        buckets.select("band_no", "ms", F.posexplode("ms").alias("_i", "a"))
         .select(
+            "band_no",
             "a",
             F.explode(
                 F.slice(F.col("ms"), F.col("_i") + F.lit(2), F.size("ms"))
             ).alias("b"),
         )
         .select(
+            "band_no",
             F.col("a")[id_col].alias("id_a"),
             F.col("b")[id_col].alias("id_b"),
             F.col("a")[hash_col].alias("ha"),
             F.col("b")[hash_col].alias("hb"),
         )
-        .distinct()
     )
+    if max_bucket is None:
+        # First-match dedup (r14, guide §2.3/§2.4): a pair sharing
+        # several bands appears once per shared band; instead of a
+        # corpus-scale DISTINCT shuffle over the expanded candidates,
+        # keep the pair only where the emitting band is its SMALLEST
+        # shared band — row-local arithmetic, since both signatures
+        # ride the candidate row and band equality is the same
+        # shift/mask the bucket key used. Output rows are then unique
+        # by construction and the Exchange disappears. Only valid
+        # uncapped: with a cap, the smallest shared band's bucket may
+        # have been dropped as oversized while a later band's bucket
+        # survives — suppressing the pair here would be a false
+        # negative, so the capped path keeps the DISTINCT.
+        shares = F.array(
+            *[
+                (
+                    F.shiftright(F.col("ha"), band_bits * j).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    == F.shiftright(F.col("hb"), band_bits * j).bitwiseAND(
+                        F.lit(mask)
+                    )
+                )
+                for j in range(bands)
+            ]
+        )
+        cand = cand.filter(
+            F.array_position(shares, F.lit(True)) == F.col("band_no") + 1
+        )
+    else:
+        cand = cand.drop("band_no").distinct()
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))

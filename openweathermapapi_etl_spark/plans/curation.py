@@ -1125,7 +1125,7 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
@@ -1144,7 +1144,7 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (0.15 + 0.85 * F.sum("c").cast("double")).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
 
@@ -2003,7 +2003,8 @@ def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     gravitate to (the canonical-URL heuristic of web dedup, graphified;
     min-id remains the tie-break so selection is total). One shared
     LSH pair pass feeds BOTH the components resolver and the power
-    iteration — the graph is built once (eager-checkpointed edges),
+    iteration — the graph is built once (checkpointed edges; lazy, so
+    the materialization rides the first consuming job, r14),
     and the final selection is a cluster-partitioned window over the
     (doc, cluster, rank) join. Both iterative algorithms are already
     individually oracle-pinned; this pins their COMPOSITION —
@@ -2020,7 +2021,7 @@ def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
@@ -2037,7 +2038,7 @@ def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.groupBy("dst")
             .agg((0.15 + 0.85 * F.sum("c").cast("double")).alias("pr"))
             .select(F.col("dst").alias("node"), "pr")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     clusters = dedup_clusters(
         pairs.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"))
@@ -3228,7 +3229,7 @@ def c06_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     h = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1).cast("bigint").alias("h")
     )
@@ -3238,14 +3239,14 @@ def c06_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("h").cast("bigint").alias("a"))
             .select(F.col("dst").alias("node"), "a")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h = (
             edges.join(a, edges["dst"] == a["node"])
             .groupBy("src")
             .agg(F.sum("a").cast("bigint").alias("h"))
             .select(F.col("src").alias("node"), "h")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     hs = h.select(F.col("node").alias("hn"), "h")
     as_ = a.select(F.col("node").alias("an"), "a")
@@ -3704,7 +3705,7 @@ def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         knn_graph(e, k=3, dim=64, n_planes=6)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("node"), F.lit(0).alias("d")
@@ -3716,7 +3717,7 @@ def c06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), F.lit(r).alias("d"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(discovered)
         frontier = discovered
@@ -4097,7 +4098,7 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     und = e.select(
         "vec_id",
@@ -4112,7 +4113,7 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000
             + F.col("vec_id") % 1000
         ).alias("pkey"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = None
     for r in range(1, 4):
         mx = (
@@ -4127,14 +4128,14 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             und.join(mx, "vec_id", "left")
             .filter(F.col("pkey") > F.coalesce("mx", F.lit(-1)))
             .select("vec_id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dropped = (
             edges.join(winners.withColumnRenamed("vec_id", "src"), "src")
             .select(F.col("dst").alias("vec_id"))
             .join(und, "vec_id", "left_semi")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         decided = winners.select(
             "vec_id", F.lit("in").alias("state"), F.lit(r).cast("int").alias("round")
@@ -4147,7 +4148,7 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         und = (
             und.join(winners, "vec_id", "left_anti")
             .join(dropped, "vec_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return out.unionByName(
         und.select(

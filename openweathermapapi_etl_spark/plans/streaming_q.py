@@ -761,10 +761,14 @@ def b51_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     events = load_table(spark, sf_dir, "events")
-    mid_ts = events.selectExpr(
-        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
-    ).collect()[0][0]
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # ONE agg job for both split point and flush horizon (r14): the
+    # separate percentile and max collects each paid a full scan +
+    # job barrier for one scalar.
+    _row = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m",
+        "MAX(ts) AS mx",
+    ).collect()[0]
+    mid_ts, max_ts = _row["m"], _row["mx"]
     tag = f"spark_graft_stream_b51l_{os.getpid()}"
     d = os.path.join(tempfile.gettempdir(), tag)
     split_events_files(
@@ -887,12 +891,20 @@ def _b53_timeout_plan(spark: SparkSession, sf_dir: str, tag: str):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     prep(spark)
+    # TWO replay files (r14; was 3): each key's rows still arrive in
+    # exactly one batch (the mod split), batch 2 still exercises the
+    # MIXED path (new data for half the keys + timer expirations for
+    # batch-1 keys in the same micro-batch), and the drain needs one
+    # fewer full micro-batch cycle — on a scheduling-bound host each
+    # micro-batch is a multi-second barrier (state commit × partitions
+    # + Python plan), the query's dominant cost. Output is unchanged:
+    # every key updates once, times out, and emits its full count.
     d = _replay_dir(
         spark,
         sf_dir,
         tag,
-        n_files=3,
-        predicates=[f"user_id % 3 = {i}" for i in range(3)],
+        n_files=2,
+        predicates=[f"user_id % 2 = {i}" for i in range(2)],
     )
     stream = replay_files_stream(spark, d, EVENTS)
 
@@ -949,7 +961,7 @@ def b53_state_timeout_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty (``stateOperators.numRowsTotal == 0`` in the progress log —
     the drain gauge; same metric family as the B39/B43 eviction
     proofs). Each user's rows arrive in one file-batch (split on
-    ``user_id % 3``), the 1 ms timer has always expired by the next
+    ``user_id % 2``), the 1 ms timer has always expired by the next
     batch, and once every key has fired the state is empty — so the
     drained output is exactly one closed row per user with the full
     event count, which the SQL oracle hash-checks."""
@@ -1216,10 +1228,14 @@ def b51_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     events = load_table(spark, sf_dir, "events")
-    mid_ts = events.selectExpr(
-        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m"
-    ).collect()[0][0]
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # ONE agg job for both split point and flush horizon (r14): the
+    # separate percentile and max collects each paid a full scan +
+    # job barrier for one scalar.
+    _row = events.selectExpr(
+        "CAST(percentile_approx(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS m",
+        "MAX(ts) AS mx",
+    ).collect()[0]
+    mid_ts, max_ts = _row["m"], _row["mx"]
     tag = f"spark_graft_stream_b51f_{os.getpid()}"
     d = os.path.join(tempfile.gettempdir(), tag)
     split_events_files(

@@ -2025,37 +2025,25 @@ def c02_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set itself — grow ~quadratically, so the 16-bit flavor is
     strictly a correctness fixture; size the signature to the corpus
     (64-bit keeps density ~constant) before pointing this at real
-    data."""
+    data.
+
+    r14 rewrite (output-identical, oracle unchanged): the banded
+    self-JOIN evaluated the whole simhash pipeline on BOTH sides (the
+    lsh_candidate_pairs lesson) and shuffled the band table twice,
+    then paid a candidate-sized DISTINCT for pairs sharing several
+    bands. Now one call to the shared
+    :func:`~..operators.dedup.hamming_band_pairs` (uncapped): the
+    signature aggregation runs ONCE, candidates expand inside
+    (band, value) buckets off a single shuffle, and the uncapped
+    path's first-shared-band filter makes every pair unique row-
+    locally — no candidate DISTINCT exchange at all."""
     sigs = simhash16(
         t(spark, sf_dir, "documents"), "text", "doc_id", portable=True
     )
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, shiftright(simhash, b * 4) & 15 AS bv))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
+    return hamming_band_pairs(
+        sigs, "doc_id", "simhash", nbits=16, bands=4, max_dist=3,
+        max_bucket=None,
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
 
 
 def _hard_negative_oracle(k: int = 3, dim: int = 64, n_planes: int = 4) -> str:

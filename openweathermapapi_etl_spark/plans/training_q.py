@@ -1910,14 +1910,14 @@ def c03_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_pre, norm_fold
 
     # The edge list IS the index and both hops consume it: materialize
-    # it once (eager localCheckpoint — the k·|V| edge list is small and
+    # it once (lazy localCheckpoint — the k·|V| edge list is small and
     # both hop joins re-read it) instead of re-running the bucketed
     # self-join per hop; production keeps it as a stored table
     # (cf. c03_ivf_persist).
     g = (
         knn_graph(e, k=3, dim=64, n_planes=6)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id")
@@ -2629,7 +2629,7 @@ def c03_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     chosen = (
-        vecs.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+        vecs.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
     )
     out = chosen.select(
         F.lit(0).cast("int").alias("rank"),
@@ -2654,11 +2654,11 @@ def c03_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         winner = (
             dmin.orderBy(F.col("dmin").desc(), "vec_id")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         chosen = chosen.unionByName(
             winner.select("vec_id", "v")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         out = out.unionByName(
             winner.select(
                 F.lit(r).cast("int").alias("rank"),

@@ -286,14 +286,20 @@ def b47_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     state bounded by the largest single key group. Integer counts →
     exact oracle; the pandas merge is the oracle's LEFT JOIN."""
 
+    import numpy as np
+
     def reconcile(orders_pdf, items_pdf):
         if not len(orders_pdf):  # key present only on the item side
             return pd.DataFrame(
                 {"o_custkey": [], "n_orders": [], "n_lineitems": []}
             )
-        n_orders = orders_pdf["o_orderkey"].nunique()
+        # Per-KEY hot path (one call per customer): raw-numpy set ops
+        # instead of pandas nunique/isin — same counts, no per-call
+        # Index machinery (guide §4.2).
+        ok = orders_pdf["o_orderkey"].to_numpy()
+        n_orders = len(np.unique(ok))
         n_items = int(
-            items_pdf["l_orderkey"].isin(orders_pdf["o_orderkey"]).sum()
+            np.isin(items_pdf["l_orderkey"].to_numpy(), ok).sum()
         )
         return pd.DataFrame(
             {
@@ -442,7 +448,14 @@ def b49_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frames shorter than 2 yield NULL (no second element), pinned on
     both sides. Scale shape: one user_id-partitioned window — the
     same high-cardinality partitioning the rest of the event family
-    shuffles on; the UDAF's cost is frame-local."""
+    shuffles on; the UDAF's cost is frame-local. The function body is
+    the per-frame hot path (Spark calls it once per ROW's frame, not
+    once per batch): ``np.partition`` on the raw values replaces the
+    original ``Series.sort_values().iloc[1]`` — a full pandas sort
+    with index allocation per 7-row frame — for the identical
+    second-largest-with-duplicates value (guide §4.2; r14 isolated
+    A/B: 13.3 s → see OPTIMIZATION_r14.md)."""
+    import numpy as np
     import pandas as pd
 
     e = (
@@ -457,9 +470,12 @@ def b49_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def second_largest(v: pd.Series) -> int | None:
-        if len(v) < 2:
+        a = v.to_numpy()
+        n = a.size
+        if n < 2:
             return None
-        return int(v.sort_values(ascending=False).iloc[1])
+        # sorted-desc[1] == the (n-2)th order statistic ascending.
+        return int(np.partition(a, n - 2)[n - 2])
 
     w = (
         Window.partitionBy("user_id")
