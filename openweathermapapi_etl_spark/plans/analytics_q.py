@@ -684,13 +684,23 @@ def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both sides are the audited pipelines unchanged
     (bucketed banding; rarest-shingle prefix join) — the audit adds
-    one pair-keyed join of two candidate-sized sets and three scalar
-    counts. At 100 TB the ground-truth side runs on a SAMPLE (the
-    exact join is no-false-negative at any size, but paying it
-    corpus-wide is the cost banding exists to avoid) — the P/R
-    estimate is consistent under uniform doc sampling (ratio
-    estimator; pair inclusions correlate through shared endpoints,
-    so it is not exactly unbiased at finite n)."""
+    ONE pair-keyed aggregation over the union of both candidate-sized
+    pair sets and one scalar agg (r14, guide §2.4/§1.2(1)): the
+    original three-branch spelling (count(cand), count(truth),
+    count(cand⋈truth)) evaluated BOTH audited pipelines TWICE — the
+    exact set-sim join, the audit's dominant cost, ran once for its
+    count and once for the TP join. Now each pipeline runs once: tag
+    cand rows (1,0) and truth rows (0,1), unionAll, groupBy the pair
+    key summing the tags, and one global agg reads
+    n_candidates = Σc, n_truth = Σt, tp = Σ(c·t) — identical to the
+    join spelling for any pair multisets (per-pair join multiplicity
+    IS c·t), and both inputs are distinct-pair sets here. At 100 TB
+    the ground-truth side runs on a SAMPLE (the exact join is
+    no-false-negative at any size, but paying it corpus-wide is the
+    cost banding exists to avoid) — the P/R estimate is consistent
+    under uniform doc sampling (ratio estimator; pair inclusions
+    correlate through shared endpoints, so it is not exactly unbiased
+    at finite n)."""
     from fractions import Fraction as Fr
 
     d = t(spark, sf_dir, "documents")
@@ -703,21 +713,28 @@ def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     ).select("id_a", "id_b")
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
-    return (
-        tp.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_truth))
-        .select(
-            "n_candidates",
-            "n_truth",
-            "tp",
-            (F.col("tp").cast("double") / F.col("n_candidates")).alias(
-                "precision"
-            ),
-            (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
-        )
+    tagged = cand.select(
+        "id_a", "id_b", F.lit(1).alias("_c"), F.lit(0).alias("_t")
+    ).unionAll(
+        truth.select("id_a", "id_b", F.lit(0).alias("_c"), F.lit(1).alias("_t"))
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.sum("_c").alias("c"), F.sum("_t").alias("t")
+    )
+    # coalesce(…, 0): an empty pair universe must yield the count
+    # spelling's zeros, not NULL sums.
+    return per_pair.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_candidates"),
+        F.coalesce(F.sum("t"), F.lit(0).cast("long")).alias("n_truth"),
+        F.coalesce(F.sum(F.col("c") * F.col("t")), F.lit(0).cast("long")).alias("tp"),
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "tp",
+        (F.col("tp").cast("double") / F.col("n_candidates")).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
     )
 
 
@@ -822,21 +839,31 @@ def c02_dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d_s.filter(F.size(_tokens("text")) >= 3).agg(
         F.count("*").alias("n_sample_docs")
     )
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
-    return (
-        tp.crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_truth))
-        .select(
-            "n_sample_docs",
-            "n_candidates",
-            "n_truth",
-            "tp",
-            (F.col("tp").cast("double") / F.col("n_candidates")).alias(
-                "precision"
-            ),
-            (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
-        )
+    # One-pass indicator agg (r14): same rewrite as c02_dedup_pr_audit
+    # — the three-branch count/count/join spelling evaluated the exact
+    # set-sim truth and the full-corpus banding TWICE each; tagging +
+    # one pair-keyed agg evaluates each audited pipeline once and is
+    # join-identical (per-pair join multiplicity = c·t).
+    tagged = cand.select(
+        "id_a", "id_b", F.lit(1).alias("_c"), F.lit(0).alias("_t")
+    ).unionAll(
+        truth.select("id_a", "id_b", F.lit(0).alias("_c"), F.lit(1).alias("_t"))
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.sum("_c").alias("c"), F.sum("_t").alias("t")
+    )
+    stats = per_pair.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_candidates"),
+        F.coalesce(F.sum("t"), F.lit(0).cast("long")).alias("n_truth"),
+        F.coalesce(F.sum(F.col("c") * F.col("t")), F.lit(0).cast("long")).alias("tp"),
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "n_sample_docs",
+        "n_candidates",
+        "n_truth",
+        "tp",
+        (F.col("tp").cast("double") / F.col("n_candidates")).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
     )

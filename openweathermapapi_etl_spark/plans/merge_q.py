@@ -1903,21 +1903,39 @@ def m29_cdf_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The replica tails the feed, never the primary's files.
     replica = VersionedParquetTable(os.path.join(base, "replica"), retain=10)
     replica.overwrite(primary.read_version(spark, 1))
-    for v in sorted(
-        r["version"] for r in feed.select("version").distinct().collect()
-    ):
+    # ONE control-plane agg for the whole apply loop (r14, guide
+    # §1.2(1)): the previous spelling ran a distinct-versions collect
+    # plus TWO isEmpty probe jobs per version over the checkpointed
+    # feed — 5 driver barriers for what one feed-sized groupBy answers
+    # (isEmpty ⇔ per-version change_type count of 0, same skip
+    # decisions, same apply order).
+    step_counts = {
+        r["version"]: (r["n_up"], r["n_del"])
+        for r in feed.groupBy("version")
+        .agg(
+            F.count(
+                F.when(F.col("change_type").isin("insert", "update"), 1)
+            ).alias("n_up"),
+            F.count(F.when(F.col("change_type") == "delete", 1)).alias(
+                "n_del"
+            ),
+        )
+        .collect()
+    }
+    for v in sorted(step_counts):
         step = feed.filter(F.col("version") == v)
-        upserts = step.filter(
-            F.col("change_type").isin("insert", "update")
-        ).select(
-            "o_orderkey",
-            *[F.col(f"new_{c}").alias(c) for c in tracked],
-        )
-        deletes = step.filter(F.col("change_type") == "delete").select(
-            "o_orderkey"
-        )
-        if not upserts.isEmpty():
+        n_up, n_del = step_counts[v]
+        if n_up:
+            upserts = step.filter(
+                F.col("change_type").isin("insert", "update")
+            ).select(
+                "o_orderkey",
+                *[F.col(f"new_{c}").alias(c) for c in tracked],
+            )
             replica.upsert(spark, upserts, keys=["o_orderkey"])
-        if not deletes.isEmpty():
+        if n_del:
+            deletes = step.filter(F.col("change_type") == "delete").select(
+                "o_orderkey"
+            )
             replica.delete(spark, deletes, keys=["o_orderkey"])
     return _present(replica.read(spark).select(*ORDER_COLS))
