@@ -344,11 +344,20 @@ def incremental_clusters(
     node universe; at scale, restrict it to AFFECTED roots (semi-join
     on the mini result) and patch the stored sizes instead.
     """
+    # Both inputs are multiply consumed (lab: two edge-contraction
+    # joins + the node universe; new_edges: contraction + both touched
+    # branches) and both arrive as live pipelines in the registered
+    # queries (base CC's post-checkpoint size join; the banded delta
+    # joins) — lazy checkpoints compute each ONCE (r14, guide §2.4).
+    # In production both are stored tables and these are free reads.
     lab = base_clusters.select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("lab")
-    )
+    ).localCheckpoint(eager=False)
+    ne = new_edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=False)
     e = (
-        new_edges.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
+        ne.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
         .join(
             lab.select(F.col("node").alias("ea"), F.col("lab").alias("la")),
             "ea",
@@ -370,8 +379,8 @@ def incremental_clusters(
         F.col("doc_id").alias("lab2"), F.col("cluster_id").alias("root")
     )
     touched = (
-        new_edges.select(F.col(src).alias("node"))
-        .unionAll(new_edges.select(F.col(dst).alias("node")))
+        ne.select(F.col(src).alias("node"))
+        .unionAll(ne.select(F.col(dst).alias("node")))
         .distinct()
     )
     universe = lab.select("node").unionAll(touched).distinct()

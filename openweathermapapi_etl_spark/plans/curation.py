@@ -2942,8 +2942,17 @@ def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
-    c_sigs = minhash_signature(corpus, "text", "doc_id", k=8, portable=True)
-    d_sigs = minhash_signature(delta, "text", "doc_id", k=8, portable=True)
+    # Signatures are each consumed TWICE (corpus: base banding + the
+    # delta-vs-corpus join; delta: that join + delta-self banding) and
+    # the MinHash k-affine-min scan is the dominant per-row cost —
+    # lazy checkpoint computes each side once (r14, guide §2.4; in
+    # production both are stored signature tables, cf. c03_ivf_persist).
+    c_sigs = minhash_signature(
+        corpus, "text", "doc_id", k=8, portable=True
+    ).localCheckpoint(eager=False)
+    d_sigs = minhash_signature(
+        delta, "text", "doc_id", k=8, portable=True
+    ).localCheckpoint(eager=False)
     base_pairs = lsh_candidate_pairs(
         c_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     )
