@@ -40,6 +40,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def symmetrize_pairs(
+    df: DataFrame, src: str, dst: str, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Both orientations of every pair in ONE pass over the input:
+    explode a two-struct array instead of
+    ``df.select(src,dst).union(df.select(dst,src))`` — the union
+    spelling evaluates the pair pipeline once PER BRANCH, which for a
+    live LSH/kNN upstream doubles the dominant cost of every consumer
+    (r14, guide §2.4: do fewer passes — the same multiset of rows
+    falls out of a row-local generator). Output columns ``a``/``b``;
+    row multiset identical to the union spelling (2 rows per input
+    row, duplicates preserved)."""
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias(a), F.col(dst).alias(b)),
+                F.struct(F.col(dst).alias(a), F.col(src).alias(b)),
+            )
+        ).alias("_p")
+    ).select(F.col(f"_p.{a}").alias(a), F.col(f"_p.{b}").alias(b))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -57,8 +79,7 @@ def connected_components(
     documented for.
     """
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        symmetrize_pairs(edges, src, dst, "a", "b")
         .distinct()
         # Materialize the edge list ONCE before looping: every round
         # joins against `sym`, and without a checkpoint each round
@@ -285,8 +306,7 @@ def kcore_peel(
     replay round r's joins.
     """
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        symmetrize_pairs(edges, src, dst, "u", "v")
         .distinct()
         # Lazy checkpoints throughout (r14): each round's edge set is
         # consumed twice in round r+1 (degree agg + both semi-joins),

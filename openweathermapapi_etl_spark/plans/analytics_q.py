@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+from ..operators.cluster import symmetrize_pairs
 from ..operators.rank import global_rank
 from ..operators.sequences import cdc_latest_state, max_drawdown, sequence_islands
 from ..operators.setsim import setsim_join
@@ -294,8 +295,12 @@ def c06_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
     )
     prs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
-    edges = prs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        prs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # r14 (guide §2.4): symmetrize in ONE pass (the union spelling
+    # evaluated the LSH pipeline once per branch) and checkpoint —
+    # edges feeds the degree agg AND both wedge-join sides; without it
+    # each consumer re-ran minhash+banding.
+    edges = symmetrize_pairs(prs, "id_a", "id_b", "src", "dst").localCheckpoint(
+        eager=False
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     e1, e2 = edges.alias("e1"), edges.alias("e2")

@@ -20,6 +20,7 @@ from ..operators.cluster import (
     dedup_clusters,
     dedup_clusters_compact,
     kcore_peel,
+    symmetrize_pairs,
 )
 from ..operators.dedup import (
     delta_lsh_candidates,
@@ -1120,12 +1121,11 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     )
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=False)
+    # symmetrize_pairs (r14): both orientations in ONE pass over the
+    # LSH pipeline instead of a two-branch union that evaluated it
+    # twice inside the checkpoint's materializing job.
+    edges = symmetrize_pairs(pairs, "id_a", "id_b", "src", "dst").localCheckpoint(
+        eager=False
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
@@ -2015,13 +2015,13 @@ def c06_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
-    )
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # r14: edges AND the components
+    # resolver both consume the pair pass — compute it once.
+    # symmetrize_pairs (r14): both orientations in ONE pass over the
+    # LSH pipeline instead of a two-branch union that evaluated it
+    # twice inside the checkpoint's materializing job.
+    edges = symmetrize_pairs(pairs, "id_a", "id_b", "src", "dst").localCheckpoint(
+        eager=False
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     pr = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
@@ -4102,10 +4102,10 @@ def c06_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftovers report 'undecided', never silently resolve)."""
     e = t(spark, sf_dir, "embeddings")
     e0 = knn_graph(e, k=3, dim=64, n_planes=6).select("src", "dst")
+    # symmetrize_pairs (r14): one pass over the kNN-graph pipeline
+    # instead of the two-branch union.
     edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        symmetrize_pairs(e0, "src", "dst", "src", "dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
