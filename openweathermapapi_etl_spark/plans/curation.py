@@ -3172,11 +3172,11 @@ def c07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     )
-    nd = (
-        pairs.select(F.col("id_a").alias("d"))
-        .unionAll(pairs.select(F.col("id_b").alias("d")))
-        .agg(F.count_distinct("d").alias("neardup_docs"))
-    )
+    # r14 (guide §2.4): explode both endpoints in ONE pass — the
+    # two-branch unionAll evaluated the banding pipeline per branch.
+    nd = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("d")
+    ).agg(F.count_distinct("d").alias("neardup_docs"))
     return base.crossJoin(F.broadcast(nd)).select(
         "*",
         (

@@ -1576,14 +1576,20 @@ def c02_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares HASHED shingle sets (array_intersect on int arrays), so
     the verify stage never re-tokenizes text."""
     d = t(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "text", "doc_id", k=8, portable=True)
+    # r14 (guide §2.4): sigs feeds the banding AND both per-side
+    # signature attachments; sets feeds both exact sides — lazy
+    # checkpoints compute the signature scan and the shingle-set scan
+    # once each instead of 3×/2×.
+    sigs = minhash_signature(
+        d, "text", "doc_id", k=8, portable=True
+    ).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     )
     sets = d.select(
         "doc_id",
         F.array_distinct(shingle_hashes(F.col("text"), 3, True)).alias("ds"),
-    )
+    ).localCheckpoint(eager=False)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)],

@@ -1009,16 +1009,24 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signature(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
     )
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2,
-                                max_bucket=10_000).select("id_a", "id_b")
+    # r14 (guide §2.4): the oriented pair list feeds all THREE triangle
+    # roles — lazy checkpoint computes the banding once; the corner
+    # explode emits all three corners in ONE pass over the triangles
+    # (the unionAll spelling re-ran the two-join enumeration per
+    # corner).
+    pairs = (
+        lsh_candidate_pairs(
+            sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
     tri = p1.join(p2, on="b").join(p3, on=["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
