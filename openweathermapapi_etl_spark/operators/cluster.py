@@ -223,10 +223,13 @@ def connected_components_star(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
+        # Two-sided exact confirm in ONE action: both difference
+        # directions are empty iff their union is empty (r14 resume —
+        # each isEmpty is a full job barrier; the confirm only runs on
+        # the candidate final round, but that round paid two).
         if (
             sig == prev_sig
-            and e.exceptAll(stepped).isEmpty()
-            and stepped.exceptAll(e).isEmpty()
+            and e.exceptAll(stepped).unionAll(stepped.exceptAll(e)).isEmpty()
         ):
             e = stepped
             break
@@ -394,9 +397,14 @@ def incremental_clusters(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    mini = dedup_clusters(e, src="id_a", dst="id_b")
+    # Mini-graph closure via connected_components directly: only the
+    # node→root map is consumed, so dedup_clusters' size agg + join
+    # (one shuffle + one join over the mini labels, then thrown away)
+    # is skipped (r14 resume, guide §1.2(1) — don't compute things you
+    # throw away). The labels frame is the loop's own checkpoint.
+    mini = connected_components(e, src="id_a", dst="id_b")
     roots = mini.select(
-        F.col("doc_id").alias("lab2"), F.col("cluster_id").alias("root")
+        F.col("node").alias("lab2"), F.col("label").alias("root")
     )
     touched = (
         ne.select(F.col(src).alias("node"))
@@ -410,7 +418,7 @@ def incremental_clusters(
     final = labeled.join(roots, "lab2", "left").select(
         F.col("node").alias("doc_id"),
         F.coalesce("root", "lab2").alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=False)  # consumed twice: size agg + join
     sizes = final.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )

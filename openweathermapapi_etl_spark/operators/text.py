@@ -291,7 +291,10 @@ def contamination_flags(
         F.col(id_col),
         is_eval.alias("_is_eval"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("gram"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # ^ (id, gram)-distinct rows; consumed by the eval-gram build AND
+    #   the corpus probe — checkpoint so the explode + DISTINCT
+    #   shuffle runs once (r14 resume, guide §2.4).
     eval_grams = (
         grams.filter("_is_eval").select("gram").distinct()
         .withColumn("_hit", F.lit(1))
@@ -395,7 +398,14 @@ def bm25_topk(
     hits = tok.select(
         id_col, F.explode("tk").alias("term")
     ).filter(F.col("term").isin(terms))
-    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # (matching doc, query term)-sized (tiny); consumed by the df agg
+    # AND the score probe — checkpoint so the corpus explode + filter
+    # + groupBy runs once (r14 resume, guide §2.4).
+    tf = (
+        hits.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), on="term")

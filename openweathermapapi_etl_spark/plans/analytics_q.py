@@ -516,7 +516,9 @@ def b22_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = bucketed.groupBy("bucket").agg(
         F.count_if(F.col("is_before")).alias("n_before"),
         F.count_if(~F.col("is_before")).alias("n_after"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ 20 cells; consumed by the totals agg AND the output — without
+    #   the checkpoint each re-runs the corpus scan (r14 resume).
     tot = cells.agg(
         F.sum("n_before").alias("t_before"), F.sum("n_after").alias("t_after")
     )

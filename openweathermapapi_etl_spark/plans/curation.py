@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.skew import bounded_partition_key
 from ..operators.cluster import (
+    connected_components,
     dedup_clusters,
     dedup_clusters_compact,
     kcore_peel,
@@ -475,10 +476,13 @@ def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signature(reps, "text", "doc_id", k=8, portable=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    # Labels only — dedup_clusters' size agg + join-back would be
+    # computed and thrown away (guide §1.2(1)); node != label IS the
+    # non-canonical-member test (label = component min id).
     near_losers = (
-        dedup_clusters(pairs)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
     )
     losers = exact_losers.unionByName(near_losers)
     return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
@@ -2402,7 +2406,12 @@ def c04_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
-    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    # Per-doc chunk count is row-local arithmetic (array size), not a
+    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
+    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    tot = d.select(
+        "doc_id", F.size(token_chunks(tokens("text"), 2, 2)).alias("n_chunks")
+    ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",
         "n_chunks",
@@ -2956,7 +2965,14 @@ def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_pairs = lsh_candidate_pairs(
         c_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     )
-    base_clusters = dedup_clusters(base_pairs)
+    # incremental_clusters reads only (doc_id, cluster_id) from the
+    # base assignment — dedup_clusters' size agg + join-back would be
+    # computed and discarded (guide §1.2(1)); connected_components IS
+    # the label map. Sizes of the merged result are recounted inside
+    # the operator either way.
+    base_clusters = connected_components(base_pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     cross = delta_lsh_candidates(
         c_sigs, d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     ).select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
@@ -3531,9 +3547,12 @@ def c07_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
+    # Source-table-sized; consumed by the budget agg AND the ordered
+    # window — without the checkpoint each re-runs the corpus token
+    # count scan (r14 resume, guide §2.4).
     caps = d.groupBy("source").agg(
         F.sum(F.size(tokens("text"))).cast("bigint").alias("cap")
-    )
+    ).localCheckpoint(eager=False)
     # Integer floor division on BOTH sides (Spark DIV, DuckDB //): the
     # earlier double route differed by 1 whenever SUM(cap)*49 wasn't
     # divisible by 50 (DuckDB's double->bigint cast rounds to nearest,
@@ -3659,7 +3678,12 @@ def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
-    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    # Per-doc chunk count is row-local arithmetic (array size), not a
+    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
+    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    tot = d.select(
+        "doc_id", F.size(token_chunks(tokens("text"), 3, 3)).alias("n_chunks")
+    ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",
         "n_chunks",
@@ -3795,10 +3819,17 @@ def c06_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
         .select("src_label", "dst_label")
+        # Edge-list-sized, two narrow columns; consumed by vol, cut AND
+        # tot — without the checkpoint each re-runs the k-NN graph
+        # build plus both label joins (r14 resume, guide §2.4).
+        .localCheckpoint(eager=False)
     )
     vol = (
-        le.select(F.col("src_label").alias("label"))
-        .unionAll(le.select(F.col("dst_label").alias("label")))
+        # Both endpoints in ONE pass over the cached edge list (the
+        # symmetrize_pairs trick) instead of a two-branch union.
+        le.select(
+            F.explode(F.array("src_label", "dst_label")).alias("label")
+        )
         .groupBy("label")
         .agg(F.count("*").alias("vol"))
     )
@@ -4460,6 +4491,11 @@ def c02_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "g")
         .distinct()
+        # (source, gram)-distinct rows; consumed THREE times (sizes
+        # agg + both self-join sides) — without the checkpoint each
+        # re-runs the corpus explode + DISTINCT shuffle (r14 resume,
+        # guide §2.4).
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("source").alias("src_a"), "g")
@@ -4527,6 +4563,10 @@ def c02_source_overlap_matrix_hashkey(
         )
         .select("source", "gh")
         .distinct()
+        # (source, hash)-distinct rows (narrow); consumed THREE times
+        # (sizes agg + both self-join sides) — checkpoint so the
+        # explode + DISTINCT shuffle runs once (r14 resume, guide §2.4).
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("source").alias("src_a"), "gh")
@@ -4664,7 +4704,12 @@ def c04_boilerplate_strip_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame
             " ",
         ).alias("cleaned"),
     )
-    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    # Per-doc chunk count is row-local arithmetic (array size), not a
+    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
+    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    tot = d.select(
+        "doc_id", F.size(token_chunks(tokens("text"), 2, 2)).alias("n_chunks")
+    ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",
         "n_chunks",

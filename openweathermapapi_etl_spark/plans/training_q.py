@@ -2320,7 +2320,10 @@ def c03_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (qsum.cast("double") / (1_000_000.0 * F.count("*"))).alias("m"),
         F.count("*").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ centroid×dim-sized; consumed by BOTH half-filters — checkpoint
+    #   so the corpus×centroid scoring + explode agg runs once (r14
+    #   resume, guide §2.4).
     a = cells.filter(F.col("half") == 0).select(
         "centroid_id", "dim",
         F.col("m").alias("mean_a"), F.col("n").alias("n_a"),
@@ -2449,6 +2452,10 @@ def c03_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("cs"), (-F.col("centroid_id")).alias("neg")),
             ).alias("old_cell"),
         )
+        # Consumed FOUR times below (sizes, seeds, rescore, output) —
+        # checkpoint so the corpus×centroid argmin runs once (r14
+        # resume, guide §2.4; same pin as semdedup/rvq_encode).
+        .localCheckpoint(eager=False)
     )
     sizes = assigned.groupBy("old_cell").agg(F.count("*").alias("n"))
     hot = sizes.filter(F.col("n") > 45).select("old_cell")
@@ -2457,9 +2464,12 @@ def c03_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("old_cell")
         .agg(F.min("vid").alias("seed_lo"), F.max("vid").alias("seed_hi"))
     )
+    # Both seeds in ONE pass (the symmetrize_pairs trick) instead of
+    # a two-branch union that evaluated the seeds agg twice.
     seed_ids = seeds.select(
-        "old_cell", F.col("seed_lo").alias("seed_id")
-    ).unionAll(seeds.select("old_cell", F.col("seed_hi").alias("seed_id")))
+        "old_cell",
+        F.explode(F.array("seed_lo", "seed_hi")).alias("seed_id"),
+    )
     seed_vecs = seed_ids.join(
         e.select(
             F.col("vec_id").alias("seed_id"),
