@@ -898,3 +898,48 @@ def test_dedup_clusters_compact_equals_classic_below_cap(spark, tmp_path):
     assert {(100, 100, 3), (101, 100, 3), (102, 100, 3)} <= got
     # Uniques absent (no near-dup edge, exact group of 1).
     assert not any(doc in (200, 201) for doc, _, _ in got)
+
+
+def test_chunk_count_size_spelling_matches_explode_drop_semantics(spark):
+    """The r14 batch-5 `tot` rewrite: per-doc chunk counts computed as
+    row-local ``size(token_chunks(...))`` with a ``> 0`` filter must
+    reproduce the old explode + groupBy(count) spelling EXACTLY —
+    including the edge explode defines: a doc whose chunk array is
+    empty or NULL produces no exploded rows, so it must be absent from
+    the counts frame (not present with n_chunks = 0). Pinned on a
+    crafted corpus carrying NULL text, empty text, a 1-token doc and
+    multi-chunk docs, for both chunk widths the queries use (2 and 3)."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.text import (
+        token_chunks,
+        tokens,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one"),
+            (4, "two tokens"),
+            (5, "five tokens in this document"),
+            (6, "a much longer document with nine whitespace tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        ch_arr = token_chunks(tokens("text"), n, n)
+        got = {
+            (r.doc_id, r.n_chunks)
+            for r in d.select(
+                "doc_id", F.size(ch_arr).alias("n_chunks")
+            ).filter(F.col("n_chunks") > 0).collect()
+        }
+        want = {
+            (r.doc_id, r.n_chunks)
+            for r in d.select("doc_id", F.explode(ch_arr).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"))
+            .collect()
+        }
+        assert got == want, (n, got, want)
