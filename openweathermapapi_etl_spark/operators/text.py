@@ -348,6 +348,28 @@ def token_chunks(tok: Column, chunk_size: int, stride: int) -> Column:
     )
 
 
+def token_chunk_count(tok: Column, stride: int) -> Column:
+    """Closed-form ``F.size(token_chunks(tok, chunk_size, stride))`` —
+    the sliding window emits one chunk per start position in
+    ``sequence(1, size(tok), stride)``, i.e. ``floor((size(tok)-1) /
+    stride) + 1`` chunks for a non-empty token array and 0 otherwise
+    (count depends only on ``stride``, never on ``chunk_size``).
+
+    Pure row-local integer arithmetic: the ``size(token_chunks(...))``
+    spelling materializes the full chunk-struct array (every token
+    slice) per row just to take its length — measured 2x the whole
+    query at sf0.1 (r14's one >10% bench regression,
+    c04_boilerplate_strip 0.51x; r15 fix). The 0-on-empty/NULL branch
+    reproduces ``size`` over :func:`token_chunks`' empty-array result
+    exactly, so a caller's ``> 0`` filter drops the same rows explode
+    would have dropped. Integer type matches ``F.size``'s."""
+    n = F.size(tok)
+    return F.when(
+        n > 0,
+        F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") + F.lit(1),
+    ).otherwise(F.lit(0))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -39,6 +39,7 @@ from ..operators.similarity import knn_graph, label_centroids, semdedup
 from ..operators.text import (
     char_fold_hash,
     lang_id,
+    token_chunk_count,
     token_chunks,
     EMAIL_RE,
     contamination_flags,
@@ -2406,11 +2407,13 @@ def c04_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
-    # Per-doc chunk count is row-local arithmetic (array size), not a
-    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
-    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    # Per-doc chunk count in CLOSED FORM (floor((ntok-1)/stride)+1) —
+    # r15 fix for r14's one bench regression: size(token_chunks(...))
+    # materialized the full chunk-struct array (every token slice) per
+    # row just to take its length, 2x the query (guide §1.2(2)); the
+    # >0 filter reproduces explode's empty/null-array drop exactly.
     tot = d.select(
-        "doc_id", F.size(token_chunks(tokens("text"), 2, 2)).alias("n_chunks")
+        "doc_id", token_chunk_count(tokens("text"), 2).alias("n_chunks")
     ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",
@@ -3678,11 +3681,10 @@ def c04_first_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
-    # Per-doc chunk count is row-local arithmetic (array size), not a
-    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
-    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    # Per-doc chunk count in CLOSED FORM — see c04_boilerplate_strip:
+    # same r15 fix (size(token_chunks(...)) materialized every slice).
     tot = d.select(
-        "doc_id", F.size(token_chunks(tokens("text"), 3, 3)).alias("n_chunks")
+        "doc_id", token_chunk_count(tokens("text"), 3).alias("n_chunks")
     ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",
@@ -4704,11 +4706,10 @@ def c04_boilerplate_strip_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame
             " ",
         ).alias("cleaned"),
     )
-    # Per-doc chunk count is row-local arithmetic (array size), not a
-    # third corpus explode + groupBy shuffle (r14 resume, guide §2.4);
-    # the >0 filter reproduces explode's empty/null-array drop exactly.
+    # Per-doc chunk count in CLOSED FORM — see c04_boilerplate_strip:
+    # same r15 fix (size(token_chunks(...)) materialized every slice).
     tot = d.select(
-        "doc_id", F.size(token_chunks(tokens("text"), 2, 2)).alias("n_chunks")
+        "doc_id", token_chunk_count(tokens("text"), 2).alias("n_chunks")
     ).filter(F.col("n_chunks") > 0)
     return tot.join(agg, "doc_id", "left").select(
         "doc_id",

@@ -943,3 +943,44 @@ def test_chunk_count_size_spelling_matches_explode_drop_semantics(spark):
             .collect()
         }
         assert got == want, (n, got, want)
+
+
+def test_chunk_count_closed_form_matches_size_of_token_chunks(spark):
+    """The r15 `tot` fix: the closed-form chunk count
+    (``token_chunk_count`` — floor((ntok-1)/stride)+1 guarded on
+    ntok>0) must equal ``size(token_chunks(tok, w, stride))`` for
+    every (width, stride) combination the queries use AND for
+    non-aligned strides, on the same edge corpus (NULL text, empty
+    text, 1-token, exact-boundary and off-boundary token counts) —
+    including the 0-on-empty value and the int column type, so a
+    caller's ``> 0`` filter and the oracle schema behave identically."""
+    from pyspark.sql import functions as F
+
+    from openweathermapapi_etl_spark.operators.text import (
+        token_chunk_count,
+        token_chunks,
+        tokens,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one"),
+            (4, "two tokens"),
+            (5, "five tokens in this document"),
+            (6, "a much longer document with nine whitespace tokens here"),
+            (7, "exactly six tokens right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    for w, s in ((2, 2), (3, 3), (4, 2), (2, 3)):
+        tok = tokens("text")
+        res = d.select(
+            "doc_id",
+            F.size(token_chunks(tok, w, s)).alias("want"),
+            token_chunk_count(tok, s).alias("got"),
+        )
+        assert dict(res.dtypes)["got"] == dict(res.dtypes)["want"] == "int"
+        rows = res.collect()
+        assert all(r.got == r.want for r in rows), (w, s, rows)
