@@ -109,35 +109,61 @@ def connected_components(
     # floor), so checking convergence every other hop halves the
     # barrier count for the price of at most one redundant pass over
     # the edge list — the same price the old per-round convergence
-    # check already paid on its final round. Convergence probe: labels
-    # are per-node non-increasing, so SUM(label) is strictly
-    # decreasing until the fixpoint and equality is EXACT
-    # (decimal(38,0) — no long overflow under ANSI, no float order
-    # dependence, and identical whether the fixpoint landed on the
-    # first or second hop of the iteration). Lazy checkpoints: both
-    # hops materialize inside the sum action's job (per-hop lineage
-    # still truncated at plan time), so each iteration is ONE job —
-    # the eager spelling paid a blocking checkpoint job plus a count
-    # job per single hop.
-    prev_sum = None
+    # check already paid on its final round. Convergence probe (r15,
+    # verdict order #6): the second hop carries each node's PRE-hop
+    # label through the aggregation (`_old` rides the self row — NULL
+    # on neighbor rows, min ignores NULLs, and labels is node-unique
+    # so exactly one self row contributes), so the probe can sum the
+    # row-local flag `label < _old` and `== 0` detects "this hop was
+    # the identity" — which IS the fixpoint (the hop operator is
+    # deterministic: a no-change hop proves every later hop is also
+    # no-change). Versus the r14 cross-iteration SUM(label) compare
+    # this detects convergence one full iteration (= one redundant
+    # 2-hop edge-list join+shuffle pass, the dominant volume at
+    # 100 TB) earlier whenever the diameter is ODD — measured on the
+    # real sf0.1 LSH graph: diameter 5, 3 iterations instead of 4
+    # (~19 jobs vs ~25) — and never later, with the same
+    # one-probe-job-per-iteration count. Cost: one extra label-width
+    # column through hop 2's shuffle (in-session loop totals measured
+    # flat-to-better). Lazy checkpoints: both hops materialize inside
+    # the probe action's job (per-hop lineage still truncated at plan
+    # time).
+    label_type = dict(labels.dtypes)["label"]
     for _ in range(max_iter):
-        for _hop in range(2):
-            cand = (
-                sym.join(labels, sym["a"] == labels["node"])
-                .select(F.col("b").alias("node"), "label")
-                .unionAll(labels)
+        # Hop 1: plain min-propagation.
+        cand = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .unionAll(labels)
+        )
+        labels = (
+            cand.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        # Hop 2: same propagation, pre-hop label riding the self row.
+        cand = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(
+                F.col("b").alias("node"),
+                "label",
+                F.lit(None).cast(label_type).alias("_old"),
             )
-            labels = (
-                cand.groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)
+            .unionAll(
+                labels.select("node", "label", F.col("label").alias("_old"))
             )
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        )
+        stepped = (
+            cand.groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
+            .localCheckpoint(eager=False)
+        )
+        labels = stepped.select("node", "label")
+        n_changed = stepped.agg(
+            F.sum((F.col("label") < F.col("_old")).cast("int")).alias("n")
+        ).collect()[0]["n"]
+        if not n_changed:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the LSH-graph envelope this "

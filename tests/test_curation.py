@@ -65,6 +65,21 @@ def test_components_raise_rather_than_emit_half_merged(spark):
         connected_components(e, max_iter=2)
 
 
+def test_components_odd_diameter_converges_one_iteration_early(spark):
+    # r15 probe pin: the change-flag probe detects the fixpoint at hop
+    # d+1, i.e. iteration ceil((d+1)/2). A diameter-5 chain (0-..-5)
+    # therefore converges within max_iter=3 — the r14 cross-iteration
+    # sum compare needed a 4th iteration (two more edge-list hops) to
+    # see an unchanged sum. Failing here means the probe regressed to
+    # late detection.
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    got = {
+        (r.node, r.label)
+        for r in connected_components(e, max_iter=3).collect()
+    }
+    assert got == {(i, 0) for i in range(6)}
+
+
 def test_dedup_clusters_sizes_and_survivors(spark):
     e = _edges(spark, [(5, 3), (3, 7), (100, 101)])
     rows = {r.doc_id: (r.cluster_id, r.cluster_size)
