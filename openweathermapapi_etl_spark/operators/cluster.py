@@ -515,8 +515,13 @@ def dedup_clusters_compact(
         groups.select(F.col("rep_id").alias(id_col)), id_col
     ).select(id_col, text_col)
     sigs = minhash_signature(reps, text_col, id_col, k=k, portable=True)
+    # Star expansion (r15): the rep pairs feed ONLY the CC closure and
+    # the solo anti-join's node set — both preserved by the per-bucket
+    # hub edges (see lsh_candidate_pairs), at O(B) rows per bucket
+    # instead of the O(B^2) triangle.
     pairs = lsh_candidate_pairs(
-        sigs, id_col, k=k, band_size=band_size, max_bucket=max_bucket
+        sigs, id_col, k=k, band_size=band_size, max_bucket=max_bucket,
+        expansion="star",
     )
     rep_cc = connected_components(pairs).select(
         F.col("node").alias("rep_id"), F.col("label").alias("cluster_id")

@@ -202,6 +202,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     band_size: int = 2,
     max_bucket: int | None = 10_000,
+    expansion: str = "all_pairs",
 ) -> DataFrame:
     """C2b: LSH banding — docs sharing any band of their signature
     become a candidate pair (id_a < id_b).
@@ -233,6 +234,25 @@ def lsh_candidate_pairs(
     still built its full id array on a single executor before being
     dropped — the exact skew this parameter exists to prevent (pinned
     by tests/test_operators.py::test_lsh_max_bucket_filters_before_collect).
+
+    ``expansion`` (r15, the sf1z probe's finding): ``"all_pairs"``
+    (default) emits the full upper triangle — the CANDIDATE-PAIR
+    contract every verify/score consumer needs. ``"star"`` emits one
+    hub edge per bucket member (min id → each other id): a bucket's
+    star connects exactly the same node set into exactly the same
+    connected components as its clique, with O(B) rows instead of
+    O(B²) — for callers that feed the pairs STRAIGHT into a
+    connected-components closure (the c06 cluster family), the
+    triangle is pure thrown-away work (guide §1.2(1)). Measured at
+    the sf1z zipf fixture, where the hot exact-duplicate group sits
+    exactly AT the 10k cap: the kept 10k-member bucket expands to
+    ~5x10^7 triangle pairs (1x10^8 symmetrized CC edge rows) under
+    "all_pairs" and to 9,999 star rows — a single-task generator
+    straggler removed at the source rather than salted downstream.
+    NEVER use "star" where the pair SET (not just its connectivity)
+    is consumed — verification joins, precision/recall audits, graph
+    metrics (degree, triangles, PageRank) — because the star is not
+    the near-dup candidate relation, only closure-equivalent to it.
     """
     exploded = band_rows(sigs, id_col, k, band_size)
     if max_bucket is not None:
@@ -260,6 +280,23 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if expansion == "star":
+        # Hub edges only: ids are bucket-distinct + sorted, so
+        # element_at(ids, 1) is the bucket min and id_a < id_b holds
+        # by construction; distinct collapses hub edges repeated
+        # across bands. Same connected components as the triangle
+        # (see docstring), O(B) rows per bucket.
+        return (
+            buckets.select(
+                F.element_at("ids", 1).alias("id_a"),
+                F.explode(
+                    F.slice(F.col("ids"), 2, F.size("ids"))
+                ).alias("id_b"),
+            )
+            .distinct()
+        )
+    if expansion != "all_pairs":
+        raise ValueError(f"unknown expansion: {expansion!r}")
     # Upper-triangle expansion as TWO generators, never one array: the
     # previous flatten(transform × transform) spelling evaluated the
     # full B² struct array AS ONE VALUE before the triangle filter —

@@ -92,7 +92,13 @@ def c06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signature(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
     )
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    # Star expansion (r15): the pairs feed ONLY the CC closure, whose
+    # result depends on bucket CONNECTIVITY, not the full candidate
+    # relation — O(B) hub edges per bucket replace the O(B^2) triangle
+    # (identical clusters; see lsh_candidate_pairs and the sf1z probe).
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000, expansion="star"
+    )
     return dedup_clusters(pairs)
 
 
@@ -476,7 +482,10 @@ def c06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     sigs = minhash_signature(reps, "text", "doc_id", k=8, portable=True)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    # Star expansion (r15): closure-only consumer — see c06_dedup_clusters.
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000, expansion="star"
+    )
     # Labels only — dedup_clusters' size agg + join-back would be
     # computed and thrown away (guide §1.2(1)); node != label IS the
     # non-canonical-member test (label = component min id).
@@ -1465,7 +1474,10 @@ def c06_cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signature(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, portable=True
     )
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=10_000)
+    # Star expansion (r15): closure-only consumer — see c06_dedup_clusters.
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=10_000, expansion="star"
+    )
     return dedup_clusters(pairs, algorithm="star")
 
 
@@ -2965,8 +2977,14 @@ def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_sigs = minhash_signature(
         delta, "text", "doc_id", k=8, portable=True
     ).localCheckpoint(eager=False)
+    # Star expansion (r15) on both closure-only pair sets: base_pairs
+    # feed connected_components; delta_self feeds the incremental
+    # contraction, which also consumes only connectivity + node set
+    # (the sf1z zipf probe's hot delta group sits exactly AT the 10k
+    # cap — the triangle expanded it to ~5x10^7 pairs in ONE task).
     base_pairs = lsh_candidate_pairs(
-        c_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+        c_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000,
+        expansion="star",
     )
     # incremental_clusters reads only (doc_id, cluster_id) from the
     # base assignment — dedup_clusters' size agg + join-back would be
@@ -2980,7 +2998,8 @@ def c06_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_sigs, d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
     ).select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
     delta_self = lsh_candidate_pairs(
-        d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000
+        d_sigs, "doc_id", k=8, band_size=2, max_bucket=10_000,
+        expansion="star",
     )
     new_edges = cross.unionAll(delta_self.select("id_a", "id_b"))
     return incremental_clusters(base_clusters, new_edges)

@@ -198,6 +198,57 @@ def test_lsh_max_bucket_drops_hot_buckets(spark):
     assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=4).count() == 0
 
 
+def test_lsh_star_expansion_closure_equivalent(spark):
+    """r15 star expansion pin: per bucket, the hub edges (min id →
+    each other id) must connect exactly the same node set into exactly
+    the same connected components as the full triangle — on a
+    duplicate-heavy corpus with multi-bucket overlaps, near-dup
+    chains, and a capped-out hot group. Also pins the contracts star
+    relies on: id_a < id_b, row count O(B) not O(B^2), and identical
+    max_bucket drop decisions."""
+    from openweathermapapi_etl_spark.operators.cluster import dedup_clusters
+    from openweathermapapi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    rows = (
+        # exact-duplicate group of 6 (over a cap of 5 → dropped in BOTH)
+        [(i, "hot boilerplate text shared by the whole group") for i in range(6)]
+        # exact-duplicate group of 4 (under cap → one cluster)
+        + [(10 + i, "a second duplicated document body here") for i in range(4)]
+        # near-dup chain: consecutive docs share most tokens
+        + [
+            (20, "alpha beta gamma delta epsilon zeta eta"),
+            (21, "alpha beta gamma delta epsilon zeta theta"),
+            (22, "alpha beta gamma delta epsilon iota theta"),
+        ]
+        # singletons
+        + [(30, "completely unrelated content one"),
+           (31, "fully distinct words for the last row")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signature(df, "text", "doc_id", k=8)
+    tri = lsh_candidate_pairs(sigs, "doc_id", k=8, band_size=2, max_bucket=5)
+    star = lsh_candidate_pairs(
+        sigs, "doc_id", k=8, band_size=2, max_bucket=5, expansion="star"
+    )
+    star_rows = star.collect()
+    assert all(r.id_a < r.id_b for r in star_rows)
+    assert len(star_rows) <= tri.count()
+    # Node sets identical (the solo/universe contracts depend on it).
+    def nodes(df_):
+        return {v for r in df_.collect() for v in (r.id_a, r.id_b)}
+    assert nodes(star) == nodes(tri)
+    # Closures identical — clusters, ids, and sizes.
+    def clusters(pairs):
+        return {
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(pairs).collect()
+        }
+    assert clusters(star) == clusters(tri)
+
+
 def test_lsh_max_bucket_filters_before_collect(spark):
     """max_bucket must be enforced BEFORE collect_list (round-3 verdict
     Wrong #5): the plan sizes buckets with a window count inside the
@@ -684,6 +735,52 @@ def test_tfrecord_lite_roundtrip_and_corruption_raises(tmp_path):
     open(path, "wb").write(bytes(data[:10]))
     with _pytest.raises(IOError, match="truncated"):
         list(read_records(path))
+
+
+def test_tfrecord_buffered_path_matches_scalar_loop(tmp_path, monkeypatch):
+    """The r15 size-gated buffered framing path must produce IDENTICAL
+    rows and IDENTICAL fail-loudly errors (message + offset) as the
+    scalar loop, driven through the public ``read_records`` by moving
+    the threshold env knob: 0 forces buffered, huge forces scalar."""
+    import pytest as _pytest
+
+    from openweathermapapi_etl_spark.sources.tfrecord import (
+        read_records,
+        write_records,
+    )
+
+    path = str(tmp_path / "shard-b.tfr")
+    rows = [(1, "hello world"), (2, ""), (3, "x" * 1000), (4, "tail")]
+    assert write_records(path, iter(rows)) == 4
+
+    def rd(threshold: str):
+        monkeypatch.setenv("SPARK_GRAFT_TFR_BUFFER_MIN_BYTES", threshold)
+        return list(read_records(path))
+
+    assert rd("0") == rd("999999999") == rows
+
+    # Corruption: both paths name the same offset in the same message.
+    good = open(path, "rb").read()
+    data = bytearray(good)
+    data[6] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    msgs = []
+    for threshold in ("0", "999999999"):
+        monkeypatch.setenv("SPARK_GRAFT_TFR_BUFFER_MIN_BYTES", threshold)
+        with _pytest.raises(IOError, match="checksum mismatch") as ei:
+            list(read_records(path))
+        msgs.append(str(ei.value))
+    assert msgs[0] == msgs[1]
+
+    # Truncation mid-record: both paths raise at the same offset.
+    open(path, "wb").write(bytes(good[: len(good) - 2]))
+    msgs = []
+    for threshold in ("0", "999999999"):
+        monkeypatch.setenv("SPARK_GRAFT_TFR_BUFFER_MIN_BYTES", threshold)
+        with _pytest.raises(IOError, match="truncated") as ei:
+            list(read_records(path))
+        msgs.append(str(ei.value))
+    assert msgs[0] == msgs[1]
 
 
 def test_tfrecord_random_access_bad_offset_names_file_and_offset(tmp_path):
