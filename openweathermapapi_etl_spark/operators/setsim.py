@@ -111,6 +111,7 @@ def setsim_join(
     tau: Fraction = Fraction(4, 5),
     shingle_n: int | None = 3,
     rank_partitions: int | None = None,
+    pair_dedup: str = "distinct",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with set Jaccard >= ``tau`` over the
     documents' distinct shingle (or token) sets — exact, no false
@@ -122,6 +123,20 @@ def setsim_join(
     engine). Empty sets (docs shorter than ``shingle_n``) have no
     prefix rows and drop out — Jaccard is undefined on an empty set.
     Columns: id_a, id_b, inter, uni (bigint), jaccard.
+
+    ``pair_dedup`` — how pairs sharing SEVERAL prefix tokens collapse
+    to one candidate row (r15, verdict order #3, measured at sf1):
+
+    * ``"distinct"`` (default): a candidate-sized DISTINCT exchange.
+    * ``"positional"``: the VernicaJoin/PPJoin-style row-local filter —
+      each prefix row also carries its document's prefix ARRAY, and a
+      joined row survives only when its shared token is the SMALLEST
+      token the two prefixes share (``element_at(array_intersect(pa,
+      pb), 1)`` — both arrays ascending, so position 1 is the min).
+      Unique by construction, so the DISTINCT exchange disappears —
+      at the cost of shipping ~prefix_len extra ints per prefix row
+      through the self-join. Same pair set either way (every shared
+      prefix token yields a join row; exactly one survives).
     """
     p, q = tau.numerator, tau.denominator
     sets = token_rank_sets(df, id_col, text_col, shingle_n, rank_partitions)
@@ -134,33 +149,49 @@ def setsim_join(
         F.size("rks").alias("_sz"),
     ).localCheckpoint(eager=False)
     # prefix_len = s - ceil(tau*s) + 1, integer-exact: ceil(p*s/q).
-    prefix = sized.select(
-        "_id",
-        "_sz",
-        F.explode(
-            F.slice(
-                "rks",
-                1,
-                (F.col("_sz") - F.floor((F.lit(p) * F.col("_sz") + q - 1) / q) + 1).cast(
-                    "int"
-                ),
-            )
-        ).alias("_pt"),
-    )
+    plen = (
+        F.col("_sz") - F.floor((F.lit(p) * F.col("_sz") + q - 1) / q) + 1
+    ).cast("int")
+    if pair_dedup == "positional":
+        prefix = sized.select(
+            "_id",
+            "_sz",
+            F.slice("rks", 1, plen).alias("_pfx"),
+        ).select("_id", "_sz", "_pfx", F.explode("_pfx").alias("_pt"))
+    elif pair_dedup == "distinct":
+        prefix = sized.select(
+            "_id",
+            "_sz",
+            F.explode(F.slice("rks", 1, plen)).alias("_pt"),
+        )
+    else:
+        raise ValueError(f"unknown pair_dedup: {pair_dedup!r}")
     a, b = prefix.alias("a"), prefix.alias("b")
     # Size bound: Jaccard >= tau forces tau*|a| <= |b| (and symmetric);
     # with id_a < id_b both orderings of sizes occur, so bound both.
-    cand = (
-        a.join(
-            b,
-            (F.col("a._pt") == F.col("b._pt"))
-            & (F.col("a._id") < F.col("b._id"))
-            & (F.col("a._sz") * p <= F.col("b._sz") * q)
-            & (F.col("b._sz") * p <= F.col("a._sz") * q),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    cond = (
+        (F.col("a._pt") == F.col("b._pt"))
+        & (F.col("a._id") < F.col("b._id"))
+        & (F.col("a._sz") * p <= F.col("b._sz") * q)
+        & (F.col("b._sz") * p <= F.col("a._sz") * q)
     )
+    if pair_dedup == "positional":
+        cand = (
+            a.join(b, cond)
+            .filter(
+                F.col("a._pt")
+                == F.element_at(
+                    F.array_intersect(F.col("a._pfx"), F.col("b._pfx")), 1
+                )
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+    else:
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
     ra = sized.select(F.col("_id").alias("id_a"), F.col("rks").alias("_ra"), F.col("_sz").alias("_sa"))
     rb = sized.select(F.col("_id").alias("id_b"), F.col("rks").alias("_rb"), F.col("_sz").alias("_sb"))
     verified = (

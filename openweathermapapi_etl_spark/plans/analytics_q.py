@@ -67,7 +67,10 @@ def c02_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF only, which is the point: same answer, quadratic vs near-linear
     candidate work."""
     docs = t(spark, sf_dir, "documents")
-    return setsim_join(docs, "doc_id", "text", tau=_TAU, shingle_n=3)
+    return setsim_join(
+        docs, "doc_id", "text", tau=_TAU, shingle_n=3,
+        pair_dedup="positional",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -713,6 +716,11 @@ def c02_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 
+    # pair_dedup stays "distinct" here (r15 A/B): at tau=1/2 the
+    # prefix is ~half the rank set, so the positional filter's
+    # per-row prefix arrays ship more bytes than the DISTINCT saves
+    # (measured 1.21x worse; the tau=4/5 setsim_exact flips the other
+    # way and uses "positional").
     truth = setsim_join(d, "doc_id", "text", tau=Fr(1, 2)).select(
         "id_a", "id_b"
     )
@@ -830,6 +838,7 @@ def c02_dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         return split_bucket(col, "prsample", _PR_SAMPLE_MOD) == 0
 
     d_s = d.filter(in_sample(F.col("doc_id")))
+    # pair_dedup stays "distinct" — see c02_dedup_pr_audit (r15 A/B).
     truth = setsim_join(d_s, "doc_id", "text", tau=Fr(1, 2)).select(
         "id_a", "id_b"
     )

@@ -62,6 +62,34 @@ def test_setsim_matches_bruteforce(spark):
     assert got == _brute_pairs(docs, tau)
 
 
+def test_setsim_positional_dedup_matches_distinct(spark):
+    """r15 pin: ``pair_dedup="positional"`` (the PPJoin/VernicaJoin
+    first-shared-prefix-token filter — keep a joined row only when its
+    token is the SMALLEST the two prefixes share) must produce the
+    identical verified pair set as the DISTINCT spelling — on a corpus
+    where pairs share SEVERAL prefix tokens (exact dups), at both a
+    loose and a tight tau, against the same brute-force truth."""
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f g x"),
+        (4, "x y z w v u t s"),
+        (5, "q r"),
+        (6, "x y z w v u t r"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for tau in (Fraction(1, 2), Fraction(4, 5)):
+        def res(mode):
+            return {
+                (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+                for r in setsim_join(
+                    df, "doc_id", "text", tau=tau, pair_dedup=mode
+                ).collect()
+            }
+        want = _brute_pairs(docs, tau)
+        assert res("positional") == res("distinct") == want, tau
+
+
 def test_setsim_tau_boundary_is_exact(spark):
     # Sets engineered to land EXACTLY on tau: inter=4, uni=8, tau=1/2.
     # 'a b c d e f' -> shingles {abc,bcd,cde,def}; adding ' x a b c d e f'
