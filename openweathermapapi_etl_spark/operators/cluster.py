@@ -249,13 +249,15 @@ def connected_components_star(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
-        # Two-sided exact confirm in ONE action: both difference
-        # directions are empty iff their union is empty (r14 resume —
-        # each isEmpty is a full job barrier; the confirm only runs on
-        # the candidate final round, but that round paid two).
+        # Exact confirm in ONE action and ONE anti-join (r15 resume):
+        # sig equality already proves |e| == |stepped| exactly (count
+        # rides in the sig), and both are DISTINCT sets, so equal size
+        # + (e ∖ stepped = ∅) ⟺ e = stepped — the two exceptAll
+        # passes (each a full shuffle of both sides) collapse to one
+        # left-anti join, paid only on the candidate final round.
         if (
             sig == prev_sig
-            and e.exceptAll(stepped).unionAll(stepped.exceptAll(e)).isEmpty()
+            and e.join(stepped, ["u", "v"], "left_anti").isEmpty()
         ):
             e = stepped
             break

@@ -33,7 +33,11 @@ Spark shape (all built-ins, no Python in the hot path):
 4. explode only the prefix ``slice(ranks, 1, prefix_len)`` → self
    equi-join on the rank with ``id_a < id_b`` and the size filter
    ``|b| >= tau*|a|`` (sizes ride along on the prefix rows; a pair
-   failing the length bound can never reach tau) → ``distinct``;
+   failing the length bound can never reach tau) → ``distinct``; the
+   ``"positional"`` dedup mode additionally prunes rows joined so deep
+   in both prefixes that the remaining suffixes cannot reach the
+   required overlap (the PPJoin positional bound — see
+   :func:`setsim_join`);
 5. verify candidates exactly: join both full rank arrays back,
    ``size(array_intersect)``, and an integer-only threshold test
    (``inter * q >= union * p`` for tau = p/q) — no float compare in
@@ -157,7 +161,9 @@ def setsim_join(
             "_id",
             "_sz",
             F.slice("rks", 1, plen).alias("_pfx"),
-        ).select("_id", "_sz", "_pfx", F.explode("_pfx").alias("_pt"))
+        ).select(
+            "_id", "_sz", "_pfx", F.posexplode("_pfx").alias("_pp", "_pt")
+        )
     elif pair_dedup == "distinct":
         prefix = sized.select(
             "_id",
@@ -175,6 +181,35 @@ def setsim_join(
         & (F.col("a._sz") * p <= F.col("b._sz") * q)
         & (F.col("b._sz") * p <= F.col("a._sz") * q)
     )
+    if pair_dedup == "positional":
+        # Positional upper bound (PPJoin, Xiao et al. WWW'08): a pair
+        # whose sets share ANY token shares their globally-SMALLEST
+        # common token w; with sorted arrays, everything of a before
+        # w's position is < w and (by w's minimality) absent from b,
+        # so overlap <= 1 + min(|a|-i, |b|-j) for w at 1-based
+        # positions (i, j). Jaccard >= p/q needs
+        # overlap*(p+q) >= p*(|a|+|b|); joined rows that cannot reach
+        # it are pruned BEFORE the first-shared filter and the verify
+        # joins (guide §3.2 — reduce the join's output before the next
+        # stage). The bound is only guaranteed for the
+        # smallest-common-token row, but that is exactly the row this
+        # mode keeps: pruning a non-first row never loses a pair, and
+        # every kept candidate is exactly verified afterwards. With
+        # _pp 0-based, 1 + min(|a|-i, |b|-j) = min(sa-_ppa, sb-_ppb).
+        # Scoped to the "positional" mode ONLY (r15 resume A/B): here
+        # the position rides the already-shipped prefix array and the
+        # short-prefix regime (tau=4/5 → ~s/5) makes the prune cheap;
+        # at tau=1/2 ("distinct" call sites) the extra int per
+        # corpus-scale prefix row measured 1.2x WORSE — the same
+        # bytes-vs-savings flip as the positional-dedup rejection.
+        cond = cond & (
+            F.least(
+                F.col("a._sz") - F.col("a._pp"),
+                F.col("b._sz") - F.col("b._pp"),
+            )
+            * (p + q)
+            >= (F.col("a._sz") + F.col("b._sz")) * p
+        )
     if pair_dedup == "positional":
         cand = (
             a.join(b, cond)

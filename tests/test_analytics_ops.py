@@ -90,6 +90,43 @@ def test_setsim_positional_dedup_matches_distinct(spark):
         assert res("positional") == res("distinct") == want, tau
 
 
+def test_setsim_positional_bound_keeps_deepest_qualifying_row(spark):
+    """r15 resume pin for the PPJoin POSITIONAL UPPER-BOUND prune
+    (keep a joined prefix row only when 1 + min(|a|-i, |b|-j) can
+    still reach the overlap Jaccard >= tau requires): a pair engineered
+    to sit exactly AT tau with its first shared token at the DEEPEST
+    admissible prefix position (i = j = 3 of 4, sizes 6+6, overlap
+    exactly alpha = 4) must survive — an off-by-one in the bound
+    prunes it and this test fails — while a sub-tau pair whose only
+    shared prefix token sits one position deeper is pruned at the join
+    (positional mode; the distinct mode rejects it at verification)
+    and must simply be absent. Both modes must agree. Unigram sets
+    (shingle_n=None) so the rank positions are constructed exactly:
+    private tokens occur once (rarest — ranked first), shared tokens
+    twice, so each doc's sorted rank array is [privates...,
+    shared...]."""
+    docs = [
+        (1, "p1 p2 c1 c2 c3 c4"),   # A: J(A,B) = 4/8 = tau exactly
+        (2, "q1 q2 c1 c2 c3 c4"),   # B: first shared c1 at pos 3/6
+        (3, "r1 r2 r3 d1 d2 d3"),   # C: J(C,D) = 3/9 < tau; only
+        (4, "s1 s2 s3 d1 d2 d3"),   # D: shared prefix token d1 at pos 4
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for mode in ("distinct", "positional"):
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+            for r in setsim_join(
+                df,
+                "doc_id",
+                "text",
+                tau=Fraction(1, 2),
+                shingle_n=None,
+                pair_dedup=mode,
+            ).collect()
+        }
+        assert got == {(1, 2): (4, 8)}, mode
+
+
 def test_setsim_tau_boundary_is_exact(spark):
     # Sets engineered to land EXACTLY on tau: inter=4, uni=8, tau=1/2.
     # 'a b c d e f' -> shingles {abc,bcd,cde,def}; adding ' x a b c d e f'
