@@ -48,11 +48,27 @@ from pyspark.sql.datasource import (
 def xor_fold(payload: bytes) -> int:
     """4-byte XOR fold of the payload (the checksum in the record
     trailer). Order-sensitive within each 4-byte lane, cheap, and
-    wrong-with-certainty for truncated/shifted payloads."""
-    acc = 0
-    for i in range(0, len(payload), 4):
-        acc ^= int.from_bytes(payload[i : i + 4].ljust(4, b"\0"), "little")
-    return acc
+    wrong-with-certainty for truncated/shifted payloads.
+
+    Spelled as ONE C-level bytes→int conversion plus log2(width)
+    big-int halvings instead of a per-4-byte Python loop (r15 resume,
+    guide §4.2 — this runs once per record on BOTH the write and the
+    read path, inside the Python DataSource worker, and the
+    interpreted loop dominated the checksum's cost; no new imports,
+    so the r14 per-worker import-tax finding does not apply).
+    Value-identical to the loop spelling — every halving XORs
+    whole 32-bit lanes, and XOR of all lanes is order-free — pinned
+    by tests against the reference loop across pad residues."""
+    if not payload:
+        return 0
+    pad = (-len(payload)) % 4
+    x = int.from_bytes(payload + b"\0" * pad, "little")
+    bits = (len(payload) + pad) * 8
+    while bits > 32:
+        half = ((bits // 2 + 31) // 32) * 32  # lane-aligned split
+        x = (x >> half) ^ (x & ((1 << half) - 1))
+        bits = half
+    return x
 
 
 def write_records(path: str, rows: Iterator[tuple[int, str]]) -> int:

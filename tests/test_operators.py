@@ -713,6 +713,33 @@ def test_union_by_name_aligns_drifted_column_order(spark):
     assert rows == [(1, "x"), (2, "y")]
 
 
+def test_xor_fold_matches_reference_loop_all_pad_residues():
+    """r15 resume pin: the halving-fold spelling of xor_fold must be
+    value-identical to the original per-4-byte loop — the checksum is
+    a FORMAT contract (stored in every record trailer), so a changed
+    value would break every existing shard. Covers all four pad
+    residues, the empty payload, single-lane payloads, and large
+    multi-halving widths."""
+    import random
+
+    from openweathermapapi_etl_spark.sources.tfrecord import xor_fold
+
+    def ref(payload: bytes) -> int:
+        acc = 0
+        for i in range(0, len(payload), 4):
+            acc ^= int.from_bytes(
+                payload[i : i + 4].ljust(4, b"\0"), "little"
+            )
+        return acc
+
+    rng = random.Random(7)
+    lengths = list(range(0, 40)) + [127, 128, 129, 130, 500, 4096, 10001]
+    for n in lengths:
+        for _ in range(3):
+            b = rng.randbytes(n)
+            assert xor_fold(b) == ref(b), n
+
+
 def test_tfrecord_lite_roundtrip_and_corruption_raises(tmp_path):
     import pytest as _pytest
 
